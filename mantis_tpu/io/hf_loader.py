@@ -1,0 +1,235 @@
+"""HuggingFace checkpoint interop: torch/safetensors -> mantis_tpu pytrees.
+
+The reference loads all models via ``from_pretrained`` on HF checkpoints;
+this module maps those checkpoints (e.g. TIGER-Lab/Mantis-8B-siglip-llama3)
+onto our stacked-layer JAX param trees.  Linear weights are transposed to
+``[in, out]`` (we compute x @ W); per-layer tensors are stacked along a
+leading layer axis for ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from mantis_tpu.models.configs import LlamaConfig, LlavaConfig, VisionConfig
+
+
+def _to_numpy(t) -> np.ndarray:
+    """torch.Tensor / np.ndarray -> np.ndarray (bf16 via float32)."""
+    if isinstance(t, np.ndarray):
+        return t
+    try:
+        import torch
+
+        if isinstance(t, torch.Tensor):
+            t = t.detach()
+            if t.dtype == torch.bfloat16:
+                t = t.float()
+            return t.cpu().numpy()
+    except ImportError:
+        pass
+    return np.asarray(t)
+
+
+class TensorSource:
+    """Uniform access over a state dict or a safetensors directory."""
+
+    def __init__(self, getter: Callable[[str], np.ndarray], keys):
+        self.get = getter
+        self.keys = set(keys)
+
+    @classmethod
+    def from_state_dict(cls, sd: Dict) -> "TensorSource":
+        return cls(lambda k: _to_numpy(sd[k]), sd.keys())
+
+    @classmethod
+    def from_safetensors_dir(cls, path: str) -> "TensorSource":
+        from safetensors import safe_open
+
+        index_file = os.path.join(path, "model.safetensors.index.json")
+        shard_of = {}
+        if os.path.exists(index_file):
+            with open(index_file) as f:
+                index = json.load(f)
+            shard_of = index["weight_map"]
+        else:
+            single = os.path.join(path, "model.safetensors")
+            with safe_open(single, framework="numpy") as f:
+                for k in f.keys():
+                    shard_of[k] = "model.safetensors"
+        handles: Dict[str, object] = {}
+
+        def getter(key: str) -> np.ndarray:
+            shard = shard_of[key]
+            if shard not in handles:
+                handles[shard] = safe_open(
+                    os.path.join(path, shard), framework="numpy")
+            t = handles[shard].get_tensor(key)
+            if t.dtype == np.dtype("V2"):  # raw bf16 view fallback
+                import ml_dtypes
+
+                t = t.view(ml_dtypes.bfloat16)
+            return t
+
+        return cls(getter, shard_of.keys())
+
+
+def _stack(src: TensorSource, tmpl: str, n: int, transpose: bool,
+           dtype) -> jnp.ndarray:
+    arrs = []
+    for i in range(n):
+        a = src.get(tmpl.format(i=i))
+        if transpose:
+            a = a.T
+        arrs.append(np.asarray(a))
+    return jnp.asarray(np.stack(arrs), dtype=dtype)
+
+
+def llama_params_from_hf(src: TensorSource, cfg: LlamaConfig,
+                         prefix: str = "model.",
+                         lm_head_key: Optional[str] = "lm_head.weight",
+                         dtype=jnp.float32):
+    L = cfg.num_hidden_layers
+    p = prefix
+
+    def get(k, transpose=False):
+        a = src.get(p + k)
+        return jnp.asarray(a.T if transpose else a, dtype=dtype)
+
+    lt = p + "layers.{i}."
+    params = {
+        "embed_tokens": get("embed_tokens.weight"),
+        "norm": get("norm.weight"),
+        "layers": {
+            "input_layernorm": _stack(
+                src, lt + "input_layernorm.weight", L, False, dtype),
+            "post_attention_layernorm": _stack(
+                src, lt + "post_attention_layernorm.weight", L, False, dtype),
+            "q_proj": _stack(
+                src, lt + "self_attn.q_proj.weight", L, True, dtype),
+            "k_proj": _stack(
+                src, lt + "self_attn.k_proj.weight", L, True, dtype),
+            "v_proj": _stack(
+                src, lt + "self_attn.v_proj.weight", L, True, dtype),
+            "o_proj": _stack(
+                src, lt + "self_attn.o_proj.weight", L, True, dtype),
+            "gate_proj": _stack(
+                src, lt + "mlp.gate_proj.weight", L, True, dtype),
+            "up_proj": _stack(
+                src, lt + "mlp.up_proj.weight", L, True, dtype),
+            "down_proj": _stack(
+                src, lt + "mlp.down_proj.weight", L, True, dtype),
+        },
+    }
+    if not cfg.tie_word_embeddings and lm_head_key is not None:
+        if lm_head_key in src.keys:
+            params["lm_head"] = jnp.asarray(
+                src.get(lm_head_key).T, dtype=dtype)
+        else:  # tied in checkpoint
+            params["lm_head"] = params["embed_tokens"].T
+    return params
+
+
+def vit_params_from_hf(src: TensorSource, cfg: VisionConfig,
+                       prefix: str = "vision_model.", dtype=jnp.float32):
+    L = cfg.num_hidden_layers
+    p = prefix
+
+    def get(k, transpose=False):
+        a = src.get(p + k)
+        return jnp.asarray(a.T if transpose else a, dtype=dtype)
+
+    patch_w = src.get(p + "embeddings.patch_embedding.weight")  # [D,C,p,p]
+    patch_w = patch_w.reshape(patch_w.shape[0], -1).T  # [C*p*p, D]
+
+    lt = p + "encoder.layers.{i}."
+    params = {
+        "patch_embedding": jnp.asarray(patch_w, dtype=dtype),
+        "position_embedding": get("embeddings.position_embedding.weight"),
+        "layers": {
+            "ln1_scale": _stack(src, lt + "layer_norm1.weight", L, False,
+                                dtype),
+            "ln1_bias": _stack(src, lt + "layer_norm1.bias", L, False, dtype),
+            "q": _stack(src, lt + "self_attn.q_proj.weight", L, True, dtype),
+            "q_b": _stack(src, lt + "self_attn.q_proj.bias", L, False, dtype),
+            "k": _stack(src, lt + "self_attn.k_proj.weight", L, True, dtype),
+            "k_b": _stack(src, lt + "self_attn.k_proj.bias", L, False, dtype),
+            "v": _stack(src, lt + "self_attn.v_proj.weight", L, True, dtype),
+            "v_b": _stack(src, lt + "self_attn.v_proj.bias", L, False, dtype),
+            "o": _stack(src, lt + "self_attn.out_proj.weight", L, True,
+                        dtype),
+            "o_b": _stack(src, lt + "self_attn.out_proj.bias", L, False,
+                          dtype),
+            "ln2_scale": _stack(src, lt + "layer_norm2.weight", L, False,
+                                dtype),
+            "ln2_bias": _stack(src, lt + "layer_norm2.bias", L, False, dtype),
+            "fc1": _stack(src, lt + "mlp.fc1.weight", L, True, dtype),
+            "fc1_b": _stack(src, lt + "mlp.fc1.bias", L, False, dtype),
+            "fc2": _stack(src, lt + "mlp.fc2.weight", L, True, dtype),
+            "fc2_b": _stack(src, lt + "mlp.fc2.bias", L, False, dtype),
+        },
+        "post_ln_scale": get("post_layernorm.weight"),
+        "post_ln_bias": get("post_layernorm.bias"),
+    }
+    if cfg.tower_type == "clip":
+        params["class_embedding"] = get("embeddings.class_embedding")
+        # HF CLIP carries the historical "pre_layrnorm" typo.
+        pre = ("pre_layrnorm" if (p + "pre_layrnorm.weight") in src.keys
+               else "pre_layernorm")
+        params["pre_ln_scale"] = get(pre + ".weight")
+        params["pre_ln_bias"] = get(pre + ".bias")
+    else:
+        params["patch_bias"] = jnp.asarray(
+            src.get(p + "embeddings.patch_embedding.bias"), dtype=dtype)
+    return params
+
+
+def llava_params_from_hf(src: TensorSource, cfg: LlavaConfig,
+                         dtype=jnp.float32):
+    """Map a Mantis/LLaVA HF checkpoint onto our MLlava param tree.
+
+    Handles both legacy key layout (``language_model.model.*``,
+    ``vision_tower.vision_model.*``) and the post-4.52 flattened layout
+    (``model.language_model.*``).
+    """
+    if any(k.startswith("language_model.model.") for k in src.keys):
+        lm_prefix, lm_head = "language_model.model.", "language_model.lm_head.weight"
+        vt_prefix = "vision_tower.vision_model."
+        mp_prefix = "multi_modal_projector."
+    else:
+        lm_prefix, lm_head = "model.language_model.", "lm_head.weight"
+        vt_prefix = "model.vision_tower.vision_model."
+        mp_prefix = "model.multi_modal_projector."
+
+    def get(k, transpose=False):
+        a = src.get(k)
+        return jnp.asarray(a.T if transpose else a, dtype=dtype)
+
+    return {
+        "vision_tower": vit_params_from_hf(
+            src, cfg.vision_config, prefix=vt_prefix, dtype=dtype),
+        "multi_modal_projector": {
+            "linear_1": get(mp_prefix + "linear_1.weight", True),
+            "linear_1_b": get(mp_prefix + "linear_1.bias"),
+            "linear_2": get(mp_prefix + "linear_2.weight", True),
+            "linear_2_b": get(mp_prefix + "linear_2.bias"),
+        },
+        "language_model": llama_params_from_hf(
+            src, cfg.text_config, prefix=lm_prefix, lm_head_key=lm_head,
+            dtype=dtype),
+    }
+
+
+def load_llava(checkpoint_dir: str, dtype=jnp.bfloat16):
+    """Load config + params from a local HF checkpoint directory."""
+    with open(os.path.join(checkpoint_dir, "config.json")) as f:
+        hf_cfg = json.load(f)
+    cfg = LlavaConfig.from_hf_config(hf_cfg)
+    src = TensorSource.from_safetensors_dir(checkpoint_dir)
+    params = llava_params_from_hf(src, cfg, dtype=dtype)
+    return cfg, params

@@ -1,0 +1,266 @@
+"""LLaMA-family decoder in functional JAX (covers LLaMA-2/3 and Mistral).
+
+TPU-native replacement for the reference's text backbone (the reference
+delegates to HF ``transformers`` LLaMA, reference:
+mantis/models/mllava/modeling_llava.py:258-260).  Design choices:
+
+- Params are a plain pytree with **stacked layers** (leading layer axis) so
+  the decoder runs as one ``lax.scan`` — fast compiles and uniform FSDP
+  sharding rules.
+- Prefill attention uses the Pallas flash-attention kernel with segment
+  ids (packing + padding masks); decode reads a static-shape KV cache with
+  an XLA dot-product attention (bandwidth-bound GEMV — no kernel needed).
+- Weight layout is ``[in_features, out_features]`` (x @ W), i.e. HF
+  checkpoint tensors are transposed on load (see mantis_tpu/io/hf_loader).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from mantis_tpu.models.configs import LlamaConfig
+from mantis_tpu.ops.flash_attention import flash_attention, mha_reference
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class KVCache:
+    """Static-shape per-layer KV cache.
+
+    k, v: [num_layers, batch, max_len, num_kv_heads, head_dim]
+    seg:  [batch, max_len] segment id of each cached position (0 = empty)
+    length: scalar int32 — number of valid positions.
+    """
+
+    k: jax.Array
+    v: jax.Array
+    seg: jax.Array
+    length: jax.Array
+
+    @classmethod
+    def create(cls, cfg: LlamaConfig, batch: int, max_len: int,
+               dtype=jnp.bfloat16) -> "KVCache":
+        shape = (cfg.num_hidden_layers, batch, max_len,
+                 cfg.num_key_value_heads, cfg.head_dim_)
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            seg=jnp.zeros((batch, max_len), jnp.int32),
+            length=jnp.zeros((), jnp.int32),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: LlamaConfig, key: jax.Array, dtype=jnp.float32):
+    """Random-normal init (scale 0.02), mirroring HF defaults."""
+    d, hq, hk, dh = (cfg.hidden_size, cfg.num_attention_heads,
+                     cfg.num_key_value_heads, cfg.head_dim_)
+    li, L = cfg.intermediate_size, cfg.num_hidden_layers
+    keys = jax.random.split(key, 10)
+
+    def norm(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dtype)
+
+    params = {
+        "embed_tokens": norm(keys[0], (cfg.vocab_size, d)),
+        "norm": jnp.ones((d,), dtype),
+        "layers": {
+            "input_layernorm": jnp.ones((L, d), dtype),
+            "post_attention_layernorm": jnp.ones((L, d), dtype),
+            "q_proj": norm(keys[1], (L, d, hq * dh)),
+            "k_proj": norm(keys[2], (L, d, hk * dh)),
+            "v_proj": norm(keys[3], (L, d, hk * dh)),
+            "o_proj": norm(keys[4], (L, hq * dh, d)),
+            "gate_proj": norm(keys[5], (L, d, li)),
+            "up_proj": norm(keys[6], (L, d, li)),
+            "down_proj": norm(keys[7], (L, li, d)),
+        },
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = norm(keys[8], (d, cfg.vocab_size))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xf = xf * jax.lax.rsqrt(var + eps)
+    return weight * xf.astype(dtype)
+
+
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """HF-compatible rotary tables. positions: [B, S] -> cos/sin [B, S, Dh]."""
+    inv_freq = 1.0 / (theta ** (
+        jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [B,S,Dh/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [B, S, H, Dh]; cos/sin: [B, S, Dh] (HF rotate_half convention)."""
+    c = cos[:, :, None, :]
+    s = sin[:, :, None, :]
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return (x.astype(jnp.float32) * c + rotated.astype(jnp.float32) * s
+            ).astype(x.dtype)
+
+
+def _decode_attention(q, k_cache, v_cache, kv_seg, q_seg, length, scale):
+    """Single/few-token attention against the KV cache.
+
+    q: [B, Sq, Hq, Dh]; k_cache/v_cache: [B, M, Hk, Dh]; kv_seg: [B, M];
+    q_seg: [B, Sq]; length: scalar — valid cache prefix (q positions are
+    already written into the cache at [length - Sq, length)).
+    """
+    b, sq, hq, dh = q.shape
+    _, m, hk, _ = k_cache.shape
+    group = hq // hk
+    qg = q.reshape(b, sq, hk, group, dh)
+    logits = jnp.einsum(
+        "bqhgd,bmhd->bhgqm", qg, k_cache,
+        preferred_element_type=jnp.float32) * scale
+    pos = jnp.arange(m)
+    q_pos = length - sq + jnp.arange(sq)
+    causal = pos[None, None, :] <= q_pos[None, :, None]       # [1, Sq, M]
+    seg_ok = kv_seg[:, None, :] == q_seg[:, :, None]          # [B, Sq, M]
+    mask = causal & seg_ok
+    logits = jnp.where(mask[:, None, None, :, :], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
+    out = jnp.einsum("bhgqm,bmhd->bqhgd", probs, v_cache)
+    return out.reshape(b, sq, hq, dh).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def forward(
+    params,
+    cfg: LlamaConfig,
+    *,
+    input_ids: Optional[jax.Array] = None,
+    inputs_embeds: Optional[jax.Array] = None,
+    positions: Optional[jax.Array] = None,
+    segment_ids: Optional[jax.Array] = None,
+    kv_cache: Optional[KVCache] = None,
+    use_remat: bool = False,
+    attn_impl: Optional[str] = None,
+    return_hidden: bool = False,
+):
+    """Run the decoder.
+
+    Modes:
+      - prefill / training: kv_cache is None -> flash attention over the
+        sequence (causal + segment ids).  Returns (logits, None).
+      - prefill-with-cache: kv_cache given and q_len > 1 -> same, but
+        writes k/v into the cache starting at kv_cache.length.
+      - decode: kv_cache given and q_len small (<= 4) -> cache attention.
+
+    segment_ids doubles as the padding mask (0 = pad); defaults to all-1.
+    """
+    if inputs_embeds is None:
+        inputs_embeds = params["embed_tokens"][input_ids]
+    h = inputs_embeds
+    b, s, d = h.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+    if segment_ids is None:
+        segment_ids = jnp.ones((b, s), jnp.int32)
+
+    cos, sin = rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta)
+    scale = cfg.head_dim_ ** -0.5
+    hq, hk, dh = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                  cfg.head_dim_)
+
+    decode_mode = kv_cache is not None and s <= 4
+    offset = kv_cache.length if kv_cache is not None else None
+    kv_seg_full = None
+    if kv_cache is not None:
+        kv_seg_full = jax.lax.dynamic_update_slice(
+            kv_cache.seg, segment_ids, (0, offset))
+
+    def layer_fn(carry, scanned):
+        h = carry
+        if kv_cache is not None:
+            lp, k_cache_l, v_cache_l = scanned
+        else:
+            lp = scanned
+        residual = h
+        x = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)
+        q = (x @ lp["q_proj"]).reshape(b, s, hq, dh)
+        k = (x @ lp["k_proj"]).reshape(b, s, hk, dh)
+        v = (x @ lp["v_proj"]).reshape(b, s, hk, dh)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        new_kv = None
+        if kv_cache is not None:
+            k_cache_l = jax.lax.dynamic_update_slice(
+                k_cache_l, k.astype(k_cache_l.dtype), (0, offset, 0, 0))
+            v_cache_l = jax.lax.dynamic_update_slice(
+                v_cache_l, v.astype(v_cache_l.dtype), (0, offset, 0, 0))
+            new_kv = (k_cache_l, v_cache_l)
+
+        if decode_mode:
+            attn = _decode_attention(
+                q, k_cache_l, v_cache_l, kv_seg_full, segment_ids,
+                offset + s, scale)
+        else:
+            if attn_impl == "xla":
+                attn = mha_reference(
+                    q, k, v, causal=True, segment_ids=segment_ids,
+                    softmax_scale=scale)
+            else:
+                attn = flash_attention(
+                    q, k, v, causal=True, segment_ids=segment_ids,
+                    softmax_scale=scale, implementation=attn_impl)
+        attn = attn.reshape(b, s, hq * dh)
+        h = residual + attn @ lp["o_proj"]
+
+        residual = h
+        x = rms_norm(h, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+        gated = jax.nn.silu(x @ lp["gate_proj"]) * (x @ lp["up_proj"])
+        h = residual + gated @ lp["down_proj"]
+        return h, new_kv
+
+    if use_remat:
+        layer_fn = jax.checkpoint(
+            layer_fn, policy=jax.checkpoint_policies.nothing_saveable)
+
+    if kv_cache is not None:
+        h, kvs = jax.lax.scan(
+            layer_fn, h, (params["layers"], kv_cache.k, kv_cache.v))
+        new_cache = KVCache(
+            k=kvs[0], v=kvs[1], seg=kv_seg_full, length=offset + s)
+    else:
+        h, _ = jax.lax.scan(layer_fn, h, params["layers"])
+        new_cache = None
+
+    h = rms_norm(h, params["norm"], cfg.rms_norm_eps)
+    if return_hidden:
+        return h, new_cache
+    if cfg.tie_word_embeddings:
+        logits = h @ params["embed_tokens"].T
+    else:
+        logits = h @ params["lm_head"]
+    return logits, new_cache

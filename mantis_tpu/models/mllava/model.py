@@ -1,0 +1,147 @@
+"""MLlava: vision tower + MLP projector + LLaMA decoder.
+
+TPU-native equivalent of the reference flagship model
+(reference: mantis/models/mllava/modeling_llava.py:251-605,
+``LlavaForConditionalGeneration``).  Key behavioral mapping:
+
+- The reference's dynamic scatter-merge ``_merge_input_ids_with_image_
+  features`` (modeling_llava.py:293-360) expands each single ``<image>``
+  token into N patch embeddings at runtime, which is shape-dynamic.  Here
+  the processor pre-expands ``<image>`` into N copies of the image token
+  id (static shapes), and the model splices patch embeddings over those
+  positions with a cumsum-ordered gather — numerically identical final
+  sequences.
+- Eval-time vision micro-batching (modeling_llava.py:437-441) is
+  unnecessary on TPU: the ViT runs as one batched XLA computation.
+- The masked-shift CE loss matches modeling_llava.py:523-537.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mantis_tpu.models import llama, vit
+from mantis_tpu.models.configs import LlavaConfig
+from mantis_tpu.models.llama import KVCache
+
+
+def init_params(cfg: LlavaConfig, key: jax.Array, dtype=jnp.float32):
+    kv, kp, kl = jax.random.split(key, 3)
+    dv, dt = cfg.vision_config.hidden_size, cfg.text_config.hidden_size
+
+    def norm(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dtype)
+
+    k1, k2 = jax.random.split(kp)
+    return {
+        "vision_tower": vit.init_params(cfg.vision_config, kv, dtype),
+        "multi_modal_projector": {
+            "linear_1": norm(k1, (dv, dt)),
+            "linear_1_b": jnp.zeros((dt,), dtype),
+            "linear_2": norm(k2, (dt, dt)),
+            "linear_2_b": jnp.zeros((dt,), dtype),
+        },
+        "language_model": llama.init_params(cfg.text_config, kl, dtype),
+    }
+
+
+def project_image_features(params, cfg: LlavaConfig, feats: jax.Array
+                           ) -> jax.Array:
+    """2-layer MLP projector (reference: modeling_llava.py:157-170)."""
+    p = params["multi_modal_projector"]
+    x = feats.astype(p["linear_1"].dtype) @ p["linear_1"] + p["linear_1_b"]
+    x = jax.nn.gelu(x, approximate=False)
+    return x @ p["linear_2"] + p["linear_2_b"]
+
+
+def encode_images(params, cfg: LlavaConfig, pixel_values: jax.Array,
+                  *, attn_impl: Optional[str] = None,
+                  use_remat: bool = False) -> jax.Array:
+    """pixel_values [N, C, H, W] -> projected features [N, P, Dt]."""
+    feats = vit.encode_images(
+        params["vision_tower"], cfg.vision_config, pixel_values,
+        vision_feature_layer=cfg.vision_feature_layer,
+        vision_feature_select_strategy=cfg.vision_feature_select_strategy,
+        attn_impl=attn_impl, use_remat=use_remat)
+    return project_image_features(params, cfg, feats)
+
+
+def merge_image_features(
+    inputs_embeds: jax.Array,
+    input_ids: jax.Array,
+    image_features: jax.Array,
+    image_token_index: int,
+) -> jax.Array:
+    """Splice patch embeddings over (pre-expanded) image-token positions.
+
+    inputs_embeds: [B, S, D]; image_features: [N, P, D].  The i-th image
+    token position (row-major over the batch) receives the i-th row of the
+    flattened image features — the same ordering as the reference's
+    cumsum-based scatter (modeling_llava.py:309-353).
+    """
+    b, s, d = inputs_embeds.shape
+    flat = image_features.reshape(-1, d).astype(inputs_embeds.dtype)
+    is_img = (input_ids == image_token_index).reshape(-1)
+    idx = jnp.cumsum(is_img) - 1
+    idx = jnp.clip(idx, 0, flat.shape[0] - 1)
+    gathered = flat[idx].reshape(b, s, d)
+    return jnp.where(is_img.reshape(b, s)[..., None], gathered,
+                     inputs_embeds)
+
+
+def cross_entropy_loss(logits: jax.Array, labels: jax.Array,
+                       attention_mask: Optional[jax.Array] = None,
+                       ignore_index: int = -100) -> jax.Array:
+    """Masked shifted CE (reference: modeling_llava.py:523-537)."""
+    shift_logits = logits[:, :-1].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != ignore_index
+    if attention_mask is not None:
+        valid = valid & (attention_mask[:, 1:] != 0)
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    token_ll = jnp.take_along_axis(
+        logp, safe_labels[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(jnp.sum(valid), 1)
+    return -jnp.sum(jnp.where(valid, token_ll, 0.0)) / denom
+
+
+def forward(
+    params,
+    cfg: LlavaConfig,
+    *,
+    input_ids: jax.Array,
+    pixel_values: Optional[jax.Array] = None,
+    positions: Optional[jax.Array] = None,
+    segment_ids: Optional[jax.Array] = None,
+    labels: Optional[jax.Array] = None,
+    kv_cache: Optional[KVCache] = None,
+    attn_impl: Optional[str] = None,
+    use_remat: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array], Optional[KVCache]]:
+    """Full forward.  Returns (logits, loss or None, new_cache or None).
+
+    For decode steps pass pixel_values=None (images live in the cache).
+    segment_ids doubles as the padding/packing mask (0 = pad).
+    """
+    embeds = params["language_model"]["embed_tokens"][input_ids]
+    if pixel_values is not None and input_ids.shape[1] > 1:
+        image_features = encode_images(
+            params, cfg, pixel_values, attn_impl=attn_impl,
+            use_remat=use_remat)
+        embeds = merge_image_features(
+            embeds, input_ids, image_features, cfg.image_token_index)
+
+    logits, new_cache = llama.forward(
+        params["language_model"], cfg.text_config,
+        inputs_embeds=embeds, positions=positions, segment_ids=segment_ids,
+        kv_cache=kv_cache, attn_impl=attn_impl, use_remat=use_remat)
+
+    loss = None
+    if labels is not None:
+        mask = None if segment_ids is None else (segment_ids != 0)
+        loss = cross_entropy_loss(logits, labels, mask, cfg.ignore_index)
+    return logits, loss, new_cache

@@ -1,0 +1,182 @@
+"""CLIP / SigLIP vision transformers in functional JAX.
+
+TPU-native replacement for the reference's HF vision towers
+(reference: mantis/models/mllava/modeling_llava.py:254 uses
+``AutoModel.from_config(config.vision_config)`` -> CLIP/SigLIP ViT).
+
+- Patch embedding runs as a reshape + matmul (stride==kernel convolution),
+  which maps straight onto the MXU instead of a conv op.
+- Encoder layers are scan-stacked like the LLaMA decoder.
+- ``encode_images`` reproduces the reference's hidden_states[-2] feature
+  tap (reference: modeling_llava.py:442-447): for feature layer -k, only
+  the first L+1-k encoder layers run at all.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import einops
+import jax
+import jax.numpy as jnp
+
+from mantis_tpu.models.configs import VisionConfig
+from mantis_tpu.ops.flash_attention import flash_attention, mha_reference
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def gelu_tanh(x):
+    return jax.nn.gelu(x, approximate=True)
+
+
+def layer_norm(x, scale, bias, eps):
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (xf.astype(dtype) * scale + bias).astype(dtype)
+
+
+def init_params(cfg: VisionConfig, key: jax.Array, dtype=jnp.float32):
+    d, li, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    p = cfg.patch_size
+    keys = jax.random.split(key, 12)
+
+    def norm(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dtype)
+
+    params = {
+        "patch_embedding": norm(keys[0], (cfg.num_channels * p * p, d)),
+        "position_embedding": norm(keys[1], (cfg.num_positions, d)),
+        "layers": {
+            "ln1_scale": jnp.ones((L, d), dtype),
+            "ln1_bias": jnp.zeros((L, d), dtype),
+            "q": norm(keys[2], (L, d, d)), "q_b": jnp.zeros((L, d), dtype),
+            "k": norm(keys[3], (L, d, d)), "k_b": jnp.zeros((L, d), dtype),
+            "v": norm(keys[4], (L, d, d)), "v_b": jnp.zeros((L, d), dtype),
+            "o": norm(keys[5], (L, d, d)), "o_b": jnp.zeros((L, d), dtype),
+            "ln2_scale": jnp.ones((L, d), dtype),
+            "ln2_bias": jnp.zeros((L, d), dtype),
+            "fc1": norm(keys[6], (L, d, li)),
+            "fc1_b": jnp.zeros((L, li), dtype),
+            "fc2": norm(keys[7], (L, li, d)),
+            "fc2_b": jnp.zeros((L, d), dtype),
+        },
+        "post_ln_scale": jnp.ones((d,), dtype),
+        "post_ln_bias": jnp.zeros((d,), dtype),
+    }
+    if cfg.tower_type == "clip":
+        params["class_embedding"] = norm(keys[8], (d,))
+        params["pre_ln_scale"] = jnp.ones((d,), dtype)
+        params["pre_ln_bias"] = jnp.zeros((d,), dtype)
+    else:
+        params["patch_bias"] = jnp.zeros((d,), dtype)
+    return params
+
+
+def embed(params, cfg: VisionConfig, pixel_values: jax.Array) -> jax.Array:
+    """pixel_values: [N, C, H, W] (torch layout) -> [N, P(+1), D]."""
+    p = cfg.patch_size
+    patches = einops.rearrange(
+        pixel_values, "n c (hh p1) (ww p2) -> n (hh ww) (c p1 p2)",
+        p1=p, p2=p)
+    x = patches.astype(params["patch_embedding"].dtype) @ params[
+        "patch_embedding"]
+    if cfg.tower_type == "siglip":
+        x = x + params["patch_bias"]
+        x = x + params["position_embedding"][None]
+    else:
+        cls = jnp.broadcast_to(
+            params["class_embedding"][None, None, :],
+            (x.shape[0], 1, x.shape[-1]))
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + params["position_embedding"][None]
+    return x
+
+
+def forward(
+    params,
+    cfg: VisionConfig,
+    pixel_values: jax.Array,
+    *,
+    num_layers: Optional[int] = None,
+    attn_impl: Optional[str] = None,
+    use_remat: bool = False,
+) -> jax.Array:
+    """Run the tower; returns hidden states after `num_layers` layers
+    (default: all), without post-layernorm."""
+    x = embed(params, cfg, pixel_values)
+    if cfg.tower_type == "clip":
+        x = layer_norm(x, params["pre_ln_scale"], params["pre_ln_bias"],
+                       cfg.layer_norm_eps)
+
+    n, s, d = x.shape
+    h_heads, dh = cfg.num_attention_heads, cfg.head_dim
+    act = quick_gelu if cfg.tower_type == "clip" else gelu_tanh
+    scale = dh ** -0.5
+
+    L = cfg.num_hidden_layers
+    if num_layers is None:
+        num_layers = L
+    layers = jax.tree.map(lambda a: a[:num_layers], params["layers"])
+
+    def layer_fn(carry, lp):
+        h = carry
+        residual = h
+        x = layer_norm(h, lp["ln1_scale"], lp["ln1_bias"], cfg.layer_norm_eps)
+        q = (x @ lp["q"] + lp["q_b"]).reshape(n, s, h_heads, dh)
+        k = (x @ lp["k"] + lp["k_b"]).reshape(n, s, h_heads, dh)
+        v = (x @ lp["v"] + lp["v_b"]).reshape(n, s, h_heads, dh)
+        if attn_impl == "xla":
+            attn = mha_reference(q, k, v, causal=False, softmax_scale=scale)
+        else:
+            attn = flash_attention(q, k, v, causal=False,
+                                   softmax_scale=scale,
+                                   implementation=attn_impl)
+        attn = attn.reshape(n, s, d)
+        h = residual + (attn @ lp["o"] + lp["o_b"])
+        residual = h
+        x = layer_norm(h, lp["ln2_scale"], lp["ln2_bias"], cfg.layer_norm_eps)
+        x = act(x @ lp["fc1"] + lp["fc1_b"]) @ lp["fc2"] + lp["fc2_b"]
+        return residual + x, None
+
+    if use_remat:
+        layer_fn = jax.checkpoint(
+            layer_fn, policy=jax.checkpoint_policies.nothing_saveable)
+    x, _ = jax.lax.scan(layer_fn, x, layers)
+    return x
+
+
+def encode_images(
+    params,
+    cfg: VisionConfig,
+    pixel_values: jax.Array,
+    *,
+    vision_feature_layer: int = -2,
+    vision_feature_select_strategy: str = "default",
+    attn_impl: Optional[str] = None,
+    use_remat: bool = False,
+) -> jax.Array:
+    """Feature tap matching the reference (modeling_llava.py:442-451).
+
+    hidden_states[i] in HF is the input to layer i; index -k therefore
+    corresponds to running L+1-k layers.  Only those layers execute.
+    """
+    L = cfg.num_hidden_layers
+    fl = vision_feature_layer
+    num_layers = fl if fl >= 0 else L + 1 + fl
+    feats = forward(params, cfg, pixel_values, num_layers=num_layers,
+                    attn_impl=attn_impl, use_remat=use_remat)
+    if vision_feature_select_strategy == "default":
+        # The reference drops index 0 unconditionally — including for
+        # SigLIP, which has no class token (modeling_llava.py:444-445);
+        # match that behavior exactly.
+        feats = feats[:, 1:]
+    elif vision_feature_select_strategy != "full":
+        raise ValueError(
+            f"Unexpected select strategy: {vision_feature_select_strategy}")
+    return feats

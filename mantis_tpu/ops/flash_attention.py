@@ -1,0 +1,603 @@
+"""Pallas TPU flash attention (forward + backward).
+
+TPU-native replacement for the CUDA ``flash_attn`` dependency the reference
+framework relies on everywhere (reference: mantis/train/train_mllava.py:79-82
+``attn_implementation="flash_attention_2"``; varlen/packed path
+mantis/models/intern_vl_25_8b/modeling_internlm2.py:55-61).  Instead of the
+reference's unpad/cu_seqlens machinery, packed sequences are expressed with
+**segment ids**: tokens attend to each other iff their segment ids match,
+which composes with the causal mask inside the kernel and keeps shapes
+static for XLA.
+
+Layout: the public API takes ``[batch, seq, heads, head_dim]`` (BSHD — the
+model's natural layout); kernels internally run in BHSD so the block's last
+two dims (seq_block, head_dim) satisfy TPU tiling.  Grouped-query attention
+is handled
+by indexing the kv head as ``q_head // (num_q_heads // num_kv_heads)`` in
+the BlockSpec index maps.
+
+The online-softmax forward and the (dq) / (dk, dv) backward kernels follow
+the standard flash-attention recurrences with f32 accumulators; matmuls run
+on the MXU in the input dtype (bf16 in production) with
+``preferred_element_type=float32``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+_LANES = 128
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Reference implementation (used for tests and as an XLA fallback)
+# ---------------------------------------------------------------------------
+
+def mha_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = True,
+    segment_ids: Optional[jax.Array] = None,
+    kv_segment_ids: Optional[jax.Array] = None,
+    softmax_scale: Optional[float] = None,
+) -> jax.Array:
+    """O(S^2)-memory attention in plain jnp. BSHD layout, GQA-aware."""
+    b, sq, hq, d = q.shape
+    _, sk, hk, _ = k.shape
+    scale = softmax_scale if softmax_scale is not None else d ** -0.5
+    if hk != hq:
+        rep = hq // hk
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    mask = jnp.ones((b, 1, sq, sk), dtype=bool)
+    if causal:
+        qi = jnp.arange(sq)[:, None]
+        ki = jnp.arange(sk)[None, :]
+        mask = mask & (qi >= ki)[None, None]
+    if segment_ids is not None:
+        kseg = kv_segment_ids if kv_segment_ids is not None else segment_ids
+        mask = mask & (segment_ids[:, None, :, None] == kseg[:, None, None, :])
+    logits = jnp.where(mask, logits, DEFAULT_MASK_VALUE)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
+    o_ref, lse_ref,
+    m_scr, l_scr, acc_scr,
+    *, scale, causal, has_segments, block_q, block_k, num_k_blocks,
+):
+    # qseg_ref: [1, block_q, LANES] (lanes replicated);
+    # kseg_ref: [1, 8, block_k] (sublanes replicated);
+    # lse_ref:  [1, 1, block_q, LANES] or None (inference).
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # A causal block is dead when its lowest q row is above its lowest k col.
+    if causal:
+        run = (qi + 1) * block_q - 1 >= ki * block_k
+    else:
+        run = True
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0, :, :]
+        k = k_ref[0, 0, :, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [block_q, block_k]
+
+        row = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
+        col = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        mask = None
+        if causal:
+            mask = row >= col
+        if has_segments:
+            seg = qseg_ref[0, :, :1] == kseg_ref[0, :1, :]
+            mask = seg if mask is None else (mask & seg)
+        if mask is not None:
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[:]                     # [block_q, LANES]
+        l_prev = l_scr[:]
+        m_curr = jnp.max(s, axis=-1)[:, None]  # [block_q, 1]
+        m_next = jnp.maximum(m_prev, m_curr)   # lanes all equal
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])         # [block_q, block_k] f32
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1)[:, None]
+        m_scr[:] = m_next
+        l_scr[:] = l_next
+
+        v = v_ref[0, 0, :, :]
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[:] = acc_scr[:] * alpha[:, :1] + pv
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0, :, :] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse = m_scr[:] + jnp.log(
+                jnp.where(l_scr[:] == 0.0, 1.0, l_scr[:]))
+            lse_ref[0, 0, :, :] = lse
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dq_scr,
+    *, scale, causal, has_segments, block_q, block_k, num_k_blocks,
+):
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    if causal:
+        run = (qi + 1) * block_q - 1 >= ki * block_k
+    else:
+        run = True
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0, :, :]
+        k = k_ref[0, 0, :, :]
+        v = v_ref[0, 0, :, :]
+        do = do_ref[0, 0, :, :]
+        lse = lse_ref[0, 0, :, :1]            # [block_q, 1]
+        delta = delta_ref[0, 0, :, :1]        # [block_q, 1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        p = jnp.exp(s - lse)
+        if causal or has_segments:
+            row = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            col = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            mask = None
+            if causal:
+                mask = row >= col
+            if has_segments:
+                seg = qseg_ref[0, :, :1] == kseg_ref[0, :1, :]
+                mask = seg if mask is None else (mask & seg)
+            p = jnp.where(mask, p, 0.0)
+
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta) * scale
+        dq_scr[:] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        dq_ref[0, 0, :, :] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref, dk_scr, dv_scr,
+    *, scale, causal, has_segments, block_q, block_k, num_q_blocks,
+):
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    if causal:
+        run = (qi + 1) * block_q - 1 >= ki * block_k
+    else:
+        run = True
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0, :, :]
+        k = k_ref[0, 0, :, :]
+        v = v_ref[0, 0, :, :]
+        do = do_ref[0, 0, :, :]
+        lse = lse_ref[0, 0, :, :1]
+        delta = delta_ref[0, 0, :, :1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        p = jnp.exp(s - lse)
+        if causal or has_segments:
+            row = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            col = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            mask = None
+            if causal:
+                mask = row >= col
+            if has_segments:
+                seg = qseg_ref[0, :, :1] == kseg_ref[0, :1, :]
+                mask = seg if mask is None else (mask & seg)
+            p = jnp.where(mask, p, 0.0)
+
+        pt = p.astype(do.dtype)
+        dv_scr[:] += jax.lax.dot_general(
+            pt, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        dk_scr[:] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(qi == num_q_blocks - 1)
+    def _finalize():
+        dk_ref[0, 0, :, :] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0, :, :] = dv_scr[:].astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+def _drop_lse(kernel, q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref,
+              *scratch):
+    kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, None, *scratch)
+
+def _pad_to(x, mult, axis, value=0):
+    size = x.shape[axis]
+    rem = size % mult
+    if rem == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, mult - rem)
+    return jnp.pad(x, pad, constant_values=value)
+
+
+def _broadcast_segs(qseg, kseg, block_q, block_k):
+    """Lane/sublane-replicated segment ids satisfying TPU tiling rules."""
+    b, sq = qseg.shape
+    _, sk = kseg.shape
+    qsegb = jnp.broadcast_to(qseg[:, :, None], (b, sq, _LANES))
+    ksegb = jnp.broadcast_to(kseg[:, None, :], (b, 8, sk))
+    return qsegb, ksegb
+
+
+def _fwd_call(q, k, v, qseg, kseg, *, scale, causal, has_segments,
+              block_q, block_k, interpret, save_residuals):
+    # q: [B, Hq, Sq, D]; k, v: [B, Hk, Sk, D]  (BHSD kernel layout)
+    b, hq, sq, d = q.shape
+    _, hk, sk, _ = k.shape
+    group = hq // hk
+    nq, nk = sq // block_q, sk // block_k
+
+    grid = (b, hq, nq, nk)
+    q_spec = pl.BlockSpec(
+        (1, 1, block_q, d), lambda b_, h, qi, ki: (b_, h, qi, 0))
+    k_spec = pl.BlockSpec(
+        (1, 1, block_k, d), lambda b_, h, qi, ki: (b_, h // group, ki, 0))
+    v_spec = k_spec
+    qseg_spec = pl.BlockSpec(
+        (1, block_q, _LANES), lambda b_, h, qi, ki: (b_, qi, 0))
+    kseg_spec = pl.BlockSpec(
+        (1, 8, block_k), lambda b_, h, qi, ki: (b_, 0, ki))
+    o_spec = q_spec
+    lse_spec = pl.BlockSpec(
+        (1, 1, block_q, _LANES), lambda b_, h, qi, ki: (b_, h, qi, 0))
+
+    qsegb, ksegb = _broadcast_segs(qseg, kseg, block_q, block_k)
+
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, causal=causal, has_segments=has_segments,
+        block_q=block_q, block_k=block_k, num_k_blocks=nk,
+    )
+    if save_residuals:
+        out_specs = [o_spec, lse_spec]
+        out_shape = [
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((b, hq, sq, _LANES), jnp.float32),
+        ]
+    else:
+        kernel = functools.partial(_drop_lse, kernel)
+        out_specs = [o_spec]
+        out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
+    res = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[q_spec, k_spec, v_spec, qseg_spec, kseg_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * b * hq * sq * sk * d * (0.5 if causal else 1.0)),
+            bytes_accessed=int(
+                (q.size + k.size + v.size + q.size) * q.dtype.itemsize
+            ),
+            transcendentals=int(b * hq * sq * sk),
+        ),
+        interpret=interpret,
+    )(q, k, v, qsegb, ksegb)
+    if save_residuals:
+        out, lse = res
+        return out, lse[..., 0]
+    return res[0], None
+
+
+def _bwd_call(res, g, *, scale, causal, has_segments, block_q, block_k,
+              interpret):
+    q, k, v, qseg, kseg, out, lse = res
+    b, hq, sq, d = q.shape
+    _, hk, sk, _ = k.shape
+    group = hq // hk
+    nq, nk = sq // block_q, sk // block_k
+    do = g
+
+    # delta_i = rowsum(dO_i * O_i) — cheap elementwise, leave to XLA.
+    delta3 = jnp.einsum(
+        "bhqd,bhqd->bhq", do.astype(jnp.float32), out.astype(jnp.float32)
+    )
+    delta = jnp.broadcast_to(delta3[..., None], (*delta3.shape, _LANES))
+    lse4 = jnp.broadcast_to(lse[..., None], (*lse.shape, _LANES))
+    qsegb, ksegb = _broadcast_segs(qseg, kseg, block_q, block_k)
+
+    q_spec = pl.BlockSpec(
+        (1, 1, block_q, d), lambda b_, h, qi, ki: (b_, h, qi, 0))
+    k_spec = pl.BlockSpec(
+        (1, 1, block_k, d), lambda b_, h, qi, ki: (b_, h // group, ki, 0))
+    qseg_spec = pl.BlockSpec(
+        (1, block_q, _LANES), lambda b_, h, qi, ki: (b_, qi, 0))
+    kseg_spec = pl.BlockSpec(
+        (1, 8, block_k), lambda b_, h, qi, ki: (b_, 0, ki))
+    lse_spec = pl.BlockSpec(
+        (1, 1, block_q, _LANES), lambda b_, h, qi, ki: (b_, h, qi, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, scale=scale, causal=causal,
+            has_segments=has_segments, block_q=block_q, block_k=block_k,
+            num_k_blocks=nk,
+        ),
+        grid=(b, hq, nq, nk),
+        in_specs=[q_spec, k_spec, k_spec, qseg_spec, kseg_spec, q_spec,
+                  lse_spec, lse_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, qsegb, ksegb, do, lse4, delta)
+
+    # dk/dv: grid over kv blocks; inner loop over q blocks.  Output has kv
+    # head count == q head count; GQA summing over the group is done in XLA
+    # afterwards (cheap reshape-sum).
+    kq_spec = pl.BlockSpec(
+        (1, 1, block_q, d), lambda b_, h, ki, qi: (b_, h, qi, 0))
+    kk_spec = pl.BlockSpec(
+        (1, 1, block_k, d), lambda b_, h, ki, qi: (b_, h // group, ki, 0))
+    dk_spec = pl.BlockSpec(
+        (1, 1, block_k, d), lambda b_, h, ki, qi: (b_, h, ki, 0))
+    kqseg_spec = pl.BlockSpec(
+        (1, block_q, _LANES), lambda b_, h, ki, qi: (b_, qi, 0))
+    kkseg_spec = pl.BlockSpec(
+        (1, 8, block_k), lambda b_, h, ki, qi: (b_, 0, ki))
+    klse_spec = pl.BlockSpec(
+        (1, 1, block_q, _LANES), lambda b_, h, ki, qi: (b_, h, qi, 0))
+
+    dk_full, dv_full = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, scale=scale, causal=causal,
+            has_segments=has_segments, block_q=block_q, block_k=block_k,
+            num_q_blocks=nq,
+        ),
+        grid=(b, hq, nk, nq),
+        in_specs=[kq_spec, kk_spec, kk_spec, kqseg_spec, kkseg_spec,
+                  kq_spec, klse_spec, klse_spec],
+        out_specs=[dk_spec, dk_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, sk, d), q.dtype),
+            jax.ShapeDtypeStruct((b, hq, sk, d), q.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, qsegb, ksegb, do, lse4, delta)
+
+    if group > 1:
+        dk = dk_full.reshape(b, hk, group, sk, d).sum(axis=2)
+        dv = dv_full.reshape(b, hk, group, sk, d).sum(axis=2)
+        dk = dk.astype(k.dtype)
+        dv = dv.astype(v.dtype)
+    else:
+        dk, dv = dk_full, dv_full
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10)
+)
+def _flash_attention_core(q, k, v, qseg, kseg, scale, causal, has_segments,
+                          block_q, block_k, interpret):
+    out, _ = _fwd_call(
+        q, k, v, qseg, kseg, scale=scale, causal=causal,
+        has_segments=has_segments, block_q=block_q, block_k=block_k,
+        interpret=interpret, save_residuals=False,
+    )
+    return out
+
+
+def _core_fwd(q, k, v, qseg, kseg, scale, causal, has_segments,
+              block_q, block_k, interpret):
+    out, lse = _fwd_call(
+        q, k, v, qseg, kseg, scale=scale, causal=causal,
+        has_segments=has_segments, block_q=block_q, block_k=block_k,
+        interpret=interpret, save_residuals=True,
+    )
+    return out, (q, k, v, qseg, kseg, out, lse)
+
+
+def _core_bwd(scale, causal, has_segments, block_q, block_k, interpret,
+              res, g):
+    dq, dk, dv = _bwd_call(
+        res, g, scale=scale, causal=causal, has_segments=has_segments,
+        block_q=block_q, block_k=block_k, interpret=interpret,
+    )
+    return dq, dk, dv, None, None
+
+
+_flash_attention_core.defvjp(_core_fwd, _core_bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = True,
+    segment_ids: Optional[jax.Array] = None,
+    kv_segment_ids: Optional[jax.Array] = None,
+    softmax_scale: Optional[float] = None,
+    block_q: int = 128,
+    block_k: int = 128,
+    implementation: Optional[str] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Flash attention over BSHD tensors.
+
+    Args:
+      q: [batch, q_seq, num_q_heads, head_dim].
+      k, v: [batch, kv_seq, num_kv_heads, head_dim]; num_q_heads must be a
+        multiple of num_kv_heads (GQA).
+      causal: apply a causal mask (diagonal aligned at position 0; prefill).
+      segment_ids: optional int32 [batch, q_seq] packing ids; tokens attend
+        only within matching segments.  Use distinct ids per packed
+        conversation; padding should use an id not shared with real content.
+      kv_segment_ids: ids for k/v when kv_seq != q_seq (defaults to
+        segment_ids).
+      softmax_scale: defaults to head_dim ** -0.5.
+      implementation: 'pallas' (default on TPU), or 'xla' for the reference
+        O(S^2) path.
+
+    Returns [batch, q_seq, num_q_heads, head_dim] in q.dtype.
+    """
+    if implementation == "xla":
+        return mha_reference(
+            q, k, v, causal=causal, segment_ids=segment_ids,
+            kv_segment_ids=kv_segment_ids, softmax_scale=softmax_scale,
+        )
+    if interpret is None:
+        interpret = _interpret_default()
+
+    b, sq, hq, d = q.shape
+    _, sk, hk, _ = k.shape
+    assert hq % hk == 0, f"GQA requires hq % hk == 0, got {hq}, {hk}"
+    scale = softmax_scale if softmax_scale is not None else d ** -0.5
+
+    block_q = min(block_q, max(128, sq))
+    block_k = min(block_k, max(128, sk))
+
+    kseg_in = kv_segment_ids if kv_segment_ids is not None else segment_ids
+    has_segments = segment_ids is not None
+    pad_q = (-sq) % block_q
+    pad_k = (-sk) % block_k
+    if (pad_q or pad_k) and not has_segments:
+        # Padding introduces fake tokens; segment ids keep them isolated.
+        has_segments = True
+        segment_ids = jnp.ones((b, sq), jnp.int32)
+        kseg_in = jnp.ones((b, sk), jnp.int32)
+
+    if has_segments:
+        qseg = _pad_to(segment_ids.astype(jnp.int32), block_q, 1, value=-1)
+        kseg = _pad_to(kseg_in.astype(jnp.int32), block_k, 1, value=-2)
+    else:
+        qseg = jnp.zeros((b, sq + pad_q), jnp.int32)
+        kseg = jnp.zeros((b, sk + pad_k), jnp.int32)
+
+    qp = _pad_to(q, block_q, 1).transpose(0, 2, 1, 3)
+    kp = _pad_to(k, block_k, 1).transpose(0, 2, 1, 3)
+    vp = _pad_to(v, block_k, 1).transpose(0, 2, 1, 3)
+
+    out = _flash_attention_core(
+        qp, kp, vp, qseg, kseg, scale, causal, has_segments,
+        block_q, block_k, interpret,
+    )
+    out = out.transpose(0, 2, 1, 3)
+    if pad_q:
+        out = out[:, :sq]
+    return out

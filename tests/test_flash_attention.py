@@ -1,0 +1,108 @@
+"""Flash-attention kernel parity vs the O(S^2) reference, fwd + bwd.
+
+Runs in Pallas interpreter mode on CPU (auto-selected off-TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mantis_tpu.ops.flash_attention import flash_attention, mha_reference
+
+
+def _rand_qkv(key, b, sq, sk, hq, hk, d, dtype=jnp.float32):
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, sq, hq, d), dtype)
+    k = jax.random.normal(kk, (b, sk, hk, d), dtype)
+    v = jax.random.normal(kv, (b, sk, hk, d), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_fwd_matches_reference(causal):
+    q, k, v = _rand_qkv(jax.random.PRNGKey(0), 2, 256, 256, 4, 4, 64)
+    out = flash_attention(q, k, v, causal=causal)
+    ref = mha_reference(q, k, v, causal=causal)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_fwd_gqa():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(1), 1, 256, 256, 8, 2, 64)
+    out = flash_attention(q, k, v, causal=True)
+    ref = mha_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_fwd_segment_ids():
+    b, s = 2, 384
+    q, k, v = _rand_qkv(jax.random.PRNGKey(2), b, s, s, 4, 4, 64)
+    # Three packed segments of 128 tokens each.
+    seg = jnp.repeat(jnp.array([[1, 2, 3]] * b, jnp.int32), 128, axis=1)
+    out = flash_attention(q, k, v, causal=True, segment_ids=seg)
+    ref = mha_reference(q, k, v, causal=True, segment_ids=seg)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+    # Each segment must equal attention run on that segment alone.
+    solo = mha_reference(q[:, 128:256], k[:, 128:256], v[:, 128:256],
+                         causal=True)
+    np.testing.assert_allclose(out[:, 128:256], solo, atol=2e-5, rtol=2e-5)
+
+
+def test_fwd_unaligned_seq_len():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(3), 1, 200, 200, 2, 2, 64)
+    out = flash_attention(q, k, v, causal=True)
+    ref = mha_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_cross_attention_no_causal():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(4), 1, 128, 384, 4, 4, 64)
+    out = flash_attention(q, k, v, causal=False)
+    ref = mha_reference(q, k, v, causal=False)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_bwd_matches_reference(causal):
+    q, k, v = _rand_qkv(jax.random.PRNGKey(5), 1, 256, 256, 2, 2, 64)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=causal) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, causal=causal) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-4,
+                                   err_msg=f"d{name}")
+
+
+def test_bwd_gqa_and_segments():
+    b, s = 1, 256
+    q, k, v = _rand_qkv(jax.random.PRNGKey(6), b, s, s, 4, 2, 64)
+    seg = jnp.repeat(jnp.array([[1, 2]] * b, jnp.int32), 128, axis=1)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, causal=True, segment_ids=seg) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            mha_reference(q, k, v, causal=True, segment_ids=seg) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(a, b_, atol=2e-4, rtol=2e-4,
+                                   err_msg=f"d{name}")
+
+
+def test_bf16_runs():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(7), 1, 128, 128, 2, 2, 64,
+                        jnp.bfloat16)
+    out = flash_attention(q, k, v, causal=True)
+    ref = mha_reference(q, k, v, causal=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        out.astype(np.float32), ref.astype(np.float32), atol=2e-2, rtol=2e-2)

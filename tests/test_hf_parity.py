@@ -1,0 +1,188 @@
+"""Numerical parity vs HuggingFace torch reference models (tiny configs).
+
+These tests validate model math + the HF weight loader end-to-end, using
+randomly initialized tiny models built in-memory (no network).  The Pallas
+kernel is excluded here (attn_impl='xla'); kernel parity is covered by
+test_flash_attention.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import torch
+import transformers
+
+from mantis_tpu.io.hf_loader import (
+    TensorSource,
+    llama_params_from_hf,
+    llava_params_from_hf,
+    vit_params_from_hf,
+)
+from mantis_tpu.models import llama, vit
+from mantis_tpu.models.configs import LlamaConfig, LlavaConfig, VisionConfig
+from mantis_tpu.models.mllava import model as mllava_model
+
+
+def _tiny_llama_cfg():
+    return transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+
+
+def _tiny_clip_cfg():
+    return transformers.CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=2, image_size=28, patch_size=14,
+        attn_implementation="eager",
+    )
+
+
+def _tiny_siglip_cfg():
+    return transformers.SiglipVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=2, image_size=28, patch_size=14,
+        attn_implementation="eager",
+    )
+
+
+def test_llama_logit_parity():
+    torch.manual_seed(0)
+    hf_cfg = _tiny_llama_cfg()
+    hf = transformers.LlamaForCausalLM(hf_cfg).eval()
+    cfg = LlamaConfig.from_hf_config(hf_cfg)
+    src = TensorSource.from_state_dict(hf.state_dict())
+    params = llama_params_from_hf(src, cfg)
+
+    ids = np.random.RandomState(0).randint(0, 128, size=(2, 17))
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids)).logits.numpy()
+    ours, _ = llama.forward(params, cfg, input_ids=jnp.asarray(ids),
+                            attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4, rtol=2e-3)
+
+
+def test_llama_gqa_and_longer_seq():
+    torch.manual_seed(1)
+    hf_cfg = _tiny_llama_cfg()
+    hf = transformers.LlamaForCausalLM(hf_cfg).eval()
+    cfg = LlamaConfig.from_hf_config(hf_cfg)
+    params = llama_params_from_hf(
+        TensorSource.from_state_dict(hf.state_dict()), cfg)
+    ids = np.random.RandomState(1).randint(0, 128, size=(1, 130))
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids)).logits.numpy()
+    ours, _ = llama.forward(params, cfg, input_ids=jnp.asarray(ids),
+                            attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=3e-4, rtol=2e-3)
+
+
+def test_llama_kv_cache_decode_matches_full_forward():
+    torch.manual_seed(2)
+    hf_cfg = _tiny_llama_cfg()
+    hf = transformers.LlamaForCausalLM(hf_cfg).eval()
+    cfg = LlamaConfig.from_hf_config(hf_cfg)
+    params = llama_params_from_hf(
+        TensorSource.from_state_dict(hf.state_dict()), cfg)
+
+    ids = np.random.RandomState(2).randint(0, 128, size=(1, 12))
+    full, _ = llama.forward(params, cfg, input_ids=jnp.asarray(ids),
+                            attn_impl="xla")
+
+    cache = llama.KVCache.create(cfg, batch=1, max_len=32, dtype=jnp.float32)
+    pre, cache = llama.forward(
+        params, cfg, input_ids=jnp.asarray(ids[:, :8]),
+        positions=jnp.arange(8)[None], kv_cache=cache, attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(pre), np.asarray(full[:, :8]),
+                               atol=1e-4, rtol=1e-3)
+    for t in range(8, 12):
+        step, cache = llama.forward(
+            params, cfg, input_ids=jnp.asarray(ids[:, t:t + 1]),
+            positions=jnp.array([[t]]), kv_cache=cache, attn_impl="xla")
+        np.testing.assert_allclose(
+            np.asarray(step[:, 0]), np.asarray(full[:, t]),
+            atol=1e-4, rtol=1e-3,
+            err_msg=f"decode step {t}")
+
+
+@pytest.mark.parametrize("tower", ["clip", "siglip"])
+def test_vision_tower_parity(tower):
+    torch.manual_seed(3)
+    if tower == "clip":
+        hf_cfg = _tiny_clip_cfg()
+        hf = transformers.CLIPVisionModel(hf_cfg).eval()
+    else:
+        hf_cfg = _tiny_siglip_cfg()
+        hf = transformers.SiglipVisionModel(hf_cfg).eval()
+    cfg = VisionConfig.from_hf_config(hf_cfg, tower_type=tower)
+    params = vit_params_from_hf(
+        TensorSource.from_state_dict(hf.state_dict()), cfg,
+        prefix="vision_model.")
+
+    pix = np.random.RandomState(3).randn(2, 3, 28, 28).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.tensor(pix), output_hidden_states=True)
+    ref_feats = ref.hidden_states[-2].numpy()
+    ours = vit.forward(params, cfg, jnp.asarray(pix),
+                       num_layers=cfg.num_hidden_layers - 1,
+                       attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(ours), ref_feats,
+                               atol=2e-4, rtol=2e-3)
+
+
+@pytest.mark.parametrize("tower", ["clip", "siglip"])
+def test_llava_end_to_end_parity(tower):
+    torch.manual_seed(4)
+    vis_cfg = _tiny_clip_cfg() if tower == "clip" else _tiny_siglip_cfg()
+    txt_cfg = _tiny_llama_cfg()
+    hf_cfg = transformers.LlavaConfig(
+        vision_config=vis_cfg, text_config=txt_cfg,
+        image_token_index=127, vision_feature_layer=-2,
+        vision_feature_select_strategy="default",
+        attn_implementation="eager",
+    )
+    hf = transformers.LlavaForConditionalGeneration(hf_cfg).eval()
+    cfg = LlavaConfig.from_hf_config(hf_cfg)
+    params = llava_params_from_hf(
+        TensorSource.from_state_dict(hf.state_dict()), cfg)
+
+    num_patches = cfg.num_image_tokens  # 4 for 28px/14px clip (cls dropped)
+    rng = np.random.RandomState(4)
+    # Two images interleaved with text, image tokens pre-expanded.
+    seq = ([5, 6] + [127] * num_patches + [7, 8]
+           + [127] * num_patches + [9, 10, 11])
+    ids = np.array([seq])
+    pix = rng.randn(2, 3, 28, 28).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 pixel_values=torch.tensor(pix)).logits.numpy()
+    ours, _, _ = mllava_model.forward(
+        params, cfg, input_ids=jnp.asarray(ids),
+        pixel_values=jnp.asarray(pix), attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=3e-4, rtol=2e-3)
+
+
+def test_cross_entropy_matches_reference_semantics():
+    logits = jnp.asarray(
+        np.random.RandomState(5).randn(2, 8, 16).astype(np.float32))
+    labels = np.full((2, 8), -100)
+    labels[0, 3:6] = [1, 2, 3]
+    labels[1, 5:8] = [4, 5, 6]
+    mask = np.ones((2, 8), np.int32)
+    mask[1, 7] = 0  # padding kills the shifted label at position 7
+    loss = mllava_model.cross_entropy_loss(
+        logits, jnp.asarray(labels), jnp.asarray(mask))
+
+    t_logits = torch.tensor(np.asarray(logits))
+    t_labels = torch.tensor(labels)
+    t_mask = torch.tensor(mask)
+    shift_mask = t_mask[..., 1:]
+    shift_logits = t_logits[..., :-1, :][shift_mask != 0]
+    shift_labels = t_labels[..., 1:][shift_mask != 0]
+    ref = torch.nn.CrossEntropyLoss()(shift_logits, shift_labels).item()
+    assert abs(float(loss) - ref) < 1e-5
