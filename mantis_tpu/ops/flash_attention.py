@@ -55,7 +55,12 @@ def mha_reference(
     kv_segment_ids: Optional[jax.Array] = None,
     softmax_scale: Optional[float] = None,
 ) -> jax.Array:
-    """O(S^2)-memory attention in plain jnp. BSHD layout, GQA-aware."""
+    """O(S^2)-memory attention in plain jnp. BSHD layout, GQA-aware.
+
+    Uses Precision.HIGHEST: on TPU the default matmul precision runs f32
+    einsums as bf16 passes, which would make this "reference" *less*
+    accurate than the Pallas kernel (observed: 7% grad error at default
+    precision vs 2e-5 at highest)."""
     b, sq, hq, d = q.shape
     _, sk, hk, _ = k.shape
     scale = softmax_scale if softmax_scale is not None else d ** -0.5
@@ -64,7 +69,8 @@ def mha_reference(
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
     logits = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ) * scale
     mask = jnp.ones((b, 1, sq, sk), dtype=bool)
     if causal:
@@ -76,7 +82,8 @@ def mha_reference(
         mask = mask & (segment_ids[:, None, :, None] == kseg[:, None, None, :])
     logits = jnp.where(mask, logits, DEFAULT_MASK_VALUE)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs, v).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                      precision=jax.lax.Precision.HIGHEST).astype(q.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,196 @@
+"""SFT trainer: pjit-sharded train step, mixed precision, freezing, LoRA.
+
+Replaces the reference's HF Trainer + DeepSpeed ZeRO stack
+(reference: mantis/train/train_mllava.py:266-349).  Semantics kept:
+  - vision tower frozen by default (train_mllava.py:239-242);
+  - LoRA targets exclude projector/vision/lm_head (:116-128);
+  - lr schedule: cosine with warmup ratio, AdamW (train_mllava.sh:158-176);
+  - bf16 compute with f32 master weights (ZeRO bf16 + f32 optimizer moments
+    equivalent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from mantis_tpu.train.lora import LoraConfig, apply_lora
+
+
+# ---------------------------------------------------------------------------
+# Param partitioning (trainable vs frozen)
+# ---------------------------------------------------------------------------
+
+# ``None`` marks a slot owned by the other partition.  jax treats None
+# as an empty subtree, so optimizers/grads simply skip those slots;
+# combine_params re-zips the two halves with is_leaf=None-aware mapping.
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+    return "/".join(parts)
+
+
+def partition_params(params: Any, trainable_pred: Callable[[str], bool]
+                     ) -> Tuple[Any, Any]:
+    """Split into (trainable, frozen) trees of identical structure with
+    FROZEN sentinels in the opposite slots."""
+    def pick(path, leaf, want_trainable):
+        t = trainable_pred(_path_str(path))
+        return leaf if t == want_trainable else None
+
+    train = jax.tree_util.tree_map_with_path(
+        lambda p, l: pick(p, l, True), params)
+    frozen = jax.tree_util.tree_map_with_path(
+        lambda p, l: pick(p, l, False), params)
+    return train, frozen
+
+
+def combine_params(trainable: Any, frozen: Any) -> Any:
+    return jax.tree.map(
+        lambda a, b: b if a is None else a,
+        trainable, frozen,
+        is_leaf=lambda x: x is None)
+
+
+def default_trainable_pred(path: str, freeze_vision: bool = True,
+                           tune_projector_only: bool = False) -> bool:
+    """Reference freezing policy (train_mllava.py:239-242; --do_pretrain
+    trains the projector only, train_mllava.py:95-98)."""
+    if tune_projector_only:
+        return path.startswith("multi_modal_projector")
+    if freeze_vision and path.startswith("vision_tower"):
+        return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Config / state
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-5
+    lr_schedule: str = "cosine"          # 'cosine' | 'linear' | 'constant'
+    warmup_ratio: float = 0.03
+    max_steps: int = 1000
+    weight_decay: float = 0.0
+    grad_clip: float = 1.0
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    freeze_vision: bool = True
+    tune_projector_only: bool = False
+    compute_dtype: str = "bfloat16"
+    use_remat: bool = True
+    lora: Optional[LoraConfig] = None
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any          # trainable tree (base subtree or LoRA tree)
+    opt_state: Any
+
+
+def make_lr_schedule(cfg: TrainConfig):
+    warmup = max(int(cfg.max_steps * cfg.warmup_ratio), 1)
+    if cfg.lr_schedule == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, cfg.learning_rate, warmup, cfg.max_steps)
+    if cfg.lr_schedule == "linear":
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, cfg.learning_rate, warmup),
+             optax.linear_schedule(cfg.learning_rate, 0.0,
+                                   cfg.max_steps - warmup)],
+            [warmup])
+    return lambda step: cfg.learning_rate
+
+
+def make_optimizer(cfg: TrainConfig):
+    sched = make_lr_schedule(cfg)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip) if cfg.grad_clip
+        else optax.identity(),
+        optax.adamw(sched, b1=cfg.adam_b1, b2=cfg.adam_b2,
+                    eps=cfg.adam_eps, weight_decay=cfg.weight_decay),
+    )
+    return tx, sched
+
+
+# ---------------------------------------------------------------------------
+# Train step
+# ---------------------------------------------------------------------------
+
+def make_train_step(
+    model_forward: Callable,
+    model_cfg,
+    train_cfg: TrainConfig,
+    optimizer,
+    frozen_params: Any,
+    base_params_for_lora: Any = None,
+):
+    """Build the jitted train step.
+
+    Full/partial finetune: state.params is the trainable subtree, combined
+    with ``frozen_params`` each step.  LoRA: state.params is the adapter
+    tree; ``base_params_for_lora`` is the full (frozen) base.
+    """
+    compute_dtype = jnp.dtype(train_cfg.compute_dtype)
+
+    def build_full_params(trainable):
+        if train_cfg.lora is not None:
+            return apply_lora(base_params_for_lora, trainable,
+                              train_cfg.lora)
+        return combine_params(trainable, frozen_params)
+
+    def cast(p):
+        return jax.tree.map(
+            lambda x: x.astype(compute_dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, p)
+
+    def loss_fn(trainable, batch):
+        params = cast(build_full_params(trainable))
+        _, loss, _ = model_forward(
+            params, model_cfg,
+            input_ids=batch["input_ids"],
+            pixel_values=batch.get("pixel_values"),
+            positions=batch.get("positions"),
+            segment_ids=batch.get("segment_ids"),
+            labels=batch["labels"],
+            use_remat=train_cfg.use_remat,
+        )
+        return loss
+
+    def train_step(state: TrainState, batch: Dict) -> Tuple[TrainState,
+                                                            Dict]:
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state), metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def create_train_state(trainable_params, optimizer) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=trainable_params,
+        opt_state=optimizer.init(trainable_params),
+    )

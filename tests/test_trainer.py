@@ -1,0 +1,192 @@
+"""Trainer tests: FSDP-sharded train step on the 8-device CPU mesh,
+freezing policy, LoRA, checkpoint save/resume."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mantis_tpu.models import llama
+from mantis_tpu.models.configs import LlamaConfig, LlavaConfig, VisionConfig
+from mantis_tpu.models.mllava import model as mllava_model
+from mantis_tpu.parallel.mesh import create_mesh
+from mantis_tpu.parallel.sharding import (
+    batch_sharding,
+    make_param_shardings,
+    shard_params,
+)
+from mantis_tpu.train import trainer as T
+from mantis_tpu.train.checkpoints import CheckpointManager, latest_checkpoint
+from mantis_tpu.train.lora import LoraConfig, init_lora_params
+
+
+def tiny_cfg():
+    return LlavaConfig(
+        vision_config=VisionConfig(
+            tower_type="clip", hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=2, image_size=28,
+            patch_size=14),
+        text_config=LlamaConfig(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, rope_theta=10000.0),
+        image_token_index=63,
+    )
+
+
+def make_batch(cfg, b=2, s=16, rng=None):
+    rng = rng or np.random.RandomState(0)
+    P = cfg.num_image_tokens
+    ids = rng.randint(2, 60, size=(b, s))
+    ids[:, 1:1 + P] = 63  # one image per row
+    labels = ids.copy()
+    labels[:, :4] = -100
+    pix = rng.randn(b, 3, 28, 28).astype(np.float32)
+    return {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(labels),
+        "segment_ids": jnp.ones((b, s), jnp.int32),
+        "pixel_values": jnp.asarray(pix),
+    }
+
+
+def test_full_finetune_loss_decreases_with_frozen_vision():
+    cfg = tiny_cfg()
+    params = mllava_model.init_params(cfg, jax.random.PRNGKey(0))
+    tcfg = T.TrainConfig(learning_rate=1e-3, lr_schedule="constant",
+                         max_steps=20, compute_dtype="float32",
+                         use_remat=True)
+    pred = lambda p: T.default_trainable_pred(p, freeze_vision=True)
+    trainable, frozen = T.partition_params(params, pred)
+    opt, _ = T.make_optimizer(tcfg)
+    step_fn = T.make_train_step(
+        mllava_model.forward, cfg, tcfg, opt, frozen)
+    state = T.create_train_state(trainable, opt)
+    batch = make_batch(cfg)
+
+    vision_before = jax.tree.leaves(params["vision_tower"])[0].copy()
+    losses = []
+    for _ in range(8):
+        state, m = step_fn(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] - 0.2, losses
+    # vision tower was never part of the trainable tree
+    assert all(
+        v is None for v in jax.tree.leaves(
+            state.params.get("vision_tower", {}),
+            is_leaf=lambda x: x is None)) or (
+        "vision_tower" not in jax.tree_util.tree_flatten_with_path(
+            state.params)[0])
+    del vision_before
+
+
+def test_lora_only_updates_adapters():
+    cfg = tiny_cfg()
+    params = mllava_model.init_params(cfg, jax.random.PRNGKey(1))
+    lcfg = LoraConfig(r=4, alpha=8.0)
+    lora0 = init_lora_params(params, lcfg, jax.random.PRNGKey(2))
+    assert len(lora0) > 0
+    # adapters target only LM linears
+    for path in lora0:
+        assert path.startswith("language_model"), path
+
+    tcfg = T.TrainConfig(learning_rate=1e-2, lr_schedule="constant",
+                         max_steps=10, compute_dtype="float32", lora=lcfg)
+    opt, _ = T.make_optimizer(tcfg)
+    step_fn = T.make_train_step(
+        mllava_model.forward, cfg, tcfg, opt, frozen_params=None,
+        base_params_for_lora=params)
+    state = T.create_train_state(lora0, opt)
+    batch = make_batch(cfg)
+    l0 = None
+    for _ in range(6):
+        state, m = step_fn(state, batch)
+        if l0 is None:
+            l0 = float(m["loss"])
+    assert float(m["loss"]) < l0
+    # B matrices moved away from zero
+    moved = any(
+        float(jnp.abs(ab["b"]).max()) > 0 for ab in state.params.values())
+    assert moved
+
+
+def test_fsdp_sharded_step_matches_single_device():
+    cfg = tiny_cfg()
+    params = mllava_model.init_params(cfg, jax.random.PRNGKey(3))
+    tcfg = T.TrainConfig(learning_rate=1e-3, lr_schedule="constant",
+                         max_steps=5, compute_dtype="float32")
+    pred = lambda p: T.default_trainable_pred(p)
+    trainable, frozen = T.partition_params(params, pred)
+    opt, _ = T.make_optimizer(tcfg)
+    batch = make_batch(cfg, b=8)
+
+    # Shard copies first: the jitted step donates its input state, which
+    # would otherwise delete the buffers we still need below.
+    mesh = create_mesh(data=2, fsdp=4)
+    sh_train = shard_params(trainable, mesh)
+    sh_frozen = shard_params(frozen, mesh)
+
+    # single device (deep-copied: device_put above may alias buffers that
+    # the donating step would otherwise delete)
+    copy = lambda t: jax.tree.map(lambda x: jnp.array(x, copy=True), t)
+    step_fn = T.make_train_step(mllava_model.forward, cfg, tcfg, opt,
+                                copy(frozen))
+    s1 = T.create_train_state(copy(trainable), opt)
+    s1, m1 = step_fn(s1, batch)
+    bs = batch_sharding(mesh)
+    sh_batch = {k: jax.device_put(
+        v, bs if v.ndim >= 2 and v.shape[0] == 8 else
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+        for k, v in batch.items()}
+    step_fn8 = T.make_train_step(mllava_model.forward, cfg, tcfg, opt,
+                                 sh_frozen)
+    s8 = T.create_train_state(sh_train, opt)
+    s8, m8 = step_fn8(s8, sh_batch)
+
+    assert abs(float(m1["loss"]) - float(m8["loss"])) < 1e-4
+    # params after one step agree
+    a = jax.tree.leaves(s1.params)[0]
+    b = jax.tree.leaves(s8.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_checkpoint_save_and_auto_resume(tmp_path):
+    cfg = tiny_cfg()
+    params = mllava_model.init_params(cfg, jax.random.PRNGKey(4))
+    tcfg = T.TrainConfig(learning_rate=1e-3, lr_schedule="constant",
+                         max_steps=5, compute_dtype="float32")
+    trainable, frozen = T.partition_params(
+        params, lambda p: T.default_trainable_pred(p))
+    opt, _ = T.make_optimizer(tcfg)
+    step_fn = T.make_train_step(mllava_model.forward, cfg, tcfg, opt,
+                                frozen)
+    state = T.create_train_state(trainable, opt)
+    batch = make_batch(cfg)
+    state, _ = step_fn(state, batch)
+    state, _ = step_fn(state, batch)
+
+    mgr = CheckpointManager(str(tmp_path / "out"), save_total_limit=2)
+    mgr.save(2, state)
+    assert latest_checkpoint(str(tmp_path / "out")).endswith("checkpoint-2")
+    restored, step = mgr.restore_latest(state)
+    assert step == 2
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]))
+    # retention: saving 3 more keeps only the latest 2
+    mgr.save(3, state)
+    mgr.save(4, state)
+    import os
+    names = sorted(os.listdir(tmp_path / "out"))
+    assert names == ["checkpoint-3", "checkpoint-4"]
+    mgr.close()
+
+
+def test_lr_schedule_warmup_cosine():
+    tcfg = T.TrainConfig(learning_rate=1e-4, warmup_ratio=0.1,
+                         max_steps=100)
+    sched = T.make_lr_schedule(tcfg)
+    assert float(sched(0)) == 0.0
+    assert abs(float(sched(10)) - 1e-4) < 1e-9
+    assert float(sched(100)) < 1e-5
