@@ -1,0 +1,751 @@
+"""Training data pipeline: datasets, label masking, packing, collation.
+
+Re-implements the reference's ``mantis/train/data.py`` (1,979 LoC) with
+TPU-static-shape outputs:
+
+- ``ChatDataset`` — conversation JSON/HF datasets, per-separator-style
+  label masking (ported rule-for-rule from reference data.py:418-461 —
+  these rules define training behavior), sqrt upsampling.
+- ``ChatVideoDataset`` — cv2-decoded frames (reference used decord/PyAV,
+  data.py:507-560), uniform/fps sampling, frames-as-images mode.
+- ``ClassificationDataset`` — multi-label float targets
+  (reference data.py:1138-1349).
+- ``PackingDataset`` — greedy packing to ``max_self_attn_len``; instead of
+  the reference's 4-D block-diagonal masks (data.py:1626-1647) it emits
+  **segment ids** + per-segment restarting positions, which the Pallas
+  flash kernel consumes directly.
+- ``Collator`` — right-pad into *length buckets* (XLA needs static
+  shapes; buckets replace dynamic longest-in-batch padding), images
+  padded to an image-count bucket with all-zero frames and matching
+  pad image tokens stripped of labels.
+- ``DatasetCollection`` — concat with sqrt balancing
+  (reference data.py:1356-1362).
+- ``load_data_from_config`` — YAML mixtures (reference data.py:1901-1979).
+"""
+
+from __future__ import annotations
+
+import bisect
+import io
+import json
+import math
+import os
+import random
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from mantis_tpu.models.conversation import Conversation, SeparatorStyle
+
+IGNORE_INDEX = -100
+DEFAULT_IMAGE_TOKEN = "<image>"
+DEFAULT_IMAGE_TOKEN_ID: Optional[int] = None
+DEFAULT_VIDEO_TOKEN = "<video>"
+DEFAULT_VIDEO_TOKEN_ID: Optional[int] = None
+
+
+def set_ignore_index(new_ignore_index: int = -100) -> None:
+    global IGNORE_INDEX
+    IGNORE_INDEX = new_ignore_index
+
+
+def set_default_image_token(tok: str = "<image>") -> None:
+    global DEFAULT_IMAGE_TOKEN
+    DEFAULT_IMAGE_TOKEN = tok
+
+
+def set_default_image_token_id(tok_id: Optional[int] = None) -> None:
+    global DEFAULT_IMAGE_TOKEN_ID
+    DEFAULT_IMAGE_TOKEN_ID = tok_id
+
+
+def set_default_video_token(tok: str = "<video>") -> None:
+    global DEFAULT_VIDEO_TOKEN
+    DEFAULT_VIDEO_TOKEN = tok
+
+
+def set_default_video_token_id(tok_id: Optional[int] = None) -> None:
+    global DEFAULT_VIDEO_TOKEN_ID
+    DEFAULT_VIDEO_TOKEN_ID = tok_id
+
+
+# ---------------------------------------------------------------------------
+# Image loading helpers (reference: train_utils.load_images)
+# ---------------------------------------------------------------------------
+
+def load_image(item, image_dir: Optional[str] = None,
+               max_image_size: Optional[int] = None) -> Image.Image:
+    if isinstance(item, Image.Image):
+        img = item
+    elif isinstance(item, dict):
+        if item.get("bytes"):
+            img = Image.open(io.BytesIO(item["bytes"]))
+        else:
+            path = item["path"]
+            if image_dir and not os.path.isabs(path):
+                path = os.path.join(image_dir, path)
+            img = Image.open(path)
+    elif isinstance(item, (str, os.PathLike)):
+        path = str(item)
+        if image_dir and not os.path.isabs(path):
+            path = os.path.join(image_dir, path)
+        img = Image.open(path)
+    else:
+        raise TypeError(f"Unsupported image item: {type(item)}")
+    img = img.convert("RGB")
+    if max_image_size and max(img.size) > max_image_size:
+        scale = max_image_size / max(img.size)
+        img = img.resize((max(int(img.size[0] * scale), 1),
+                          max(int(img.size[1] * scale), 1)))
+    # min-16px upscale (reference data.py:368-377: tiny images break the
+    # CLIP image processor)
+    if img.size[0] < 16 or img.size[1] < 16:
+        scale = max(16 / img.size[0], 16 / img.size[1])
+        img = img.resize((int(img.size[0] * scale),
+                          int(img.size[1] * scale)))
+    return img
+
+
+def load_images(items, image_dir=None, max_image_size=None
+                ) -> List[Image.Image]:
+    if items is None:
+        return []
+    if not isinstance(items, (list, tuple)):
+        items = [items]
+    return [load_image(x, image_dir, max_image_size) for x in items]
+
+
+# ---------------------------------------------------------------------------
+# Label masking (ported rule-for-rule from reference data.py:418-461)
+# ---------------------------------------------------------------------------
+
+def mask_labels(input_ids: Sequence[int], conv: Conversation,
+                tokenizer) -> np.ndarray:
+    """Produce labels for one tokenized conversation (UNexpanded ids).
+
+    Only separator-token positions drive the masking, exactly as in the
+    reference; anything not explicitly unmasked stays IGNORE_INDEX.
+    """
+    ids = np.asarray(input_ids, dtype=np.int64)
+    target = np.full_like(ids, IGNORE_INDEX)
+    style = conv.sep_style
+
+    if style == SeparatorStyle.MFUYU:
+        sep_id = tokenizer.convert_tokens_to_ids(conv.sep)
+        sep2_id = tokenizer.convert_tokens_to_ids(conv.sep2)
+        sep_idxs = np.nonzero(ids == sep_id)[0].tolist()
+        sep2_idxs = np.nonzero(ids == sep2_id)[0].tolist()
+        if not (len(sep_idxs) == len(sep2_idxs)
+                or len(sep_idxs) == len(sep2_idxs) + 1):
+            raise ValueError(f"len({sep_idxs}) != len({sep2_idxs})")
+        if len(sep_idxs) == len(sep2_idxs) + 1:
+            sep2_idxs.append(len(ids) - 1)
+        for j in range(len(sep_idxs)):
+            target[sep_idxs[j] + 1:sep2_idxs[j] + 1] = \
+                ids[sep_idxs[j] + 1:sep2_idxs[j] + 1]
+    elif style in (SeparatorStyle.SINGLE, SeparatorStyle.LLAMA_3):
+        sep_id = tokenizer.convert_tokens_to_ids(conv.sep)
+        sep_idxs = np.nonzero(ids == sep_id)[0].tolist()
+        for i in range(len(sep_idxs)):
+            if i % 2 == 0:
+                continue
+            if i == len(sep_idxs) - 1:
+                target[sep_idxs[i] + 1:] = ids[sep_idxs[i] + 1:]
+            else:
+                target[sep_idxs[i] + 1:sep_idxs[i + 1] + 1] = \
+                    ids[sep_idxs[i] + 1:sep_idxs[i + 1] + 1]
+    elif style in (SeparatorStyle.IDEFICS_2, SeparatorStyle.IDEFICS_3,
+                   SeparatorStyle.QWEN2VL, SeparatorStyle.MPT):
+        skip_offset = 0 if conv.system else 1
+        sep_id = tokenizer.convert_tokens_to_ids(conv.sep.strip(" \n"))
+        sep_idxs = np.nonzero(ids == sep_id)[0].tolist()
+        sep_offset = 1 + conv.sep_offset
+        for i in range(len(sep_idxs)):
+            if i % 2 == skip_offset:
+                continue
+            if i == len(sep_idxs) - 1:
+                target[sep_idxs[i] + sep_offset:] = \
+                    ids[sep_idxs[i] + sep_offset:]
+            else:
+                target[sep_idxs[i] + sep_offset:sep_idxs[i + 1] + 1] = \
+                    ids[sep_idxs[i] + sep_offset:sep_idxs[i + 1] + 1]
+    elif style == SeparatorStyle.PLAIN:
+        assert DEFAULT_IMAGE_TOKEN_ID is not None, (
+            "set_default_image_token_id required for PLAIN masking")
+        not_img = ids != DEFAULT_IMAGE_TOKEN_ID
+        target[not_img] = ids[not_img]
+    else:
+        raise ValueError(f"Unknown separator style {style}")
+    return target
+
+
+def expand_ids_and_labels(
+    ids: np.ndarray, labels: np.ndarray, image_token_id: int,
+    num_image_tokens: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Expand each image token to N copies; expanded positions get
+    IGNORE_INDEX labels (the reference's merge fills image positions with
+    ignore_index, modeling_llava.py:322-341)."""
+    out_ids: List[int] = []
+    out_lab: List[int] = []
+    for t, l in zip(ids.tolist(), labels.tolist()):
+        if t == image_token_id:
+            out_ids.extend([t] * num_image_tokens)
+            out_lab.extend([IGNORE_INDEX] * num_image_tokens)
+        else:
+            out_ids.append(t)
+            out_lab.append(l)
+    return np.asarray(out_ids, np.int64), np.asarray(out_lab, np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Datasets
+# ---------------------------------------------------------------------------
+
+def _load_json_data(path: str) -> List[Dict]:
+    if path.endswith(".jsonl"):
+        with open(path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+    with open(path) as f:
+        return json.load(f)
+
+
+class ChatDataset:
+    """Interleaved multi-image conversation dataset
+    (reference: data.py:94-505)."""
+
+    def __init__(
+        self,
+        data_path: str,
+        processor,
+        conv: Conversation,
+        name: Optional[str] = None,
+        split: str = "train",
+        max_seq_len: int = 8192,
+        max_num_images: Optional[int] = None,
+        max_size: Optional[int] = None,
+        sample_ratio: Optional[float] = None,
+        image_dir: Optional[str] = None,
+        max_image_size: Optional[int] = None,
+        ensure_seq_len_multiple_of: Optional[int] = None,
+        shuffle: bool = False,
+        seed: int = 42,
+        revision: Optional[str] = None,
+    ):
+        self.data_path = data_path
+        self.name = name
+        self.split = split
+        self.processor = processor
+        self.conv = conv.copy()
+        self.max_seq_len = max_seq_len
+        self.image_dir = image_dir or (
+            os.path.dirname(data_path) if os.path.exists(data_path) else None)
+        self.max_image_size = max_image_size
+        self.ensure_seq_len_multiple_of = ensure_seq_len_multiple_of
+
+        if os.path.exists(data_path):
+            data = _load_json_data(data_path)
+        else:
+            import datasets as hf_datasets
+
+            for attempt in range(5):  # retry loop (reference data.py:146-156)
+                try:
+                    data = hf_datasets.load_dataset(
+                        data_path, name, split=split, revision=revision)
+                    break
+                except json.JSONDecodeError:
+                    if attempt == 4:
+                        raise
+        # filter by image count (reference data.py:166-186)
+        if max_num_images is not None:
+            data = [x for x in data
+                    if len(x.get("images") or []) <= max_num_images]
+        else:
+            data = list(data)
+        if shuffle:
+            random.Random(seed).shuffle(data)
+        if max_size:
+            data = data[:max_size]
+        self.data = data
+        # sqrt upsampling factor consumed by DatasetCollection
+        self.sample_ratio = sample_ratio
+        self.image_key = "images" if (
+            not data or "images" in data[0]) else "image"
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def _conv_messages(self, item) -> List[List[str]]:
+        conv = self.conv
+        roles = {"human": conv.roles[0], "gpt": conv.roles[1],
+                 "user": conv.roles[0], "assistant": conv.roles[1]}
+        key = "conversation" if "conversation" in item else "conversations"
+        source = item[key]
+        first_role = source[0].get("from", source[0].get("role"))
+        if roles[first_role] != conv.roles[0]:
+            source = source[1:]  # skip a leading assistant turn
+        messages = []
+        for j, sentence in enumerate(source):
+            role = roles[sentence.get("from", sentence.get("role"))]
+            assert role == conv.roles[j % 2], "role alternation violated"
+            messages.append([role, sentence.get(
+                "content", sentence.get("text", sentence.get("value", "")))])
+        return messages
+
+    def getitem(self, idx: int) -> Dict[str, np.ndarray]:
+        item = self.data[idx]
+        conv_messages = self._conv_messages(item)
+        sub_images = load_images(item.get(self.image_key),
+                                 self.image_dir, self.max_image_size)
+
+        if self.conv.sep_style == SeparatorStyle.PLAIN:
+            # pretraining: text of the 2nd message + sep
+            # (reference data.py:382-396)
+            assert len(conv_messages) >= 2
+            text = conv_messages[1][1]
+            n_tok = text.count(DEFAULT_IMAGE_TOKEN)
+            if n_tok < len(sub_images):
+                text = f"{DEFAULT_IMAGE_TOKEN} " * (
+                    len(sub_images) - n_tok) + text
+            conv_str = text + self.conv.sep
+            enc = self.processor(
+                conv_str, sub_images or None, truncation=True,
+                max_length=self.max_seq_len, add_image_ids=False,
+                expand_image_tokens=False)
+        else:
+            n_tok = sum(m[1].count(DEFAULT_IMAGE_TOKEN)
+                        for m in conv_messages)
+            if sub_images and n_tok < len(sub_images):
+                conv_messages[0][1] = DEFAULT_IMAGE_TOKEN * (
+                    len(sub_images) - n_tok) + conv_messages[0][1]
+            self.conv.messages = conv_messages
+            conv_str = self.conv.get_prompt()
+            enc = self.processor(
+                conv_str, sub_images or None, truncation=True,
+                max_length=self.max_seq_len, expand_image_tokens=False)
+
+        ids = enc["input_ids"][0]
+        labels = mask_labels(ids, self.conv, self.processor.tokenizer)
+        ids, labels = expand_ids_and_labels(
+            ids, labels, self.processor.image_token_index,
+            self.processor.num_image_tokens)
+
+        if (self.ensure_seq_len_multiple_of
+                and len(ids) % self.ensure_seq_len_multiple_of != 0):
+            pad_id = self.processor.tokenizer.pad_token_id or 0
+            pad = self.ensure_seq_len_multiple_of - (
+                len(ids) % self.ensure_seq_len_multiple_of)
+            ids = np.concatenate([ids, np.full(pad, pad_id, np.int64)])
+            labels = np.concatenate(
+                [labels, np.full(pad, IGNORE_INDEX, np.int64)])
+
+        out = {"input_ids": ids, "labels": labels}
+        if "pixel_values" in enc:
+            out["pixel_values"] = enc["pixel_values"]
+        return out
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        # data-level self-healing (reference data.py:495-505)
+        try:
+            return self.getitem(idx)
+        except Exception:
+            print(f"Error at {idx}, {self.data_path}, {self.name}, "
+                  f"{self.split}, trying next item")
+            return self.__getitem__((idx + 1) % len(self))
+
+
+class ChatVideoDataset(ChatDataset):
+    """Video conversations: frames decoded host-side via cv2
+    (reference uses decord/PyAV, data.py:507-560; cv2 is the decoder
+    available in this image) and fed as interleaved frame images."""
+
+    def __init__(self, *args, num_frames: int = 8, fps: Optional[float] =
+                 None, max_num_frames: int = 16, video_dir: Optional[str]
+                 = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.num_frames = num_frames
+        self.fps = fps
+        self.max_num_frames = max_num_frames
+        self.video_dir = video_dir or self.image_dir
+
+    def _read_video_frames(self, path: str) -> List[Image.Image]:
+        import cv2
+
+        if self.video_dir and not os.path.isabs(path):
+            path = os.path.join(self.video_dir, path)
+        cap = cv2.VideoCapture(path)
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        native_fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+        if self.fps:
+            n = int(total / native_fps * self.fps)
+            n = max(min(n, self.max_num_frames), 1)
+        else:
+            n = min(self.num_frames, max(total, 1))
+        idxs = np.linspace(0, max(total - 1, 0), n).astype(int)
+        frames = []
+        for i in idxs:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, int(i))
+            ok, frame = cap.read()
+            if not ok:
+                continue
+            frames.append(Image.fromarray(
+                cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)))
+        cap.release()
+        return frames
+
+    def getitem(self, idx: int) -> Dict[str, np.ndarray]:
+        item = self.data[idx]
+        frames = self._read_video_frames(item["video"]) \
+            if "video" in item else []
+        conv_messages = self._conv_messages(item)
+        # frames-as-images: replace <video> with N <image> tokens
+        # (reference data.py:763-799)
+        n = len(frames)
+        for m in conv_messages:
+            if DEFAULT_VIDEO_TOKEN in m[1]:
+                m[1] = m[1].replace(
+                    DEFAULT_VIDEO_TOKEN, DEFAULT_IMAGE_TOKEN * n, 1)
+        item = dict(item)
+        item["images"] = frames
+        item.pop("video", None)
+        key = "conversation" if "conversation" in item else "conversations"
+        new_source = []
+        for (role, text) in conv_messages:
+            new_source.append({"from":
+                               "human" if role == self.conv.roles[0]
+                               else "gpt", "value": text})
+        item[key] = new_source
+        saved, self.data = self.data, {idx: item}
+        try:
+            self.data = [item]
+            return super().getitem(0)
+        finally:
+            self.data = saved
+
+
+class ClassificationDataset(ChatDataset):
+    """Multi-label float targets (reference data.py:1138-1349):
+    item['labels'] is a {name: float} dict; emits 'class_labels'."""
+
+    def __init__(self, *args, label_names: Optional[List[str]] = None,
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        if label_names is None:
+            names = set()
+            for it in self.data:
+                names.update((it.get("labels") or {}).keys())
+            label_names = sorted(names)
+        self.label_names = label_names
+
+    def getitem(self, idx: int) -> Dict[str, np.ndarray]:
+        out = super().getitem(idx)
+        raw = self.data[idx].get("labels") or {}
+        out["class_labels"] = np.asarray(
+            [float(raw.get(n, 0.0)) for n in self.label_names], np.float32)
+        # classification: no LM labels
+        out["labels"] = np.full_like(out["labels"], IGNORE_INDEX)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Mixtures / packing / collation
+# ---------------------------------------------------------------------------
+
+class DatasetCollection:
+    """Concat with sqrt balancing: each sub-dataset is sampled
+    proportionally to sqrt(len), capped at 1.1x actual size
+    (reference data.py:1351-1372)."""
+
+    def __init__(self, datasets: List, balancing: bool = True):
+        self.datasets = datasets
+        if balancing and len(datasets) > 1:
+            sizes = np.array([len(d) for d in datasets], np.float64)
+            ratios = np.array(
+                [d.sample_ratio if getattr(d, "sample_ratio", None)
+                 else math.sqrt(s) for d, s in zip(datasets, sizes)])
+            ratios = ratios / ratios.sum()
+            target = ratios * sizes.sum()
+            target = np.minimum(target, sizes * 1.1)
+            self.counts = np.maximum(target.astype(int), 1)
+        else:
+            self.counts = np.array([len(d) for d in datasets], int)
+        self.cum = np.cumsum(self.counts)
+
+    def __len__(self) -> int:
+        return int(self.cum[-1]) if len(self.counts) else 0
+
+    def __getitem__(self, idx: int):
+        ds_idx = bisect.bisect_right(self.cum, idx)
+        local = idx - (self.cum[ds_idx - 1] if ds_idx else 0)
+        ds = self.datasets[ds_idx]
+        return ds[int(local) % len(ds)]
+
+
+class PackingDataset:
+    """Greedy sequence packing with segment ids.
+
+    The reference builds 4-D block-diagonal masks + restarting position
+    ids (data.py:1626-1647); here each packed example carries
+    ``segment_ids`` (1..K, 0 = padding) and per-segment positions, which
+    is what the flash kernel and loss consume.
+    """
+
+    def __init__(self, dataset, max_self_attn_len: int = 8192,
+                 max_images_per_pack: Optional[int] = None):
+        self.dataset = dataset
+        self.max_len = max_self_attn_len
+        self.max_images = max_images_per_pack
+        self._plan: List[List[int]] = []
+        self._build_plan()
+
+    def _build_plan(self):
+        lengths = []
+        for i in range(len(self.dataset)):
+            # probe lengths cheaply when the dataset exposes them
+            est = getattr(self.dataset, "estimate_length", None)
+            if est is not None:
+                lengths.append(est(i))
+            else:
+                lengths.append(None)
+        cur: List[int] = []
+        cur_len = 0
+        for i in range(len(self.dataset)):
+            L = lengths[i]
+            if L is None:
+                L = self.max_len // 4  # conservative default
+            if cur and cur_len + L > self.max_len:
+                self._plan.append(cur)
+                cur, cur_len = [], 0
+            cur.append(i)
+            cur_len += L
+        if cur:
+            self._plan.append(cur)
+
+    def __len__(self) -> int:
+        return len(self._plan)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        parts = [self.dataset[i] for i in self._plan[idx]]
+        ids, labels, seg, pos, pix = [], [], [], [], []
+        total = 0
+        for s_idx, p in enumerate(parts, start=1):
+            n = len(p["input_ids"])
+            if total + n > self.max_len:
+                n = self.max_len - total
+                if n <= 0:
+                    break
+            ids.append(p["input_ids"][:n])
+            labels.append(p["labels"][:n])
+            seg.append(np.full(n, s_idx, np.int32))
+            pos.append(np.arange(n, dtype=np.int32))
+            if "pixel_values" in p:
+                pix.append(p["pixel_values"])
+            total += n
+        out = {
+            "input_ids": np.concatenate(ids),
+            "labels": np.concatenate(labels),
+            "segment_ids": np.concatenate(seg),
+            "positions": np.concatenate(pos),
+        }
+        if pix:
+            out["pixel_values"] = np.concatenate(pix)
+        return out
+
+
+def _bucket_len(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class Collator:
+    """Right-pad into static length buckets (TPU-friendly replacement for
+    the reference's dynamic longest-in-batch padding, data.py:1375-1544).
+
+    Image counts are padded up to a bucket with black frames; the
+    corresponding rows of ``input_ids`` get pad image tokens appended so
+    splice arithmetic still matches (their labels are IGNORE and their
+    segment id is 0, so they influence nothing).
+    """
+
+    def __init__(self, pad_token_id: int, image_token_id: int,
+                 num_image_tokens: int,
+                 seq_buckets: Sequence[int] = (512, 1024, 2048, 4096, 8192),
+                 image_buckets: Sequence[int] = (0, 1, 2, 4, 8, 16, 32),
+                 image_size: int = 336, pad_to_max: bool = False):
+        self.pad_token_id = pad_token_id
+        self.image_token_id = image_token_id
+        self.num_image_tokens = num_image_tokens
+        self.seq_buckets = sorted(seq_buckets)
+        self.image_buckets = sorted(image_buckets)
+        self.image_size = image_size
+        self.pad_to_max = pad_to_max
+
+    def __call__(self, examples: List[Dict[str, np.ndarray]]
+                 ) -> Dict[str, np.ndarray]:
+        b = len(examples)
+        n_imgs = sum(e.get("pixel_values", np.zeros((0,))).shape[0]
+                     for e in examples)
+        img_bucket = (self.image_buckets[-1] if self.pad_to_max
+                      else _bucket_len(n_imgs, self.image_buckets))
+        pad_imgs = img_bucket - n_imgs
+
+        # pad images become extra image tokens appended to the LAST row
+        extra_tokens = pad_imgs * self.num_image_tokens
+        max_len = max(
+            len(e["input_ids"]) + (extra_tokens if i == b - 1 else 0)
+            for i, e in enumerate(examples))
+        tgt = (self.seq_buckets[-1] if self.pad_to_max
+               else _bucket_len(max_len, self.seq_buckets))
+
+        input_ids = np.full((b, tgt), self.pad_token_id, np.int64)
+        labels = np.full((b, tgt), IGNORE_INDEX, np.int64)
+        segment_ids = np.zeros((b, tgt), np.int32)
+        positions = np.zeros((b, tgt), np.int32)
+        for i, e in enumerate(examples):
+            ids = e["input_ids"][:tgt]
+            n = len(ids)
+            input_ids[i, :n] = ids
+            labels[i, :n] = e["labels"][:len(ids)]
+            seg = e.get("segment_ids")
+            segment_ids[i, :n] = seg[:n] if seg is not None else 1
+            pos = e.get("positions")
+            positions[i, :n] = pos[:n] if pos is not None \
+                else np.arange(n)
+            if i == b - 1 and pad_imgs > 0:
+                m = min(extra_tokens, tgt - n)
+                if m < extra_tokens:
+                    raise ValueError(
+                        "sequence bucket too small for pad image tokens")
+                input_ids[i, n:n + m] = self.image_token_id
+                # labels stay IGNORE, segment stays 0 -> inert
+        out = {
+            "input_ids": input_ids,
+            "labels": labels,
+            "segment_ids": segment_ids,
+            "positions": positions,
+        }
+        pix = [e["pixel_values"] for e in examples if "pixel_values" in e]
+        if pix or pad_imgs:
+            pix_cat = (np.concatenate(pix) if pix else
+                       np.zeros((0, 3, self.image_size, self.image_size),
+                                np.float32))
+            if pad_imgs > 0:
+                pad_block = np.zeros(
+                    (pad_imgs, *pix_cat.shape[1:]) if pix else
+                    (pad_imgs, 3, self.image_size, self.image_size),
+                    np.float32)
+                pix_cat = np.concatenate([pix_cat, pad_block])
+            out["pixel_values"] = pix_cat.astype(np.float32)
+        if "class_labels" in examples[0]:
+            out["class_labels"] = np.stack(
+                [e["class_labels"] for e in examples])
+        return out
+
+
+# ---------------------------------------------------------------------------
+# YAML config loader (reference: data.py:1901-1979)
+# ---------------------------------------------------------------------------
+
+FORMAT_CLASSES = {
+    "chat": ChatDataset,
+    "chat_video": ChatVideoDataset,
+    "classification": ClassificationDataset,
+}
+
+
+def load_data_from_config(config_path: str, processor, conv: Conversation,
+                          data_args: Optional[Dict] = None):
+    """YAML -> (train DatasetCollection, val, test, Collator)."""
+    import yaml
+
+    with open(config_path) as f:
+        cfg = yaml.safe_load(f)
+    data_args = data_args or {}
+    splits: Dict[str, List] = {"train": [], "val": [], "test": []}
+    for entry in cfg.get("data", []):
+        fmt = entry.get("format", "chat")
+        cls = FORMAT_CLASSES[fmt]
+        kwargs = dict(
+            data_path=entry["path"],
+            name=entry.get("name"),
+            split=entry.get("split", "train"),
+            processor=processor,
+            conv=conv,
+            max_seq_len=data_args.get("max_seq_len", 8192),
+            max_num_images=entry.get("max_num_images"),
+            max_size=entry.get("max_size"),
+            sample_ratio=entry.get("sample_ratio"),
+            shuffle=entry.get("shuffle", False),
+            image_dir=entry.get("image_dir"),
+            max_image_size=data_args.get("max_image_size"),
+            ensure_seq_len_multiple_of=data_args.get(
+                "ensure_seq_len_multiple_of"),
+        )
+        if fmt == "chat_video":
+            kwargs.update(num_frames=entry.get("num_frames", 8),
+                          fps=entry.get("fps"),
+                          max_num_frames=entry.get("max_num_frames", 16),
+                          video_dir=entry.get("video_dir"))
+        ds = cls(**kwargs)
+        splits[entry.get("use_split", "train")
+               if entry.get("use_split") in splits else
+               ("train" if entry.get("split", "train") == "train"
+                else "val")].append(ds)
+
+    max_packed = data_args.get("max_self_attn_len")
+    train: Any = DatasetCollection(splits["train"]) \
+        if splits["train"] else None
+    if train is not None and max_packed:
+        train = PackingDataset(train, max_packed)
+    val = DatasetCollection(splits["val"]) if splits["val"] else None
+    test = DatasetCollection(splits["test"]) if splits["test"] else None
+
+    collator = Collator(
+        pad_token_id=processor.tokenizer.pad_token_id or 0,
+        image_token_id=processor.image_token_index,
+        num_image_tokens=processor.num_image_tokens,
+        seq_buckets=data_args.get(
+            "seq_buckets", (512, 1024, 2048, 4096, 8192)),
+        image_buckets=data_args.get(
+            "image_buckets", (0, 1, 2, 4, 8, 16, 32)),
+        image_size=data_args.get("image_size", 336),
+    )
+    return train, val, test, collator
+
+
+class DataLoader:
+    """Minimal shuffling batch iterator (host-side).
+
+    Replaces torch DataLoader; numpy batches go straight to device_put.
+    """
+
+    def __init__(self, dataset, collator, batch_size: int,
+                 shuffle: bool = True, seed: int = 0,
+                 drop_last: bool = True):
+        self.dataset = dataset
+        self.collator = collator
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def __iter__(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(order)
+        self.epoch += 1
+        for i in range(0, len(order), self.batch_size):
+            idxs = order[i:i + self.batch_size]
+            if self.drop_last and len(idxs) < self.batch_size:
+                return
+            yield self.collator([self.dataset[int(j)] for j in idxs])

@@ -1,0 +1,281 @@
+"""Data pipeline tests: label masking rules (golden), packing segment
+ids, bucketed collation, sqrt balancing, YAML config loading."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from mantis_tpu.models.conversation import (
+    Conversation,
+    SeparatorStyle,
+    conv_templates,
+)
+from mantis_tpu.models.mllava.processor import (
+    ImageProcessorConfig,
+    MantisImageProcessor,
+    MLlavaProcessor,
+)
+from mantis_tpu.train import data as D
+
+
+def make_tokenizer():
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from transformers import PreTrainedTokenizerFast
+
+    specials = ["<pad>", "</s>", "<image>", "<unk>", "<0x04>",
+                "|ENDOFTEXT|", "<|im_end|>", "<|eot_id|>",
+                "<|start_header_id|>", "<|end_header_id|>"]
+    vocab = {t: i for i, t in enumerate(specials)}
+    words = ("hello there USER: ASSISTANT: user assistant system a b c d "
+             "answer question the quick fox").split()
+    for w in words:
+        vocab.setdefault(w, len(vocab))
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.WhitespaceSplit()
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok, pad_token="<pad>", eos_token="</s>",
+        unk_token="<unk>",
+        additional_special_tokens=["<image>", "<0x04>", "|ENDOFTEXT|",
+                                   "<|im_end|>", "<|eot_id|>",
+                                   "<|start_header_id|>",
+                                   "<|end_header_id|>"])
+    return fast
+
+
+def ids_of(tok, text):
+    return tok(text, add_special_tokens=True)["input_ids"]
+
+
+def test_mask_labels_single_style():
+    tok = make_tokenizer()
+    conv = conv_templates["mllava_v1"].copy()  # SINGLE, sep </s>
+    # layout: system</s> USER: q</s> ASSISTANT: a</s>
+    text = "hello</s>USER: question</s>ASSISTANT: answer</s>"
+    ids = np.asarray(ids_of(tok, text))
+    labels = D.mask_labels(ids, conv, tok)
+    sep = tok.convert_tokens_to_ids("</s>")
+    sep_pos = np.nonzero(ids == sep)[0]
+    # span after 2nd sep (index 1, odd) through 3rd sep inclusive unmasked
+    lo, hi = sep_pos[1] + 1, sep_pos[2] + 1
+    assert (labels[lo:hi] == ids[lo:hi]).all()
+    mask_elsewhere = np.ones(len(ids), bool)
+    mask_elsewhere[lo:hi] = False
+    assert (labels[mask_elsewhere] == D.IGNORE_INDEX).all()
+
+
+def test_mask_labels_llama3_style():
+    tok = make_tokenizer()
+    conv = conv_templates["llama_3"].copy()
+    text = ("system stuff<|eot_id|>user question<|eot_id|>"
+            "assistant answer<|eot_id|>user again<|eot_id|>"
+            "assistant more<|eot_id|>")
+    ids = np.asarray(ids_of(tok, text))
+    labels = D.mask_labels(ids, conv, tok)
+    sep = tok.convert_tokens_to_ids("<|eot_id|>")
+    sp = np.nonzero(ids == sep)[0]
+    # unmasked spans follow seps 1 and 3 (odd indices)
+    for a, b in [(sp[1] + 1, sp[2] + 1), (sp[3] + 1, sp[4] + 1)]:
+        assert (labels[a:b] == ids[a:b]).all()
+    assert (labels[:sp[1] + 1] == D.IGNORE_INDEX).all()
+    assert (labels[sp[2] + 1:sp[3] + 1] == D.IGNORE_INDEX).all()
+
+
+def test_mask_labels_mfuyu_style():
+    tok = make_tokenizer()
+    from mantis_tpu.models.conversation import conv_mfuyu_v1
+
+    conv = conv_mfuyu_v1.copy()
+    text = "hello USER: question <0x04> answer |ENDOFTEXT|"
+    ids = np.asarray(ids_of(tok, text))
+    labels = D.mask_labels(ids, conv, tok)
+    sep = tok.convert_tokens_to_ids("<0x04>")
+    sep2 = tok.convert_tokens_to_ids("|ENDOFTEXT|")
+    s1 = np.nonzero(ids == sep)[0][0]
+    s2 = np.nonzero(ids == sep2)[0][0]
+    assert (labels[s1 + 1:s2 + 1] == ids[s1 + 1:s2 + 1]).all()
+    assert (labels[:s1 + 1] == D.IGNORE_INDEX).all()
+
+
+def test_mask_labels_mpt_with_sep_offset():
+    tok = make_tokenizer()
+    conv = conv_templates["internlm2-chat"].copy()  # MPT, sep_offset=5
+    text = ("system<|im_end|>user question<|im_end|>"
+            "assistant a b c d answer<|im_end|>")
+    ids = np.asarray(ids_of(tok, text))
+    labels = D.mask_labels(ids, conv, tok)
+    sep = tok.convert_tokens_to_ids("<|im_end|>")
+    sp = np.nonzero(ids == sep)[0]
+    off = 1 + conv.sep_offset  # 6
+    assert (labels[sp[1] + off:] == ids[sp[1] + off:]).all()
+    assert (labels[:sp[1] + off] == D.IGNORE_INDEX).all()
+
+
+def test_mask_labels_plain_masks_image_tokens():
+    tok = make_tokenizer()
+    D.set_default_image_token_id(tok.convert_tokens_to_ids("<image>"))
+    conv = conv_templates["plain"].copy()
+    text = "<image> a b c"
+    ids = np.asarray(ids_of(tok, text))
+    labels = D.mask_labels(ids, conv, tok)
+    img = tok.convert_tokens_to_ids("<image>")
+    assert (labels[ids == img] == D.IGNORE_INDEX).all()
+    assert (labels[ids != img] == ids[ids != img]).all()
+
+
+def test_expand_ids_and_labels():
+    ids = np.array([5, 3, 7])
+    labels = np.array([5, -100, 7])
+    out_ids, out_lab = D.expand_ids_and_labels(ids, labels, 3, 4)
+    assert out_ids.tolist() == [5, 3, 3, 3, 3, 7]
+    assert out_lab.tolist() == [5, -100, -100, -100, -100, 7]
+
+
+@pytest.fixture
+def chat_fixture(tmp_path):
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(3):
+        Image.new("RGB", (40, 30), (i * 40, 10, 10)).save(
+            img_dir / f"im{i}.jpg")
+    items = [
+        {"id": "0",
+         "images": [str(img_dir / "im0.jpg"), str(img_dir / "im1.jpg")],
+         "conversations": [
+             {"from": "human", "value": "<image> <image> question"},
+             {"from": "gpt", "value": "answer a b"},
+         ]},
+        {"id": "1", "images": [str(img_dir / "im2.jpg")],
+         "conversations": [
+             {"from": "human", "value": "question the fox"},
+             {"from": "gpt", "value": "answer c d"},
+         ]},
+        {"id": "2", "images": [],
+         "conversations": [
+             {"from": "human", "value": "hello there"},
+             {"from": "gpt", "value": "hello"},
+         ]},
+    ]
+    path = tmp_path / "train.json"
+    path.write_text(json.dumps(items))
+    return str(path)
+
+
+def make_processor(num_image_tokens=4):
+    tok = make_tokenizer()
+    ip = MantisImageProcessor(ImageProcessorConfig.for_tower("clip", 28))
+    return MLlavaProcessor(tok, ip, num_image_tokens)
+
+
+def test_chat_dataset_end_to_end(chat_fixture):
+    proc = make_processor()
+    conv = conv_templates["mllava_v1"].copy()
+    ds = D.ChatDataset(chat_fixture, proc, conv, max_seq_len=128)
+    assert len(ds) == 3
+    ex = ds[0]
+    img_id = proc.image_token_index
+    n_img_tokens = (ex["input_ids"] == img_id).sum()
+    assert n_img_tokens == 2 * 4  # two images x 4 patch tokens
+    assert ex["pixel_values"].shape == (2, 3, 28, 28)
+    # image positions never carry labels
+    assert (ex["labels"][ex["input_ids"] == img_id] == D.IGNORE_INDEX).all()
+    # some assistant tokens carry labels
+    assert (ex["labels"] != D.IGNORE_INDEX).sum() > 0
+    # missing <image> tokens are prepended for item 1
+    ex1 = ds[1]
+    assert (ex1["input_ids"] == img_id).sum() == 4
+    # text-only item
+    ex2 = ds[2]
+    assert "pixel_values" not in ex2
+
+
+def test_packing_dataset_segments(chat_fixture):
+    proc = make_processor()
+    conv = conv_templates["mllava_v1"].copy()
+    ds = D.ChatDataset(chat_fixture, proc, conv, max_seq_len=128)
+    packed = D.PackingDataset(ds, max_self_attn_len=256)
+    ex = packed[0]
+    segs = set(ex["segment_ids"].tolist())
+    assert len(segs) >= 2  # at least two conversations packed
+    # positions restart at each segment
+    for s in segs:
+        pos = ex["positions"][ex["segment_ids"] == s]
+        assert pos[0] == 0
+        assert (np.diff(pos) == 1).all()
+
+
+def test_collator_buckets_and_pad_images(chat_fixture):
+    proc = make_processor()
+    conv = conv_templates["mllava_v1"].copy()
+    ds = D.ChatDataset(chat_fixture, proc, conv, max_seq_len=128)
+    coll = D.Collator(
+        pad_token_id=0, image_token_id=proc.image_token_index,
+        num_image_tokens=4, seq_buckets=(64, 128), image_buckets=(0, 4),
+        image_size=28)
+    batch = coll([ds[0], ds[1]])
+    assert batch["input_ids"].shape[1] in (64, 128)
+    assert batch["pixel_values"].shape[0] == 4  # bucketed 3 -> 4
+    # pad image tokens exist, carry no labels, live in segment 0
+    img_id = proc.image_token_index
+    total_img_tokens = (batch["input_ids"] == img_id).sum()
+    assert total_img_tokens == 4 * 4
+    pad_tok_mask = (batch["input_ids"] == img_id) & (
+        batch["segment_ids"] == 0)
+    assert pad_tok_mask.sum() == 4
+    assert (batch["labels"][pad_tok_mask] == D.IGNORE_INDEX).all()
+
+
+def test_dataset_collection_sqrt_balancing():
+    class Fake:
+        def __init__(self, n):
+            self.n = n
+            self.sample_ratio = None
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return {"ds": self.n, "i": i}
+
+    big, small = Fake(900), Fake(100)
+    coll = D.DatasetCollection([big, small])
+    counts = coll.counts
+    # sqrt balancing upsamples the small set relative to raw proportions
+    assert counts[1] / counts.sum() > 100 / 1000
+    assert counts[0] <= 900 * 1.1 and counts[1] <= 100 * 1.1
+
+
+def test_load_data_from_config(chat_fixture, tmp_path):
+    import yaml
+
+    cfg = {"data": [
+        {"path": chat_fixture, "format": "chat", "split": "train"},
+        {"path": chat_fixture, "format": "chat", "split": "train",
+         "max_size": 2},
+    ]}
+    cfg_path = tmp_path / "data.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    proc = make_processor()
+    conv = conv_templates["mllava_v1"].copy()
+    train, val, test, coll = D.load_data_from_config(
+        str(cfg_path), proc, conv,
+        {"max_seq_len": 128, "image_size": 28,
+         "seq_buckets": (64, 128), "image_buckets": (0, 2, 4)})
+    assert train is not None and len(train) >= 3
+    batch = coll([train[0]])
+    assert batch["input_ids"].ndim == 2
+
+
+def test_dataloader_iteration(chat_fixture):
+    proc = make_processor()
+    conv = conv_templates["mllava_v1"].copy()
+    ds = D.ChatDataset(chat_fixture, proc, conv, max_seq_len=128)
+    coll = D.Collator(0, proc.image_token_index, 4,
+                      seq_buckets=(64, 128), image_buckets=(0, 2, 4),
+                      image_size=28)
+    dl = D.DataLoader(ds, coll, batch_size=2, shuffle=True, seed=1)
+    batches = list(dl)
+    assert len(batches) == 1  # 3 items, drop_last
+    assert batches[0]["input_ids"].shape[0] == 2
