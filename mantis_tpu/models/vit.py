@@ -81,6 +81,11 @@ def init_params(cfg: VisionConfig, key: jax.Array, dtype=jnp.float32):
 def embed(params, cfg: VisionConfig, pixel_values: jax.Array) -> jax.Array:
     """pixel_values: [N, C, H, W] (torch layout) -> [N, P(+1), D]."""
     p = cfg.patch_size
+    # 'valid' conv semantics: trailing pixels that don't fill a whole
+    # patch are dropped (e.g. SigLIP so400m 384px / patch14 -> 27x27).
+    hh = pixel_values.shape[2] // p
+    ww = pixel_values.shape[3] // p
+    pixel_values = pixel_values[:, :, :hh * p, :ww * p]
     patches = einops.rearrange(
         pixel_values, "n c (hh p1) (ww p2) -> n (hh ww) (c p1 p2)",
         p1=p, p2=p)
