@@ -1,0 +1,103 @@
+"""Model adapter registry for the eval harness.
+
+Mirrors the reference's ``MLLM_Models(name)`` factory
+(reference: mantis/mllm_tools/__init__.py:61-174) and its adapter
+protocol: each adapter exposes ``support_multi_image`` and is called with
+an interleaved message list ``[{"type": "image"|"text", "content": ...}]``
+returning a string (reference: mllm_tools/mllava_eval.py:10-78).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Callable, Dict, List
+
+_REGISTRY: Dict[str, Callable] = {}
+
+
+def register_model(name: str):
+    def deco(cls):
+        _REGISTRY[name] = cls
+        return cls
+    return deco
+
+
+def MLLM_Models(model_name: str):
+    """Resolve an adapter class by name.
+
+    - 'random' is handled by the driver itself.
+    - 'mantis-tpu:<checkpoint_dir>' loads a local Mantis/LLaVA checkpoint
+      through the TPU-native MantisLlava stack.
+    - registered names resolve from the registry.
+    """
+    if model_name.startswith("mantis-tpu:"):
+        path = model_name.split(":", 1)[1]
+        return lambda: MantisTPUAdapter(path)
+    if model_name in _REGISTRY:
+        return _REGISTRY[model_name]
+    raise KeyError(
+        f"Unknown model {model_name!r}; registered: {sorted(_REGISTRY)} "
+        f"or use 'mantis-tpu:<checkpoint_dir>'")
+
+
+def merge_images(images):
+    """Horizontally concatenate for single-image models
+    (reference: mllm_tools/mllm_utils.py:26-61)."""
+    from PIL import Image
+
+    if len(images) == 1:
+        return images[0]
+    heights = [im.height for im in images]
+    h = min(heights)
+    scaled = [im.resize((int(im.width * h / im.height), h))
+              for im in images]
+    total_w = sum(im.width for im in scaled)
+    out = Image.new("RGB", (total_w, h))
+    x = 0
+    for im in scaled:
+        out.paste(im, (x, 0))
+        x += im.width
+    return out
+
+
+class MantisTPUAdapter:
+    """Eval adapter over the TPU-native MLlava stack.
+
+    Decode config matches the reference protocol: greedy,
+    max_new_tokens=4096, no sampling (mllm_tools/mllava_eval.py:51-55).
+    """
+
+    support_multi_image = True
+
+    def __init__(self, checkpoint_dir: str, max_new_tokens: int = 4096,
+                 model=None):
+        if model is not None:
+            self.model = model
+        else:
+            from mantis_tpu.models.mllava import MantisLlava
+
+            self.model = MantisLlava.from_pretrained(checkpoint_dir)
+        self.max_new_tokens = max_new_tokens
+
+    def __call__(self, messages: List[dict]) -> str:
+        text_parts = []
+        images = []
+        for m in messages:
+            if m["type"] == "image":
+                images.append(m["content"])
+                text_parts.append("<image>")
+            else:
+                text_parts.append(m["content"])
+        text = "".join(text_parts)
+        generated, _ = self.model.chat(
+            text, images or None, max_new_tokens=self.max_new_tokens,
+            do_sample=False)
+        return generated
+
+
+@register_model("random")
+class RandomAdapter:
+    support_multi_image = True
+
+    def __call__(self, messages):
+        return ""

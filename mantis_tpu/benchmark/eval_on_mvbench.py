@@ -1,0 +1,233 @@
+"""MVBench video benchmark driver.
+
+Behavioral port of the reference
+(reference: mantis/benchmark/eval_on_mvbench.py:8-120 and
+mvbench_eval_utils.py:430-577): 20 subtasks x 200 questions, uniform
+``num_segments`` frame sampling with optional start/end bounds, frames
+sent as interleaved images, letter-match scoring.  Video decode uses cv2
+(decord is not in this image).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+from PIL import Image
+
+from mantis_tpu.benchmark.adapters import MLLM_Models
+
+# (name, json file, video dir prefix, media type, has_bounds)
+# (reference: eval_on_mvbench.py:23-45)
+DATA_LIST = [
+    ("Action Sequence", "action_sequence.json",
+     "star/Charades_v1_480/", "video", True),
+    ("Action Prediction", "action_prediction.json",
+     "star/Charades_v1_480/", "video", True),
+    ("Action Antonym", "action_antonym.json", "ssv2_video/", "video",
+     False),
+    ("Fine-grained Action", "fine_grained_action.json",
+     "Moments_in_Time_Raw/videos/", "video", False),
+    ("Unexpected Action", "unexpected_action.json", "FunQA_test/test/",
+     "video", False),
+    ("Object Existence", "object_existence.json",
+     "clevrer/video_validation/", "video", False),
+    ("Object Interaction", "object_interaction.json",
+     "star/Charades_v1_480/", "video", True),
+    ("Object Shuffle", "object_shuffle.json", "perception/videos/",
+     "video", False),
+    ("Moving Direction", "moving_direction.json",
+     "clevrer/video_validation/", "video", False),
+    ("Action Localization", "action_localization.json", "sta/sta_video/",
+     "video", True),
+    ("Scene Transition", "scene_transition.json", "scene_qa/video/",
+     "video", False),
+    ("Action Count", "action_count.json", "perception/videos/", "video",
+     False),
+    ("Moving Count", "moving_count.json", "clevrer/video_validation/",
+     "video", False),
+    ("Moving Attribute", "moving_attribute.json",
+     "clevrer/video_validation/", "video", False),
+    ("State Change", "state_change.json", "perception/videos/", "video",
+     False),
+    ("Fine-grained Pose", "fine_grained_pose.json", "nturgbd/", "video",
+     False),
+    ("Character Order", "character_order.json", "perception/videos/",
+     "video", False),
+    ("Egocentric Navigation", "egocentric_navigation.json", "vlnqa/",
+     "video", False),
+    ("Episodic Reasoning", "episodic_reasoning.json",
+     "tvqa/frames_fps3_hq/", "frame", True),
+    ("Counterfactual Inference", "counterfactual_inference.json",
+     "clevrer/video_validation/", "video", False),
+]
+
+
+def uniform_indices(num_segments: int, total: int, start: int = 0,
+                    end: Optional[int] = None) -> np.ndarray:
+    """Uniform segment centers within [start, end)
+    (reference: mvbench_eval_utils.py:496-501)."""
+    end = end if end is not None else total
+    seg_size = float(end - start - 1) / num_segments
+    return np.array([
+        int(start + (seg_size / 2) + np.round(seg_size * i))
+        for i in range(num_segments)])
+
+
+def read_video_frames(path: str, num_segments: int, bound=None,
+                      resolution: int = 224) -> List[Image.Image]:
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    start, end = 0, total
+    if bound:
+        start = max(int(bound[0] * fps), 0)
+        end = min(int(bound[1] * fps), total)
+    idxs = uniform_indices(num_segments, total, start, end)
+    frames = []
+    for i in idxs:
+        cap.set(cv2.CAP_PROP_POS_FRAMES, int(max(i, 0)))
+        ok, frame = cap.read()
+        if not ok:
+            continue
+        img = Image.fromarray(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        img = img.resize((resolution, resolution))
+        frames.append(img)
+    cap.release()
+    return frames
+
+
+def read_frame_dir(path: str, num_segments: int, bound=None, fps: float = 3,
+                   resolution: int = 224) -> List[Image.Image]:
+    files = sorted(os.listdir(path))
+    total = len(files)
+    start, end = 0, total
+    if bound:
+        start = max(int(bound[0] * fps), 0)
+        end = min(int(bound[1] * fps), total)
+    idxs = uniform_indices(num_segments, total, start, end)
+    frames = []
+    for i in idxs:
+        img = Image.open(os.path.join(
+            path, files[int(np.clip(i, 0, total - 1))])).convert("RGB")
+        frames.append(img.resize((resolution, resolution)))
+    return frames
+
+
+def check_answer(pred: str, gt: str) -> bool:
+    """Letter-match scoring (reference: eval_on_mvbench.py:94-105)."""
+    flag = False
+    pred_list = pred.lower().split(" ")
+    pred_option, _ = pred_list[0], " ".join(pred_list[1:])
+    gt_list = gt.lower().split(" ")
+    gt_option, gt_content = gt_list[0], " ".join(gt_list[1:])
+    if gt_content[-1] == ".":
+        gt_content = gt_content[:-1]
+    if pred_option.replace(".", "") in gt_option:
+        flag = True
+    elif gt_option in pred_option:
+        flag = True
+    return flag
+
+
+def main(model_name: str, json_dir: str, video_dir: str,
+         num_frames: int = 4, resolution: int = 224,
+         results_dir: str = "results/mvbench", max_size=None,
+         model_instance=None):
+    model = model_instance or (MLLM_Models(model_name)()
+                               if model_name != "random" else None)
+    os.makedirs(results_dir, exist_ok=True)
+    results_path = Path(results_dir) / (
+        f"{model_name.replace('/', '_').replace(':', '_')}"
+        f"_{num_frames}frames.jsonl")
+    existing = {}
+    if results_path.exists():
+        with open(results_path) as f:
+            for line in f:
+                r = json.loads(line)
+                existing[(r["task"], r["idx"])] = r
+
+    per_task = {}
+    with open(results_path, "a+") as out_f:
+        for task, json_file, prefix, media, has_bounds in DATA_LIST:
+            jp = os.path.join(json_dir, json_file)
+            if not os.path.exists(jp):
+                continue
+            with open(jp) as f:
+                items = json.load(f)
+            if max_size:
+                items = items[:max_size]
+            correct = total = 0
+            for idx, item in enumerate(items):
+                key = (task, idx)
+                if key in existing:
+                    r = existing[key]
+                else:
+                    bound = None
+                    if has_bounds and "start" in item:
+                        bound = (item["start"], item["end"])
+                    vpath = os.path.join(video_dir, prefix, item["video"])
+                    if media == "frame":
+                        frames = read_frame_dir(
+                            vpath, num_frames, bound,
+                            resolution=resolution)
+                    else:
+                        frames = read_video_frames(
+                            vpath, num_frames, bound,
+                            resolution=resolution)
+                    question = item["question"]
+                    options = item["candidates"]
+                    q = question + "\nOptions:\n"
+                    answer_opt = None
+                    for i, c in enumerate(options):
+                        q += f"({chr(ord('A') + i)}) {c}\n"
+                        if c == item["answer"]:
+                            answer_opt = \
+                                f"({chr(ord('A') + i)}) {c}"
+                    prompt = (
+                        "Carefully watch the video and pay attention to "
+                        "the cause and sequence of events, the detail and "
+                        "movement of objects, and the action and pose of "
+                        "persons. Based on your observations, select the "
+                        "best option that accurately addresses the "
+                        "question.\n" + q
+                        + "Only give the best option.\nBest option:(")
+                    messages = [{"type": "image", "content": fr}
+                                for fr in frames]
+                    messages.append({"type": "text", "content": prompt})
+                    raw = model(messages) if model else "(A)"
+                    r = {"task": task, "idx": idx,
+                         "pred": raw, "gt": answer_opt,
+                         "correct": check_answer(raw, answer_opt)}
+                    out_f.write(json.dumps(r) + "\n")
+                correct += int(r["correct"])
+                total += 1
+            per_task[task] = (correct, total)
+
+    print("MVBench results:")
+    all_c = sum(c for c, _ in per_task.values())
+    all_t = sum(t for _, t in per_task.values())
+    for task, (c, t) in per_task.items():
+        print(f"  {task}: {c}/{t} = {c / max(t, 1):.4f}")
+    if all_t:
+        print(f"Overall: {all_c}/{all_t} = {all_c / all_t:.4f}")
+    return per_task
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_name", required=True)
+    p.add_argument("--json_dir", required=True)
+    p.add_argument("--video_dir", required=True)
+    p.add_argument("--num_frames", type=int, default=4)
+    p.add_argument("--resolution", type=int, default=224)
+    p.add_argument("--results_dir", default="results/mvbench")
+    p.add_argument("--max_size", type=int, default=None)
+    a = p.parse_args()
+    main(**vars(a))

@@ -1,0 +1,193 @@
+"""Eval harness tests: scoring rules, driver resume protocol, adapter
+wiring over a tiny real model."""
+
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from mantis_tpu.benchmark import eval as eval_lib
+from mantis_tpu.benchmark.adapters import MantisTPUAdapter, merge_images
+from mantis_tpu.benchmark.eval_on_mvbench import check_answer
+from mantis_tpu.benchmark.scoring import (
+    format_options,
+    get_option,
+    get_prediction,
+    parse_answer,
+)
+
+
+def test_parse_answer_priority():
+    assert parse_answer("blah Final Answer: (B)") == "(B)"
+    assert parse_answer("I think the answer is C") == "C"
+    assert parse_answer("Answer: D maybe") == "D maybe"
+    assert parse_answer("nothing here") == "nothing here"
+
+
+def test_get_option():
+    assert get_option("Answer: B") == "B"
+    assert get_option("(c) something") == "C"
+    assert get_option("123") is None
+
+
+def test_get_prediction_multichoice():
+    r = get_prediction("multi-choice", "B", "(B)", ["x", "y", "z"], "d")
+    assert r["correct"] and r["parsed_answer"] == "B"
+    r = get_prediction("multi-choice", "A", "B", ["x", "y"], "d")
+    assert not r["correct"]
+
+
+def test_get_prediction_nlvr2_true_false():
+    r = get_prediction("multi-choice", "the statement is true", "A",
+                       ["True", "False"], "nlvr2")
+    assert r["correct"]
+    r = get_prediction("multi-choice", "false!", "A", ["True", "False"],
+                       "nlvr2")
+    assert not r["correct"]
+
+
+def test_get_prediction_short_answer():
+    r = get_prediction("short-answer", "Final Answer: Paris", "paris",
+                       [], "d")
+    assert r["correct"]
+
+
+def test_format_options():
+    q = format_options("Which?", ["cat", "dog"])
+    assert q == "Which?\n (A) cat\n (B) dog"
+    q2 = format_options("Which?", ["A. cat", "B. dog"])
+    assert q2 == "Which?\n A. cat\n B. dog"
+
+
+def test_build_messages_interleaved():
+    imgs = [Image.new("RGB", (8, 8)) for _ in range(2)]
+    msgs = eval_lib.build_messages("look <image> and <image> end", imgs,
+                                   True)
+    kinds = [m["type"] for m in msgs]
+    assert kinds == ["text", "image", "text", "image", "text"]
+    # back-fill when too few <image> markers
+    msgs = eval_lib.build_messages("no markers", imgs, True)
+    assert [m["type"] for m in msgs] == ["image", "image", "text"]
+    # single-image models: images first, stripped text
+    msgs = eval_lib.build_messages("a <image> b", imgs, False)
+    assert [m["type"] for m in msgs] == ["image", "image", "text"]
+    assert msgs[-1]["content"] == "a b"
+
+
+def test_mvbench_check_answer():
+    assert check_answer("(a) cat", "(a) cat.")
+    assert check_answer("a", "(a) cat.")
+    assert not check_answer("(b) dog", "(a) cat.")
+
+
+def test_merge_images():
+    a = Image.new("RGB", (10, 20), "red")
+    b = Image.new("RGB", (30, 40), "blue")
+    m = merge_images([a, b])
+    assert m.height == 20 and m.width == 10 + 15
+
+
+@pytest.fixture
+def bench_fixture(tmp_path):
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(2):
+        Image.new("RGB", (32, 32), (200, i * 100, 0)).save(
+            img_dir / f"q{i}.jpg")
+    data = [
+        {"id": "q0", "question": "pick A <image>",
+         "question_type": "multi-choice", "options": ["yes", "no"],
+         "answer": "A", "category": "t", "data_source": "test",
+         "images": ["imgs/q0.jpg"]},
+        {"id": "q1", "question": "say hi <image>",
+         "question_type": "short-answer", "options": [],
+         "answer": "hi", "category": "t", "data_source": "test",
+         "images": ["imgs/q1.jpg"]},
+    ]
+    path = tmp_path / "bench.json"
+    path.write_text(json.dumps(data))
+    return str(path)
+
+
+class StubModel:
+    support_multi_image = True
+
+    def __init__(self, reply="A"):
+        self.reply = reply
+        self.calls = 0
+
+    def __call__(self, messages):
+        self.calls += 1
+        return self.reply
+
+
+def test_eval_driver_end_to_end_and_resume(bench_fixture, tmp_path):
+    stub = StubModel("A")
+    summary, results = eval_lib.main(
+        model_name="stub", dataset_path=bench_fixture,
+        dataset_name="toy", results_dir=str(tmp_path / "res"),
+        model_instance=stub)
+    assert stub.calls == 2
+    assert summary["multi-choice"] == 1.0  # picked A correctly
+    assert summary["short-answer"] == 0.0  # "A" != "hi"
+
+    # resume: second run consumes the cache, no new model calls
+    stub2 = StubModel("B")
+    summary2, _ = eval_lib.main(
+        model_name="stub", dataset_path=bench_fixture,
+        dataset_name="toy", results_dir=str(tmp_path / "res"),
+        model_instance=stub2)
+    assert stub2.calls == 0
+    assert summary2 == summary
+
+
+def test_random_baseline(bench_fixture, tmp_path):
+    summary, results = eval_lib.main(
+        model_name="random", dataset_path=bench_fixture,
+        dataset_name="toy2", results_dir=str(tmp_path / "res"))
+    assert len(results) == 2
+
+
+def test_mantis_adapter_over_tiny_model(bench_fixture, tmp_path):
+    """Full wiring: eval driver -> adapter -> tiny MantisLlava chat."""
+    from mantis_tpu.models.configs import (
+        LlamaConfig, LlavaConfig, VisionConfig)
+    from mantis_tpu.models.mllava import model as mllava_model
+    from mantis_tpu.models.mllava.chat import MantisLlava
+    from mantis_tpu.models.mllava.processor import (
+        ImageProcessorConfig, MantisImageProcessor, MLlavaProcessor)
+    from mantis_tpu.utils.debug_tokenizer import build_tokenizer_from_texts
+
+    tok = build_tokenizer_from_texts(
+        ["pick A say hi yes no Answer with the option 's letter from "
+         "the given choices directly USER ASSISTANT"])
+    cfg = LlavaConfig(
+        vision_config=VisionConfig(
+            tower_type="clip", hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=2, image_size=28,
+            patch_size=14),
+        text_config=LlamaConfig(
+            vocab_size=max(len(tok.get_vocab()) + 4, 64), hidden_size=32,
+            intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            rope_theta=10000.0),
+        image_token_index=tok.convert_tokens_to_ids("<image>"),
+    )
+    params = mllava_model.init_params(cfg, jax.random.PRNGKey(0))
+    ip = MantisImageProcessor(ImageProcessorConfig.for_tower("clip", 28))
+    proc = MLlavaProcessor(tok, ip, cfg.num_image_tokens)
+    model = MantisLlava(cfg, params, proc, model_name="tiny-debug",
+                        cache_dtype=jnp.float32)
+    adapter = MantisTPUAdapter("", max_new_tokens=4, model=model)
+
+    summary, results = eval_lib.main(
+        model_name="mantis-tiny", dataset_path=bench_fixture,
+        dataset_name="toy3", results_dir=str(tmp_path / "res"),
+        model_instance=adapter)
+    assert len(results) == 2
+    for r in results:
+        assert isinstance(r["prediction"]["raw_answer"], str)
