@@ -166,6 +166,7 @@ def forward(
     use_remat: bool = False,
     attn_impl: Optional[str] = None,
     return_hidden: bool = False,
+    context_attention=None,
 ):
     """Run the decoder.
 
@@ -225,6 +226,10 @@ def forward(
             attn = _decode_attention(
                 q, k_cache_l, v_cache_l, kv_seg_full, segment_ids,
                 offset + s, scale)
+        elif context_attention is not None:
+            # ring attention over the context mesh axis (sequence is
+            # zigzag-ordered by the data layer)
+            attn = context_attention(q, k, v, segment_ids, scale)
         else:
             if attn_impl == "xla":
                 attn = mha_reference(

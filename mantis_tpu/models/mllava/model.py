@@ -94,13 +94,25 @@ def merge_image_features(
 
 def cross_entropy_loss(logits: jax.Array, labels: jax.Array,
                        attention_mask: Optional[jax.Array] = None,
-                       ignore_index: int = -100) -> jax.Array:
-    """Masked shifted CE (reference: modeling_llava.py:523-537)."""
-    shift_logits = logits[:, :-1].astype(jnp.float32)
-    shift_labels = labels[:, 1:]
+                       ignore_index: int = -100,
+                       shift: bool = True) -> jax.Array:
+    """Masked shifted CE (reference: modeling_llava.py:523-537).
+
+    shift=False is the context-parallel path: labels were pre-shifted
+    globally BEFORE zigzag reordering (a local shift would cross chunk
+    boundaries incorrectly)."""
+    if shift:
+        shift_logits = logits[:, :-1].astype(jnp.float32)
+        shift_labels = labels[:, 1:]
+        mask_sl = attention_mask[:, 1:] if attention_mask is not None \
+            else None
+    else:
+        shift_logits = logits.astype(jnp.float32)
+        shift_labels = labels
+        mask_sl = attention_mask
     valid = shift_labels != ignore_index
-    if attention_mask is not None:
-        valid = valid & (attention_mask[:, 1:] != 0)
+    if mask_sl is not None:
+        valid = valid & (mask_sl != 0)
     safe_labels = jnp.where(valid, shift_labels, 0)
     logp = jax.nn.log_softmax(shift_logits, axis=-1)
     token_ll = jnp.take_along_axis(
@@ -121,6 +133,8 @@ def forward(
     kv_cache: Optional[KVCache] = None,
     attn_impl: Optional[str] = None,
     use_remat: bool = False,
+    context_attention=None,
+    labels_preshifted: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array], Optional[KVCache]]:
     """Full forward.  Returns (logits, loss or None, new_cache or None).
 
@@ -138,10 +152,12 @@ def forward(
     logits, new_cache = llama.forward(
         params["language_model"], cfg.text_config,
         inputs_embeds=embeds, positions=positions, segment_ids=segment_ids,
-        kv_cache=kv_cache, attn_impl=attn_impl, use_remat=use_remat)
+        kv_cache=kv_cache, attn_impl=attn_impl, use_remat=use_remat,
+        context_attention=context_attention)
 
     loss = None
     if labels is not None:
         mask = None if segment_ids is None else (segment_ids != 0)
-        loss = cross_entropy_loss(logits, labels, mask, cfg.ignore_index)
+        loss = cross_entropy_loss(logits, labels, mask, cfg.ignore_index,
+                                  shift=not labels_preshifted)
     return logits, loss, new_cache

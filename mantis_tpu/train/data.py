@@ -574,7 +574,8 @@ class Collator:
                  num_image_tokens: int,
                  seq_buckets: Sequence[int] = (512, 1024, 2048, 4096, 8192),
                  image_buckets: Sequence[int] = (0, 1, 2, 4, 8, 16, 32),
-                 image_size: int = 336, pad_to_max: bool = False):
+                 image_size: int = 336, pad_to_max: bool = False,
+                 context_parallel_size: int = 1):
         self.pad_token_id = pad_token_id
         self.image_token_id = image_token_id
         self.num_image_tokens = num_image_tokens
@@ -582,6 +583,11 @@ class Collator:
         self.image_buckets = sorted(image_buckets)
         self.image_size = image_size
         self.pad_to_max = pad_to_max
+        self.cp = context_parallel_size
+        if self.cp > 1:
+            for b in self.seq_buckets:
+                assert b % (2 * self.cp) == 0, (
+                    f"seq bucket {b} not divisible by 2*cp={2 * self.cp}")
 
     def __call__(self, examples: List[Dict[str, np.ndarray]]
                  ) -> Dict[str, np.ndarray]:
@@ -621,6 +627,24 @@ class Collator:
                         "sequence bucket too small for pad image tokens")
                 input_ids[i, n:n + m] = self.image_token_id
                 # labels stay IGNORE, segment stays 0 -> inert
+        if self.cp > 1:
+            # Context parallelism: pre-shift labels globally (so the CP
+            # loss needs no local shift), then zigzag-reorder the
+            # sequence dimension (reference extract_local semantics,
+            # modeling_internlm2.py:134-208).
+            from mantis_tpu.ops.ring_attention import zigzag_reorder
+
+            shifted = np.full_like(labels, IGNORE_INDEX)
+            shifted[:, :-1] = labels[:, 1:]
+            # a shifted label is only valid where the CURRENT token is
+            # attended (mirror of attention_mask[..., 1:] gating)
+            shifted[:, :-1][segment_ids[:, 1:] == 0] = IGNORE_INDEX
+            labels = shifted
+            input_ids = zigzag_reorder(input_ids, self.cp)
+            labels = zigzag_reorder(labels, self.cp)
+            segment_ids = zigzag_reorder(segment_ids, self.cp)
+            positions = zigzag_reorder(positions, self.cp)
+
         out = {
             "input_ids": input_ids,
             "labels": labels,

@@ -139,6 +139,8 @@ def make_train_step(
     optimizer,
     frozen_params: Any,
     base_params_for_lora: Any = None,
+    context_attention=None,
+    labels_preshifted: bool = False,
 ):
     """Build the jitted train step.
 
@@ -161,6 +163,10 @@ def make_train_step(
 
     def loss_fn(trainable, batch):
         params = cast(build_full_params(trainable))
+        kwargs = {}
+        if context_attention is not None:
+            kwargs.update(context_attention=context_attention,
+                          labels_preshifted=labels_preshifted)
         _, loss, _ = model_forward(
             params, model_cfg,
             input_ids=batch["input_ids"],
@@ -169,6 +175,7 @@ def make_train_step(
             segment_ids=batch.get("segment_ids"),
             labels=batch["labels"],
             use_remat=train_cfg.use_remat,
+            **kwargs,
         )
         return loss
 
