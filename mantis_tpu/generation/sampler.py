@@ -161,3 +161,90 @@ def generate(
         model_forward=model_forward, model_cfg=model_cfg, gen_cfg=gen_cfg,
         max_new=gen_cfg.max_new_tokens, cache_dtype=cache_dtype)
     return np.asarray(out)
+
+
+# ---------------------------------------------------------------------------
+# Streaming generation (host-driven decode loop)
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model_forward", "model_cfg", "gen_cfg",
+                     "cache_dtype", "bucket", "max_new"),
+)
+def _prefill_jit(params, input_ids, pixel_values, true_lens, rng, *,
+                 model_forward, model_cfg, gen_cfg, cache_dtype, bucket,
+                 max_new):
+    text_cfg = getattr(model_cfg, "text_config", model_cfg)
+    b, s = input_ids.shape
+    seg = (jnp.arange(s)[None, :] < true_lens[:, None]).astype(jnp.int32)
+    positions = jnp.arange(s)[None, :] * seg
+    cache = KVCache.create(text_cfg, b, s + max_new, dtype=cache_dtype)
+    logits, _, cache = model_forward(
+        params, model_cfg, input_ids=input_ids, pixel_values=pixel_values,
+        positions=positions, segment_ids=seg, kv_cache=cache)
+    last = jnp.take_along_axis(
+        logits, (true_lens - 1)[:, None, None], axis=1)[:, 0]
+    tok = sample_token(last, gen_cfg, rng)
+    return tok.astype(jnp.int32), cache
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model_forward", "model_cfg", "gen_cfg"),
+    donate_argnames=("cache",),
+)
+def _decode_step_jit(params, tok, pos, cache, rng, *, model_forward,
+                     model_cfg, gen_cfg):
+    b = tok.shape[0]
+    logits, _, cache = model_forward(
+        params, model_cfg, input_ids=tok[:, None], pixel_values=None,
+        positions=pos[:, None], segment_ids=jnp.ones((b, 1), jnp.int32),
+        kv_cache=cache)
+    nxt = sample_token(logits[:, -1], gen_cfg, rng)
+    return nxt.astype(jnp.int32), cache
+
+
+def generate_stream(
+    params, model_cfg, model_forward, input_ids, pixel_values=None,
+    attention_mask=None, gen_cfg: Optional[GenerationConfig] = None,
+    rng=None, cache_dtype=jnp.bfloat16,
+):
+    """Yields one token id (python int) at a time for batch size 1.
+
+    TPU equivalent of the reference streaming chat
+    (reference: mantis/models/mllava/utils.py:100-186,
+    TextIteratorStreamer)."""
+    gen_cfg = gen_cfg or GenerationConfig()
+    input_ids = np.asarray(input_ids)
+    assert input_ids.shape[0] == 1, "streaming supports batch size 1"
+    b, s = input_ids.shape
+    if attention_mask is None:
+        attention_mask = np.ones((b, s), np.int64)
+    true_lens = attention_mask.sum(axis=1).astype(np.int32)
+    sb = _bucket(s)
+    ids = np.full((b, sb), gen_cfg.pad_token_id, np.int32)
+    ids[:, :s] = input_ids
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    rng, r0 = jax.random.split(rng)
+    pv = None if pixel_values is None else jnp.asarray(pixel_values)
+    tok, cache = _prefill_jit(
+        params, jnp.asarray(ids), pv, jnp.asarray(true_lens), r0,
+        model_forward=model_forward, model_cfg=model_cfg, gen_cfg=gen_cfg,
+        cache_dtype=cache_dtype, bucket=sb,
+        max_new=gen_cfg.max_new_tokens)
+    eos = set(gen_cfg.eos_token_ids)
+    t = int(tok[0])
+    if t in eos:
+        return
+    yield t
+    pos = true_lens.astype(np.int32)
+    for step in range(1, gen_cfg.max_new_tokens):
+        rng, rs = jax.random.split(rng)
+        tok, cache = _decode_step_jit(
+            params, tok, jnp.asarray(pos + step - 1), cache, rs,
+            model_forward=model_forward, model_cfg=model_cfg,
+            gen_cfg=gen_cfg)
+        t = int(tok[0])
+        if t in eos:
+            return
+        yield t

@@ -127,6 +127,53 @@ class MantisLlava:
         history[-1]["text"] = generated
         return generated, history
 
+    def chat_stream(
+        self,
+        text: str,
+        images: Optional[List[Union[Image.Image, str]]] = None,
+        history: Optional[List[dict]] = None,
+        max_input_length: Optional[int] = None,
+        **gen_kwargs,
+    ):
+        """Streaming chat: yields incremental text
+        (reference: utils.py:100-186, chat_mllava_stream)."""
+        from mantis_tpu.generation.sampler import generate_stream
+
+        conv, terminators = self.pick_conversation()
+        conv.messages = []
+        if history:
+            for message in history:
+                conv.append_message(message["role"], message["text"])
+        conv.append_message(conv.roles[0], text)
+        conv.append_message(conv.roles[1], "")
+        prompt = conv.get_prompt()
+        if images:
+            images = [Image.open(im).convert("RGB") if isinstance(im, str)
+                      else im for im in images]
+        inputs = self.processor(prompt, images, truncation=True,
+                                max_length=max_input_length)
+        gen_cfg = GenerationConfig(
+            max_new_tokens=gen_kwargs.pop("max_new_tokens", 1024),
+            do_sample=gen_kwargs.pop("do_sample", False),
+            temperature=gen_kwargs.pop("temperature", 1.0),
+            top_p=gen_kwargs.pop("top_p", 1.0),
+            top_k=gen_kwargs.pop("top_k", 0),
+            eos_token_ids=terminators,
+            pad_token_id=self.processor.tokenizer.pad_token_id or 0,
+        )
+        ids: List[int] = []
+        prev = ""
+        for tok in generate_stream(
+                self.params, self.cfg, mllava_model.forward,
+                inputs["input_ids"], inputs.get("pixel_values"),
+                inputs["attention_mask"], gen_cfg,
+                cache_dtype=self.cache_dtype):
+            ids.append(tok)
+            full = self.processor.decode(ids, skip_special_tokens=True)
+            if len(full) > len(prev):
+                yield full[len(prev):]
+                prev = full
+
 
 def chat_mllava(text, images, model: MantisLlava, processor=None,
                 max_input_length=None, history=None, **kwargs):

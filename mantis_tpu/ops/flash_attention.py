@@ -95,6 +95,7 @@ def _fwd_kernel(
     o_ref, lse_ref,
     m_scr, l_scr, acc_scr,
     *, scale, causal, has_segments, block_q, block_k, num_k_blocks,
+    kv_len=None,
 ):
     # qseg_ref: [1, block_q, LANES] (lanes replicated);
     # kseg_ref: [1, 8, block_k] (sublanes replicated);
@@ -123,15 +124,22 @@ def _fwd_kernel(
             preferred_element_type=jnp.float32,
         ) * scale  # [block_q, block_k]
 
-        row = qi * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0
-        )
-        col = ki * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
+        row = col = None
+        if causal or kv_len is not None:
+            col = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+        if causal:
+            row = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
         mask = None
         if causal:
             mask = row >= col
+        if kv_len is not None:
+            # static kv padding boundary (cheaper than segment arrays)
+            mask = (col < kv_len) if mask is None else (
+                mask & (col < kv_len))
         if has_segments:
             seg = qseg_ref[0, :, :1] == kseg_ref[0, :1, :]
             mask = seg if mask is None else (mask & seg)
@@ -174,6 +182,7 @@ def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, delta_ref,
     dq_ref, dq_scr,
     *, scale, causal, has_segments, block_q, block_k, num_k_blocks,
+    kv_len=None,
 ):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
@@ -201,16 +210,20 @@ def _bwd_dq_kernel(
             preferred_element_type=jnp.float32,
         ) * scale
         p = jnp.exp(s - lse)
-        if causal or has_segments:
-            row = qi * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0
-            )
-            col = ki * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 1
-            )
+        if causal or has_segments or kv_len is not None:
             mask = None
+            if causal or kv_len is not None:
+                col = ki * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 1
+                )
             if causal:
+                row = qi * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 0
+                )
                 mask = row >= col
+            if kv_len is not None:
+                mask = (col < kv_len) if mask is None else (
+                    mask & (col < kv_len))
             if has_segments:
                 seg = qseg_ref[0, :, :1] == kseg_ref[0, :1, :]
                 mask = seg if mask is None else (mask & seg)
@@ -235,6 +248,7 @@ def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref, dk_scr, dv_scr,
     *, scale, causal, has_segments, block_q, block_k, num_q_blocks,
+    kv_len=None,
 ):
     ki = pl.program_id(2)
     qi = pl.program_id(3)
@@ -263,16 +277,20 @@ def _bwd_dkv_kernel(
             preferred_element_type=jnp.float32,
         ) * scale
         p = jnp.exp(s - lse)
-        if causal or has_segments:
-            row = qi * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0
-            )
-            col = ki * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 1
-            )
+        if causal or has_segments or kv_len is not None:
             mask = None
+            if causal or kv_len is not None:
+                col = ki * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 1
+                )
             if causal:
+                row = qi * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 0
+                )
                 mask = row >= col
+            if kv_len is not None:
+                mask = (col < kv_len) if mask is None else (
+                    mask & (col < kv_len))
             if has_segments:
                 seg = qseg_ref[0, :, :1] == kseg_ref[0, :1, :]
                 mask = seg if mask is None else (mask & seg)
@@ -327,7 +345,7 @@ def _broadcast_segs(qseg, kseg, block_q, block_k):
 
 
 def _fwd_call(q, k, v, qseg, kseg, *, scale, causal, has_segments,
-              block_q, block_k, interpret, save_residuals):
+              block_q, block_k, interpret, save_residuals, kv_len=None):
     # q: [B, Hq, Sq, D]; k, v: [B, Hk, Sk, D]  (BHSD kernel layout)
     b, hq, sq, d = q.shape
     _, hk, sk, _ = k.shape
@@ -352,7 +370,7 @@ def _fwd_call(q, k, v, qseg, kseg, *, scale, causal, has_segments,
 
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, has_segments=has_segments,
-        block_q=block_q, block_k=block_k, num_k_blocks=nk,
+        block_q=block_q, block_k=block_k, num_k_blocks=nk, kv_len=kv_len,
     )
     if save_residuals:
         out_specs = [o_spec, lse_spec]
@@ -395,7 +413,7 @@ def _fwd_call(q, k, v, qseg, kseg, *, scale, causal, has_segments,
 
 
 def _bwd_call(res, g, *, scale, causal, has_segments, block_q, block_k,
-              interpret):
+              interpret, kv_len=None):
     q, k, v, qseg, kseg, out, lse = res
     b, hq, sq, d = q.shape
     _, hk, sk, _ = k.shape
@@ -426,7 +444,7 @@ def _bwd_call(res, g, *, scale, causal, has_segments, block_q, block_k,
         functools.partial(
             _bwd_dq_kernel, scale=scale, causal=causal,
             has_segments=has_segments, block_q=block_q, block_k=block_k,
-            num_k_blocks=nk,
+            num_k_blocks=nk, kv_len=kv_len,
         ),
         grid=(b, hq, nq, nk),
         in_specs=[q_spec, k_spec, k_spec, qseg_spec, kseg_spec, q_spec,
@@ -461,7 +479,7 @@ def _bwd_call(res, g, *, scale, causal, has_segments, block_q, block_k,
         functools.partial(
             _bwd_dkv_kernel, scale=scale, causal=causal,
             has_segments=has_segments, block_q=block_q, block_k=block_k,
-            num_q_blocks=nq,
+            num_q_blocks=nq, kv_len=kv_len,
         ),
         grid=(b, hq, nk, nq),
         in_specs=[kq_spec, kk_spec, kk_spec, kqseg_spec, kkseg_spec,
@@ -497,33 +515,34 @@ def _bwd_call(res, g, *, scale, causal, has_segments, block_q, block_k,
 # ---------------------------------------------------------------------------
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11)
 )
 def _flash_attention_core(q, k, v, qseg, kseg, scale, causal, has_segments,
-                          block_q, block_k, interpret):
+                          block_q, block_k, interpret, kv_len):
     out, _ = _fwd_call(
         q, k, v, qseg, kseg, scale=scale, causal=causal,
         has_segments=has_segments, block_q=block_q, block_k=block_k,
-        interpret=interpret, save_residuals=False,
+        interpret=interpret, save_residuals=False, kv_len=kv_len,
     )
     return out
 
 
 def _core_fwd(q, k, v, qseg, kseg, scale, causal, has_segments,
-              block_q, block_k, interpret):
+              block_q, block_k, interpret, kv_len):
     out, lse = _fwd_call(
         q, k, v, qseg, kseg, scale=scale, causal=causal,
         has_segments=has_segments, block_q=block_q, block_k=block_k,
-        interpret=interpret, save_residuals=True,
+        interpret=interpret, save_residuals=True, kv_len=kv_len,
     )
     return out, (q, k, v, qseg, kseg, out, lse)
 
 
 def _core_bwd(scale, causal, has_segments, block_q, block_k, interpret,
-              res, g):
+              kv_len, res, g):
     dq, dk, dv = _bwd_call(
         res, g, scale=scale, causal=causal, has_segments=has_segments,
         block_q=block_q, block_k=block_k, interpret=interpret,
+        kv_len=kv_len,
     )
     return dq, dk, dv, None, None
 
@@ -540,8 +559,8 @@ def flash_attention(
     segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
     softmax_scale: Optional[float] = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 512,
+    block_k: int = 1024,
     implementation: Optional[str] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
@@ -576,18 +595,21 @@ def flash_attention(
     assert hq % hk == 0, f"GQA requires hq % hk == 0, got {hq}, {hk}"
     scale = softmax_scale if softmax_scale is not None else d ** -0.5
 
-    block_q = min(block_q, max(128, sq))
-    block_k = min(block_k, max(128, sk))
+    # Adaptive blocks: big blocks amortize grid-step overhead; clamp to
+    # the (128-rounded) sequence so short sequences use a single block.
+    sq128 = ((sq + 127) // 128) * 128
+    sk128 = ((sk + 127) // 128) * 128
+    block_q = min(block_q, sq128)
+    block_k = min(block_k, sk128)
 
     kseg_in = kv_segment_ids if kv_segment_ids is not None else segment_ids
     has_segments = segment_ids is not None
     pad_q = (-sq) % block_q
     pad_k = (-sk) % block_k
-    if (pad_q or pad_k) and not has_segments:
-        # Padding introduces fake tokens; segment ids keep them isolated.
-        has_segments = True
-        segment_ids = jnp.ones((b, sq), jnp.int32)
-        kseg_in = jnp.ones((b, sk), jnp.int32)
+    # KV padding must be masked; a static boundary is cheaper than
+    # synthesizing segment-id arrays.  Q padding needs no mask (pad rows
+    # are sliced off and their cotangents are zero).
+    kv_len = sk if pad_k and not has_segments else None
 
     if has_segments:
         qseg = _pad_to(segment_ids.astype(jnp.int32), block_q, 1, value=-1)
@@ -602,7 +624,7 @@ def flash_attention(
 
     out = _flash_attention_core(
         qp, kp, vp, qseg, kseg, scale, causal, has_segments,
-        block_q, block_k, interpret,
+        block_q, block_k, interpret, kv_len,
     )
     out = out.transpose(0, 2, 1, 3)
     if pad_q:

@@ -97,3 +97,23 @@ def test_sampling_shapes_and_determinism():
                  cache_dtype=jnp.float32)
     np.testing.assert_array_equal(a, b)
     assert a.shape == (1, 6)
+
+
+def test_streaming_matches_batch_greedy():
+    from mantis_tpu.generation.sampler import generate_stream
+
+    hf, cfg, params = _tiny_llava()
+    ids = np.array([[1, 5, 6, 7, 8]])
+    gen_cfg = GenerationConfig(max_new_tokens=10, do_sample=False,
+                               eos_token_ids=(2,), pad_token_id=0)
+    batch_out = generate(params, cfg, mllava_model.forward, ids, None,
+                         None, gen_cfg, cache_dtype=jnp.float32)[0]
+    stream_out = list(generate_stream(
+        params, cfg, mllava_model.forward, ids, None, None, gen_cfg,
+        cache_dtype=jnp.float32))
+    # batch output is pad-filled after EOS; streaming stops at EOS
+    n = len(stream_out)
+    np.testing.assert_array_equal(np.asarray(stream_out),
+                                  batch_out[:n])
+    rest = batch_out[n:]
+    assert all(t in (0, 2) for t in rest.tolist())
