@@ -233,3 +233,63 @@ def load_llava(checkpoint_dir: str, dtype=jnp.bfloat16):
     src = TensorSource.from_safetensors_dir(checkpoint_dir)
     params = llava_params_from_hf(src, cfg, dtype=dtype)
     return cfg, params
+
+
+def idefics2_params_from_hf(src: TensorSource, cfg, dtype=jnp.float32):
+    """Map an HF Idefics2 checkpoint (reference fork or upstream) onto
+    our param tree.  cfg: mantis_tpu.models.idefics2.model.Idefics2Config.
+    """
+    pcfg = cfg.perceiver_config
+    depth = pcfg.resampler_depth
+
+    def get(k, transpose=False):
+        a = src.get(k)
+        return jnp.asarray(a.T if transpose else a, dtype=dtype)
+
+    pr = "model.connector.perceiver_resampler."
+    lt = pr + "layers.{i}."
+    perceiver = {
+        "latents": get(pr + "latents"),
+        "norm": get(pr + "norm.weight"),
+        "layers": {
+            "input_latents_norm": _stack(
+                src, lt + "input_latents_norm.weight", depth, False, dtype),
+            "input_context_norm": _stack(
+                src, lt + "input_context_norm.weight", depth, False, dtype),
+            "q_proj": _stack(
+                src, lt + "self_attn.q_proj.weight", depth, True, dtype),
+            "k_proj": _stack(
+                src, lt + "self_attn.k_proj.weight", depth, True, dtype),
+            "v_proj": _stack(
+                src, lt + "self_attn.v_proj.weight", depth, True, dtype),
+            "o_proj": _stack(
+                src, lt + "self_attn.o_proj.weight", depth, True, dtype),
+            "post_attention_layernorm": _stack(
+                src, lt + "post_attention_layernorm.weight", depth, False,
+                dtype),
+            "mlp_gate": _stack(
+                src, lt + "mlp.gate_proj.weight", depth, True, dtype),
+            "mlp_up": _stack(
+                src, lt + "mlp.up_proj.weight", depth, True, dtype),
+            "mlp_down": _stack(
+                src, lt + "mlp.down_proj.weight", depth, True, dtype),
+        },
+    }
+    mp = "model.connector.modality_projection."
+    params = {
+        "vision_tower": vit_params_from_hf(
+            src, cfg.vision_config, prefix="model.vision_model.",
+            dtype=dtype),
+        "connector": {
+            "mp_gate": get(mp + "gate_proj.weight", True),
+            "mp_up": get(mp + "up_proj.weight", True),
+            "mp_down": get(mp + "down_proj.weight", True),
+            "perceiver": perceiver,
+        },
+        "language_model": llama_params_from_hf(
+            src, cfg.text_config, prefix="model.text_model.",
+            lm_head_key="lm_head.weight", dtype=dtype),
+    }
+    if "score.weight" in src.keys:
+        params["score"] = get("score.weight", True)
+    return params

@@ -78,8 +78,10 @@ def init_params(cfg: VisionConfig, key: jax.Array, dtype=jnp.float32):
     return params
 
 
-def embed(params, cfg: VisionConfig, pixel_values: jax.Array) -> jax.Array:
-    """pixel_values: [N, C, H, W] (torch layout) -> [N, P(+1), D]."""
+def embed_patches_only(params, cfg: VisionConfig,
+                       pixel_values: jax.Array) -> jax.Array:
+    """Patchify + linear embed (+bias), no class token / positions.
+    pixel_values: [N, C, H, W] -> [N, P, D]."""
     p = cfg.patch_size
     # 'valid' conv semantics: trailing pixels that don't fill a whole
     # patch are dropped (e.g. SigLIP so400m 384px / patch14 -> 27x27).
@@ -91,8 +93,15 @@ def embed(params, cfg: VisionConfig, pixel_values: jax.Array) -> jax.Array:
         p1=p, p2=p)
     x = patches.astype(params["patch_embedding"].dtype) @ params[
         "patch_embedding"]
-    if cfg.tower_type == "siglip":
+    if "patch_bias" in params:
         x = x + params["patch_bias"]
+    return x
+
+
+def embed(params, cfg: VisionConfig, pixel_values: jax.Array) -> jax.Array:
+    """pixel_values: [N, C, H, W] (torch layout) -> [N, P(+1), D]."""
+    x = embed_patches_only(params, cfg, pixel_values)
+    if cfg.tower_type == "siglip":
         x = x + params["position_embedding"][None]
     else:
         cls = jnp.broadcast_to(
@@ -103,22 +112,20 @@ def embed(params, cfg: VisionConfig, pixel_values: jax.Array) -> jax.Array:
     return x
 
 
-def forward(
+def encoder(
     params,
     cfg: VisionConfig,
-    pixel_values: jax.Array,
+    x: jax.Array,
     *,
+    segment_ids: Optional[jax.Array] = None,
     num_layers: Optional[int] = None,
     attn_impl: Optional[str] = None,
     use_remat: bool = False,
 ) -> jax.Array:
-    """Run the tower; returns hidden states after `num_layers` layers
-    (default: all), without post-layernorm."""
-    x = embed(params, cfg, pixel_values)
-    if cfg.tower_type == "clip":
-        x = layer_norm(x, params["pre_ln_scale"], params["pre_ln_bias"],
-                       cfg.layer_norm_eps)
+    """Run the encoder stack over embedded tokens [N, S, D].
 
+    segment_ids (optional, [N, S]) mask padded patch tokens (NaViT
+    variable-aspect images, Idefics2)."""
     n, s, d = x.shape
     h_heads, dh = cfg.num_attention_heads, cfg.head_dim
     act = quick_gelu if cfg.tower_type == "clip" else gelu_tanh
@@ -137,9 +144,12 @@ def forward(
         k = (x @ lp["k"] + lp["k_b"]).reshape(n, s, h_heads, dh)
         v = (x @ lp["v"] + lp["v_b"]).reshape(n, s, h_heads, dh)
         if attn_impl == "xla":
-            attn = mha_reference(q, k, v, causal=False, softmax_scale=scale)
+            attn = mha_reference(q, k, v, causal=False,
+                                 segment_ids=segment_ids,
+                                 softmax_scale=scale)
         else:
             attn = flash_attention(q, k, v, causal=False,
+                                   segment_ids=segment_ids,
                                    softmax_scale=scale,
                                    implementation=attn_impl)
         attn = attn.reshape(n, s, d)
@@ -154,6 +164,25 @@ def forward(
             layer_fn, policy=jax.checkpoint_policies.nothing_saveable)
     x, _ = jax.lax.scan(layer_fn, x, layers)
     return x
+
+
+def forward(
+    params,
+    cfg: VisionConfig,
+    pixel_values: jax.Array,
+    *,
+    num_layers: Optional[int] = None,
+    attn_impl: Optional[str] = None,
+    use_remat: bool = False,
+) -> jax.Array:
+    """Embed + encoder; returns hidden states after `num_layers` layers
+    (default: all), without post-layernorm."""
+    x = embed(params, cfg, pixel_values)
+    if cfg.tower_type == "clip":
+        x = layer_norm(x, params["pre_ln_scale"], params["pre_ln_bias"],
+                       cfg.layer_norm_eps)
+    return encoder(params, cfg, x, num_layers=num_layers,
+                   attn_impl=attn_impl, use_remat=use_remat)
 
 
 def encode_images(

@@ -1,0 +1,150 @@
+"""Idefics2 parity vs tiny HF Idefics2ForConditionalGeneration."""
+
+import numpy as np
+import pytest
+import torch
+import transformers
+
+import jax
+import jax.numpy as jnp
+
+from mantis_tpu.io.hf_loader import TensorSource, idefics2_params_from_hf
+from mantis_tpu.models.idefics2 import (
+    Idefics2Config,
+    Idefics2Processor,
+    build_patch_grid,
+    forward,
+    forward_classification,
+    navit_position_ids,
+)
+
+
+def tiny_hf_idefics2():
+    cfg = transformers.Idefics2Config(
+        vision_config=dict(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=56, patch_size=14),
+        perceiver_config=dict(
+            resampler_n_latents=4, resampler_depth=2, resampler_n_heads=2,
+            resampler_head_dim=16, num_key_value_heads=1),
+        text_config=dict(
+            model_type="mistral", vocab_size=128, hidden_size=32,
+            intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            rms_norm_eps=1e-6, rope_theta=10000.0,
+            sliding_window=None),
+        image_token_id=127,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(21)
+    return transformers.Idefics2ForConditionalGeneration(cfg).eval(), cfg
+
+
+def test_navit_position_ids_match_hf_semantics():
+    # 4x4 patch canvas, image occupying 2x3 patches
+    side = 4
+    pos = navit_position_ids(2, 3, side)
+    # fractional h = [0, .5)*(1-eps) -> buckets {0, 1};
+    # fractional w = [0, 1/3, 2/3)*(1-eps) -> buckets {0, 1, 2}
+    assert pos.tolist() == [0, 1, 2, 4, 5, 6]
+    mask, grid_pos = build_patch_grid(
+        2 * 14, 3 * 14, type("C", (), {"image_size": 56,
+                                       "patch_size": 14}))
+    assert mask.sum() == 6
+    assert grid_pos[mask.astype(bool)].tolist() == [0, 1, 2, 4, 5, 6]
+
+
+def test_idefics2_logit_parity_full_images():
+    hf, hf_cfg = tiny_hf_idefics2()
+    cfg = Idefics2Config.from_hf_config(hf_cfg)
+    params = idefics2_params_from_hf(
+        TensorSource.from_state_dict(hf.state_dict()), cfg)
+
+    L = cfg.num_image_tokens  # 4 latents
+    ids = np.array([[5, 6] + [127] * L + [7, 8] + [127] * L + [9]])
+    rng = np.random.RandomState(21)
+    pix = rng.randn(1, 2, 3, 56, 56).astype(np.float32)  # [B, N, C, H, W]
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 pixel_values=torch.tensor(pix)).logits.numpy()
+
+    # ours: flattened images + full patch grids
+    side = 56 // 14
+    P = side * side
+    pos = navit_position_ids(side, side, side)
+    ours, _, _ = forward(
+        params, cfg, input_ids=jnp.asarray(ids),
+        pixel_values=jnp.asarray(pix.reshape(2, 3, 56, 56)),
+        patch_mask=jnp.ones((2, P), jnp.int32),
+        patch_position_ids=jnp.broadcast_to(jnp.asarray(pos)[None],
+                                            (2, P)),
+        attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=5e-4,
+                               rtol=5e-3)
+
+
+def test_idefics2_variable_aspect_parity():
+    hf, hf_cfg = tiny_hf_idefics2()
+    cfg = Idefics2Config.from_hf_config(hf_cfg)
+    params = idefics2_params_from_hf(
+        TensorSource.from_state_dict(hf.state_dict()), cfg)
+
+    # image occupies 28x42 in a 56x56 canvas
+    rng = np.random.RandomState(22)
+    canvas = np.zeros((1, 1, 3, 56, 56), np.float32)
+    canvas[:, :, :, :28, :42] = rng.randn(1, 1, 3, 28, 42)
+    pam = np.zeros((1, 1, 56, 56), bool)
+    pam[:, :, :28, :42] = True
+    L = cfg.num_image_tokens
+    ids = np.array([[5] + [127] * L + [6, 7]])
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 pixel_values=torch.tensor(canvas),
+                 pixel_attention_mask=torch.tensor(pam)).logits.numpy()
+
+    mask, pos = build_patch_grid(
+        28, 42, type("C", (), {"image_size": 56, "patch_size": 14}))
+    ours, _, _ = forward(
+        params, cfg, input_ids=jnp.asarray(ids),
+        pixel_values=jnp.asarray(canvas.reshape(1, 3, 56, 56)),
+        patch_mask=jnp.asarray(mask)[None],
+        patch_position_ids=jnp.asarray(pos)[None],
+        attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=5e-4,
+                               rtol=5e-3)
+
+
+def test_idefics2_processor():
+    from tests.test_data import make_tokenizer
+
+    tok = make_tokenizer()
+    proc = Idefics2Processor(tok, image_size=56, patch_size=14,
+                             image_seq_len=4, shortest_edge=28)
+    from PIL import Image
+
+    img = Image.new("RGB", (100, 60), "green")
+    out = proc("look <image> ok", [img])
+    img_id = proc.image_token_index
+    assert (out["input_ids"][0] == img_id).sum() == 4
+    fake_id = tok.convert_tokens_to_ids("<fake_token_around_image>")
+    assert (out["input_ids"][0] == fake_id).sum() == 2
+    assert out["pixel_values"].shape == (1, 3, 56, 56)
+    assert out["patch_mask"].shape == (1, 16)
+    assert 0 < out["patch_mask"].sum() <= 16
+
+
+def test_classification_head_shapes():
+    hf, hf_cfg = tiny_hf_idefics2()
+    cfg = Idefics2Config.from_hf_config(hf_cfg)
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, num_labels=3)
+    from mantis_tpu.models.idefics2 import init_classification_params
+
+    params = init_classification_params(cfg, jax.random.PRNGKey(0))
+    ids = np.array([[5, 6, 7, 0, 0], [5, 6, 7, 8, 9]])
+    seg = (ids != 0).astype(np.int32)
+    logits = forward_classification(
+        params, cfg, input_ids=jnp.asarray(ids),
+        segment_ids=jnp.asarray(seg), attn_impl="xla")
+    assert logits.shape == (2, 3)
