@@ -126,6 +126,15 @@ def llama_params_from_hf(src: TensorSource, cfg: LlamaConfig,
                 src, lt + "mlp.down_proj.weight", L, True, dtype),
         },
     }
+    if cfg.attention_bias:
+        params["layers"].update({
+            "q_b": _stack(src, lt + "self_attn.q_proj.bias", L, False,
+                          dtype),
+            "k_b": _stack(src, lt + "self_attn.k_proj.bias", L, False,
+                          dtype),
+            "v_b": _stack(src, lt + "self_attn.v_proj.bias", L, False,
+                          dtype),
+        })
     if not cfg.tie_word_embeddings and lm_head_key is not None:
         if lm_head_key in src.keys:
             params["lm_head"] = jnp.asarray(
@@ -289,6 +298,63 @@ def idefics2_params_from_hf(src: TensorSource, cfg, dtype=jnp.float32):
         "language_model": llama_params_from_hf(
             src, cfg.text_config, prefix="model.text_model.",
             lm_head_key="lm_head.weight", dtype=dtype),
+    }
+    if "score.weight" in src.keys:
+        params["score"] = get("score.weight", True)
+    return params
+
+
+def qwen2_vl_params_from_hf(src: TensorSource, cfg, dtype=jnp.float32):
+    """Map an HF Qwen2-VL checkpoint onto our param tree.
+    cfg: mantis_tpu.models.qwen2_vl.model.Qwen2VLConfig."""
+    vcfg = cfg.vision_config
+    L = vcfg.depth
+
+    # key layout differs across transformers versions
+    if any(k.startswith("model.visual.") for k in src.keys):
+        vp, lp, head = ("model.visual.", "model.language_model.",
+                        "lm_head.weight")
+    else:
+        vp, lp, head = "visual.", "model.", "lm_head.weight"
+
+    def get(k, transpose=False):
+        a = src.get(k)
+        return jnp.asarray(a.T if transpose else a, dtype=dtype)
+
+    patch_w = src.get(vp + "patch_embed.proj.weight")  # [E, C, T, P, P]
+    patch_w = patch_w.reshape(patch_w.shape[0], -1).T
+
+    bt = vp + "blocks.{i}."
+    visual = {
+        "patch_embed": jnp.asarray(patch_w, dtype=dtype),
+        "blocks": {
+            "ln1_scale": _stack(src, bt + "norm1.weight", L, False, dtype),
+            "ln1_bias": _stack(src, bt + "norm1.bias", L, False, dtype),
+            "qkv": _stack(src, bt + "attn.qkv.weight", L, True, dtype),
+            "qkv_b": _stack(src, bt + "attn.qkv.bias", L, False, dtype),
+            "proj": _stack(src, bt + "attn.proj.weight", L, True, dtype),
+            "proj_b": _stack(src, bt + "attn.proj.bias", L, False, dtype),
+            "ln2_scale": _stack(src, bt + "norm2.weight", L, False, dtype),
+            "ln2_bias": _stack(src, bt + "norm2.bias", L, False, dtype),
+            "fc1": _stack(src, bt + "mlp.fc1.weight", L, True, dtype),
+            "fc1_b": _stack(src, bt + "mlp.fc1.bias", L, False, dtype),
+            "fc2": _stack(src, bt + "mlp.fc2.weight", L, True, dtype),
+            "fc2_b": _stack(src, bt + "mlp.fc2.bias", L, False, dtype),
+        },
+        "merger": {
+            "ln_q_scale": get(vp + "merger.ln_q.weight"),
+            "ln_q_bias": get(vp + "merger.ln_q.bias"),
+            "mlp0": get(vp + "merger.mlp.0.weight", True),
+            "mlp0_b": get(vp + "merger.mlp.0.bias"),
+            "mlp2": get(vp + "merger.mlp.2.weight", True),
+            "mlp2_b": get(vp + "merger.mlp.2.bias"),
+        },
+    }
+    params = {
+        "visual": visual,
+        "language_model": llama_params_from_hf(
+            src, cfg.text_config, prefix=lp, lm_head_key=head,
+            dtype=dtype),
     }
     if "score.weight" in src.keys:
         params["score"] = get("score.weight", True)

@@ -29,6 +29,9 @@ class LlamaConfig:
     tie_word_embeddings: bool = False
     attention_bias: bool = False
     mlp_bias: bool = False
+    # M-RoPE (Qwen2-VL): per-axis rotary sections summing to head_dim/2;
+    # None = standard 1-D rope.
+    mrope_section: 'Optional[tuple]' = None
 
     @property
     def head_dim_(self) -> int:
@@ -53,6 +56,9 @@ class LlamaConfig:
             tie_word_embeddings=get("tie_word_embeddings", False),
             attention_bias=get("attention_bias", False),
             mlp_bias=get("mlp_bias", False),
+            mrope_section=tuple(get("rope_scaling")["mrope_section"])
+            if isinstance(get("rope_scaling"), dict)
+            and "mrope_section" in get("rope_scaling") else None,
         )
 
 

@@ -21,6 +21,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from mantis_tpu.models.configs import LlamaConfig
@@ -87,6 +88,12 @@ def init_params(cfg: LlamaConfig, key: jax.Array, dtype=jnp.float32):
             "down_proj": norm(keys[7], (L, li, d)),
         },
     }
+    if cfg.attention_bias:
+        params["layers"].update({
+            "q_b": jnp.zeros((L, hq * dh), dtype),
+            "k_b": jnp.zeros((L, hk * dh), dtype),
+            "v_b": jnp.zeros((L, hk * dh), dtype),
+        })
     if not cfg.tie_word_embeddings:
         params["lm_head"] = norm(keys[8], (d, cfg.vocab_size))
     return params
@@ -104,14 +111,29 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     return weight * xf.astype(dtype)
 
 
-def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float
-                 ) -> Tuple[jax.Array, jax.Array]:
-    """HF-compatible rotary tables. positions: [B, S] -> cos/sin [B, S, Dh]."""
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float,
+                 mrope_section=None) -> Tuple[jax.Array, jax.Array]:
+    """HF-compatible rotary tables.
+
+    Standard: positions [B, S] -> cos/sin [B, S, Dh].
+    M-RoPE (Qwen2-VL): positions [3, B, S] (t/h/w); the Dh axis is split
+    into 2x mrope_section chunks, chunk j taken from axis j % 3 —
+    matching HF apply_multimodal_rotary_pos_emb."""
     inv_freq = 1.0 / (theta ** (
         jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
-    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [B,S,Dh/2]
-    emb = jnp.concatenate([freqs, freqs], axis=-1)
-    return jnp.cos(emb), jnp.sin(emb)
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq
+    emb = jnp.concatenate([freqs, freqs], axis=-1)  # [..., Dh]
+    cos, sin = jnp.cos(emb), jnp.sin(emb)
+    if positions.ndim == 3:
+        assert mrope_section is not None, "3-D positions require mrope"
+        secs = list(mrope_section) * 2
+        splits_c = jnp.split(cos, np.cumsum(secs)[:-1].tolist(), axis=-1)
+        splits_s = jnp.split(sin, np.cumsum(secs)[:-1].tolist(), axis=-1)
+        cos = jnp.concatenate(
+            [splits_c[j][j % 3] for j in range(len(secs))], axis=-1)
+        sin = jnp.concatenate(
+            [splits_s[j][j % 3] for j in range(len(secs))], axis=-1)
+    return cos, sin
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
@@ -185,10 +207,13 @@ def forward(
     b, s, d = h.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+        if cfg.mrope_section is not None:
+            positions = jnp.broadcast_to(positions[None], (3, b, s))
     if segment_ids is None:
         segment_ids = jnp.ones((b, s), jnp.int32)
 
-    cos, sin = rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta,
+                            cfg.mrope_section)
     scale = cfg.head_dim_ ** -0.5
     hq, hk, dh = (cfg.num_attention_heads, cfg.num_key_value_heads,
                   cfg.head_dim_)
@@ -208,9 +233,16 @@ def forward(
             lp = scanned
         residual = h
         x = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)
-        q = (x @ lp["q_proj"]).reshape(b, s, hq, dh)
-        k = (x @ lp["k_proj"]).reshape(b, s, hk, dh)
-        v = (x @ lp["v_proj"]).reshape(b, s, hk, dh)
+        q = x @ lp["q_proj"]
+        k = x @ lp["k_proj"]
+        v = x @ lp["v_proj"]
+        if cfg.attention_bias:
+            q = q + lp["q_b"]
+            k = k + lp["k_b"]
+            v = v + lp["v_b"]
+        q = q.reshape(b, s, hq, dh)
+        k = k.reshape(b, s, hk, dh)
+        v = v.reshape(b, s, hk, dh)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
