@@ -359,3 +359,106 @@ def qwen2_vl_params_from_hf(src: TensorSource, cfg, dtype=jnp.float32):
     if "score.weight" in src.keys:
         params["score"] = get("score.weight", True)
     return params
+
+
+def persimmon_params_from_hf(src: TensorSource, cfg,
+                             prefix: str = "model.",
+                             lm_head_key: str = "lm_head.weight",
+                             dtype=jnp.float32):
+    """Persimmon with fused per-head-interleaved QKV de-fused into
+    q/k/v (HF layout: weight.view(H, 3, dh, D))."""
+    L = cfg.num_hidden_layers
+    H, dh, D = cfg.num_attention_heads, cfg.head_dim, cfg.hidden_size
+    p = prefix
+    lt = p + "layers.{i}."
+
+    def get(k, transpose=False):
+        a = src.get(p + k)
+        return jnp.asarray(a.T if transpose else a, dtype=dtype)
+
+    qs, ks, vs, qbs, kbs, vbs = [], [], [], [], [], []
+    for i in range(L):
+        w = src.get(lt.format(i=i) + "self_attn.query_key_value.weight")
+        b = src.get(lt.format(i=i) + "self_attn.query_key_value.bias")
+        w = w.reshape(H, 3, dh, D)
+        b = b.reshape(H, 3, dh)
+        qs.append(w[:, 0].reshape(H * dh, D).T)
+        ks.append(w[:, 1].reshape(H * dh, D).T)
+        vs.append(w[:, 2].reshape(H * dh, D).T)
+        qbs.append(b[:, 0].reshape(-1))
+        kbs.append(b[:, 1].reshape(-1))
+        vbs.append(b[:, 2].reshape(-1))
+
+    def st(arrs):
+        return jnp.asarray(np.stack(arrs), dtype=dtype)
+
+    params = {
+        "embed_tokens": get("embed_tokens.weight"),
+        "final_ln_scale": get("final_layernorm.weight"),
+        "final_ln_bias": get("final_layernorm.bias"),
+        "lm_head": jnp.asarray(src.get(lm_head_key).T, dtype=dtype),
+        "layers": {
+            "ln1_scale": _stack(src, lt + "input_layernorm.weight", L,
+                                False, dtype),
+            "ln1_bias": _stack(src, lt + "input_layernorm.bias", L,
+                               False, dtype),
+            "ln2_scale": _stack(
+                src, lt + "post_attention_layernorm.weight", L, False,
+                dtype),
+            "ln2_bias": _stack(
+                src, lt + "post_attention_layernorm.bias", L, False,
+                dtype),
+            "q_proj": st(qs), "q_b": st(qbs),
+            "k_proj": st(ks), "k_b": st(kbs),
+            "v_proj": st(vs), "v_b": st(vbs),
+            "dense": _stack(src, lt + "self_attn.dense.weight", L, True,
+                            dtype),
+            "dense_b": _stack(src, lt + "self_attn.dense.bias", L, False,
+                              dtype),
+            "h_to_4h": _stack(src, lt + "mlp.dense_h_to_4h.weight", L,
+                              True, dtype),
+            "h_to_4h_b": _stack(src, lt + "mlp.dense_h_to_4h.bias", L,
+                                False, dtype),
+            "4h_to_h": _stack(src, lt + "mlp.dense_4h_to_h.weight", L,
+                              True, dtype),
+            "4h_to_h_b": _stack(src, lt + "mlp.dense_4h_to_h.bias", L,
+                                False, dtype),
+        },
+    }
+    if cfg.qk_layernorm:
+        params["layers"].update({
+            "q_ln_scale": _stack(
+                src, lt + "self_attn.q_layernorm.weight", L, False,
+                dtype),
+            "q_ln_bias": _stack(
+                src, lt + "self_attn.q_layernorm.bias", L, False, dtype),
+            "k_ln_scale": _stack(
+                src, lt + "self_attn.k_layernorm.weight", L, False,
+                dtype),
+            "k_ln_bias": _stack(
+                src, lt + "self_attn.k_layernorm.bias", L, False, dtype),
+        })
+    return params
+
+
+def mfuyu_params_from_hf(src: TensorSource, cfg, dtype=jnp.float32):
+    """Fuyu/MFuyu: linear patch embed + Persimmon LM."""
+    if any(k.startswith("language_model.model.") for k in src.keys):
+        lm_prefix, head = ("language_model.model.",
+                           "language_model.lm_head.weight")
+        ve = "vision_embed_tokens."
+    else:
+        lm_prefix, head = "model.language_model.", "lm_head.weight"
+        ve = "model.vision_embed_tokens."
+
+    def get(k, transpose=False):
+        a = src.get(k)
+        return jnp.asarray(a.T if transpose else a, dtype=dtype)
+
+    return {
+        "vision_embed_tokens": get(ve + "weight", True),
+        "vision_embed_bias": get(ve + "bias"),
+        "language_model": persimmon_params_from_hf(
+            src, cfg.text_config, prefix=lm_prefix, lm_head_key=head,
+            dtype=dtype),
+    }
