@@ -462,3 +462,126 @@ def mfuyu_params_from_hf(src: TensorSource, cfg, dtype=jnp.float32):
             src, cfg.text_config, prefix=lm_prefix, lm_head_key=head,
             dtype=dtype),
     }
+
+
+def internvl_params_from_hf(src: TensorSource, cfg, dtype=jnp.float32):
+    """Map an HF InternVL checkpoint onto our param tree.
+    cfg: mantis_tpu.models.intern_vl.model.InternVLConfig."""
+    vcfg = cfg.vision_config
+    L = vcfg.num_hidden_layers
+    vp = "model.vision_tower."
+    lt = vp + "encoder.layer.{i}."
+
+    def get(k, transpose=False):
+        a = src.get(k)
+        return jnp.asarray(a.T if transpose else a, dtype=dtype)
+
+    patch_w = src.get(vp + "embeddings.patch_embeddings.projection.weight")
+    patch_w = patch_w.reshape(patch_w.shape[0], -1).T
+    pos = src.get(vp + "embeddings.position_embeddings")
+    cls = src.get(vp + "embeddings.cls_token")
+    vision = {
+        "cls_token": jnp.asarray(cls.reshape(-1), dtype=dtype),
+        "patch_embedding": jnp.asarray(patch_w, dtype=dtype),
+        "patch_bias": get(
+            vp + "embeddings.patch_embeddings.projection.bias"),
+        "position_embedding": jnp.asarray(
+            pos.reshape(pos.shape[-2], pos.shape[-1]), dtype=dtype),
+        "layers": {
+            "ln1_scale": _stack(src, lt + "layernorm_before.weight", L,
+                                False, dtype),
+            "ln1_bias": _stack(src, lt + "layernorm_before.bias", L,
+                               False, dtype),
+            "q": _stack(src, lt + "attention.q_proj.weight", L, True,
+                        dtype),
+            "q_b": _stack(src, lt + "attention.q_proj.bias", L, False,
+                          dtype),
+            "k": _stack(src, lt + "attention.k_proj.weight", L, True,
+                        dtype),
+            "k_b": _stack(src, lt + "attention.k_proj.bias", L, False,
+                          dtype),
+            "v": _stack(src, lt + "attention.v_proj.weight", L, True,
+                        dtype),
+            "v_b": _stack(src, lt + "attention.v_proj.bias", L, False,
+                          dtype),
+            "o": _stack(src, lt + "attention.projection_layer.weight", L,
+                        True, dtype),
+            "o_b": _stack(src, lt + "attention.projection_layer.bias", L,
+                          False, dtype),
+            "ln2_scale": _stack(src, lt + "layernorm_after.weight", L,
+                                False, dtype),
+            "ln2_bias": _stack(src, lt + "layernorm_after.bias", L,
+                               False, dtype),
+            "fc1": _stack(src, lt + "mlp.fc1.weight", L, True, dtype),
+            "fc1_b": _stack(src, lt + "mlp.fc1.bias", L, False, dtype),
+            "fc2": _stack(src, lt + "mlp.fc2.weight", L, True, dtype),
+            "fc2_b": _stack(src, lt + "mlp.fc2.bias", L, False, dtype),
+            "lambda_1": _stack(src, lt + "lambda_1", L, False, dtype),
+            "lambda_2": _stack(src, lt + "lambda_2", L, False, dtype),
+        },
+    }
+    mp = "model.multi_modal_projector."
+    return {
+        "vision_tower": vision,
+        "projector": {
+            "ln_scale": get(mp + "layer_norm.weight"),
+            "ln_bias": get(mp + "layer_norm.bias"),
+            "linear_1": get(mp + "linear_1.weight", True),
+            "linear_1_b": get(mp + "linear_1.bias"),
+            "linear_2": get(mp + "linear_2.weight", True),
+            "linear_2_b": get(mp + "linear_2.bias"),
+        },
+        "language_model": llama_params_from_hf(
+            src, cfg.text_config, prefix="model.language_model.",
+            lm_head_key="lm_head.weight", dtype=dtype),
+    }
+
+
+def internlm2_llama_params_from_hf(src: TensorSource, cfg,
+                                   prefix: str = "language_model.model.",
+                                   lm_head_key: str =
+                                   "language_model.output.weight",
+                                   dtype=jnp.float32):
+    """Original InternLM2 checkpoints (the Mantis InternVL-2.5 fork):
+    fused grouped wqkv (per kv-group layout [g q-heads, 1 k, 1 v]) and
+    w1/w3/w2 MLP naming, mapped onto our LLaMA layout."""
+    L = cfg.num_hidden_layers
+    hq, hk, dh, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                     cfg.head_dim_, cfg.hidden_size)
+    g = hq // hk
+    lt = prefix + "layers.{i}."
+    qs, ks_, vs = [], [], []
+    for i in range(L):
+        w = src.get(lt.format(i=i) + "attention.wqkv.weight")
+        w = w.reshape(hk, g + 2, dh, D)
+        qs.append(w[:, :g].reshape(hq * dh, D).T)
+        ks_.append(w[:, g].reshape(hk * dh, D).T)
+        vs.append(w[:, g + 1].reshape(hk * dh, D).T)
+
+    def st(arrs):
+        return jnp.asarray(np.stack(arrs), dtype=dtype)
+
+    def get(k, transpose=False):
+        a = src.get(prefix + k)
+        return jnp.asarray(a.T if transpose else a, dtype=dtype)
+
+    return {
+        "embed_tokens": get("tok_embeddings.weight"),
+        "norm": get("norm.weight"),
+        "lm_head": jnp.asarray(src.get(lm_head_key).T, dtype=dtype),
+        "layers": {
+            "input_layernorm": _stack(
+                src, lt + "attention_norm.weight", L, False, dtype),
+            "post_attention_layernorm": _stack(
+                src, lt + "ffn_norm.weight", L, False, dtype),
+            "q_proj": st(qs), "k_proj": st(ks_), "v_proj": st(vs),
+            "o_proj": _stack(src, lt + "attention.wo.weight", L, True,
+                             dtype),
+            "gate_proj": _stack(src, lt + "feed_forward.w1.weight", L,
+                                True, dtype),
+            "up_proj": _stack(src, lt + "feed_forward.w3.weight", L,
+                              True, dtype),
+            "down_proj": _stack(src, lt + "feed_forward.w2.weight", L,
+                                True, dtype),
+        },
+    }
