@@ -1,0 +1,158 @@
+"""Parallel, disk-cached OpenAI batch client for LLM-judge evals.
+
+Behavioral port of the reference's easy_openai
+(reference: mantis/easy_openai/openai_utils.py:57-593):
+``openai_completions(prompts, model_name, ...)`` with a disk cache keyed
+by a prompt/config fingerprint (:38-55), a worker pool, retry with
+backoff (:256-394), chatml conversion and base64 image URLs (:458-488),
+and token-price accounting (:554-570).
+
+The ``openai`` package is not in this image and the environment has no
+egress; the network call is isolated behind ``completion_fn`` so tests
+(and offline judges) can inject a local function, while the cache,
+parallelism, retry and accounting layers run unchanged.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import io
+import json
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Dict, List, Optional
+
+# $/1k tokens (prompt, completion) — extend as needed
+MODEL_PRICES = {
+    "gpt-4o": (0.0025, 0.01),
+    "gpt-4-turbo": (0.01, 0.03),
+    "gpt-3.5-turbo": (0.0005, 0.0015),
+}
+
+
+def prompt_uid(prompt, model_name: str, **decoding_kwargs) -> str:
+    payload = json.dumps(
+        {"prompt": prompt, "model": model_name, "kw": decoding_kwargs},
+        sort_keys=True, default=str)
+    return hashlib.sha256(payload.encode()).hexdigest()[:32]
+
+
+def encode_image(image) -> str:
+    """PIL image -> base64 data URL (reference :458-488)."""
+    buf = io.BytesIO()
+    image.save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    return f"data:image/png;base64,{b64}"
+
+
+def to_chatml(prompt) -> List[Dict]:
+    """str | [{role, content}] | interleaved [{'type': 'image'/'text'}]
+    -> OpenAI chat messages."""
+    if isinstance(prompt, str):
+        return [{"role": "user", "content": prompt}]
+    if isinstance(prompt, list) and prompt and "type" in prompt[0]:
+        content = []
+        for m in prompt:
+            if m["type"] == "text":
+                content.append({"type": "text", "text": m["content"]})
+            else:
+                url = (m["content"] if isinstance(m["content"], str)
+                       else encode_image(m["content"]))
+                content.append({"type": "image_url",
+                                "image_url": {"url": url}})
+        return [{"role": "user", "content": content}]
+    return prompt
+
+
+class DiskCache:
+    def __init__(self, cache_dir: Optional[str] = None):
+        self.dir = cache_dir or os.path.join(
+            os.path.expanduser("~"), ".cache", "mantis_tpu_openai")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _path(self, uid: str) -> str:
+        return os.path.join(self.dir, uid + ".json")
+
+    def get(self, uid: str):
+        p = self._path(uid)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return None
+
+    def put(self, uid: str, value) -> None:
+        with open(self._path(uid), "w") as f:
+            json.dump(value, f)
+
+
+def _default_completion_fn(messages, model_name, **kw):
+    try:
+        import openai  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "The openai package is unavailable in this environment; "
+            "pass completion_fn= to openai_completions (e.g. a local "
+            "judge) or install openai where egress exists.") from e
+    client = openai.OpenAI()
+    resp = client.chat.completions.create(
+        model=model_name, messages=messages, **kw)
+    return {
+        "text": resp.choices[0].message.content,
+        "prompt_tokens": resp.usage.prompt_tokens,
+        "completion_tokens": resp.usage.completion_tokens,
+    }
+
+
+def openai_completions(
+    prompts: List,
+    model_name: str,
+    cache_dir: Optional[str] = None,
+    num_procs: int = 8,
+    max_retries: int = 5,
+    retry_base_delay: float = 1.0,
+    completion_fn: Optional[Callable] = None,
+    **decoding_kwargs,
+) -> Dict:
+    """Batch completions with caching + retry.
+
+    Returns {'completions': [...], 'price_per_example': [...],
+    'total_price': float} (reference return contract, :554-570).
+    """
+    cache = DiskCache(cache_dir)
+    fn = completion_fn or _default_completion_fn
+
+    def one(prompt):
+        uid = prompt_uid(prompt, model_name, **decoding_kwargs)
+        hit = cache.get(uid)
+        if hit is not None:
+            return hit
+        messages = to_chatml(prompt)
+        delay = retry_base_delay
+        for attempt in range(max_retries):
+            try:
+                out = fn(messages, model_name, **decoding_kwargs)
+                break
+            except Exception:
+                if attempt == max_retries - 1:
+                    raise
+                time.sleep(delay)
+                delay *= 2
+        cache.put(uid, out)
+        return out
+
+    with ThreadPoolExecutor(max_workers=num_procs) as pool:
+        results = list(pool.map(one, prompts))
+
+    prices = []
+    pin, pout = MODEL_PRICES.get(model_name, (0.0, 0.0))
+    for r in results:
+        prices.append(
+            r.get("prompt_tokens", 0) / 1000 * pin
+            + r.get("completion_tokens", 0) / 1000 * pout)
+    return {
+        "completions": [r["text"] for r in results],
+        "price_per_example": prices,
+        "total_price": sum(prices),
+    }

@@ -52,8 +52,11 @@ def init_lora_params(params: Any, cfg: LoraConfig, key: jax.Array,
     A: normal(0, 1/r) (kaiming-ish), B: zeros — so the initial delta is 0,
     matching peft defaults.
     """
+    from mantis_tpu.ops.quant import QuantTensor
+
     lora = {}
-    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    leaves = jax.tree_util.tree_flatten_with_path(
+        params, is_leaf=lambda x: isinstance(x, QuantTensor))[0]
     keys = jax.random.split(key, max(len(leaves), 1))
     for (path, leaf), k in zip(leaves, keys):
         ps = _path_str(path)
@@ -77,10 +80,15 @@ def apply_lora(params: Any, lora: Dict, cfg: LoraConfig,
     DoRA additionally re-normalizes each column of W' to a learned
     magnitude ``m`` (initialized from ||W||; stored in the lora tree).
     """
+    from mantis_tpu.ops.quant import QuantTensor, dequantize
+
     scale = cfg.alpha / cfg.r
 
     def merge(path, leaf):
         ps = _path_str(path)
+        if isinstance(leaf, QuantTensor):
+            # QLoRA: dequantize the frozen 4/8-bit base at forward time
+            leaf = dequantize(leaf, leaf.dtype)
         if ps not in lora:
             return jax.lax.stop_gradient(leaf) if freeze_base else leaf
         base = jax.lax.stop_gradient(leaf) if freeze_base else leaf
@@ -95,7 +103,9 @@ def apply_lora(params: Any, lora: Dict, cfg: LoraConfig,
                  * ab["m"].astype(w.dtype))
         return w
 
-    return jax.tree_util.tree_map_with_path(merge, params)
+    return jax.tree_util.tree_map_with_path(
+        merge, params,
+        is_leaf=lambda x: isinstance(x, QuantTensor))
 
 
 def init_dora_magnitudes(params: Any, lora: Dict) -> Dict:

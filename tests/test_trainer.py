@@ -190,3 +190,44 @@ def test_lr_schedule_warmup_cosine():
     assert float(sched(0)) == 0.0
     assert abs(float(sched(10)) - 1e-4) < 1e-9
     assert float(sched(100)) < 1e-5
+
+
+def test_qlora_quantized_base_training():
+    """QLoRA: int4 base + LoRA adapters trains and leaves the base
+    quantized (reference: train_mllava.py:134-142 bnb NF4 + LoRA)."""
+    from mantis_tpu.ops.quant import QuantTensor, dequantize, quantize_tree
+
+    cfg = tiny_cfg()
+    params = mllava_model.init_params(cfg, jax.random.PRNGKey(7))
+    qparams = quantize_tree(params, bits=4, group_size=16)
+    n_quant = sum(isinstance(x, QuantTensor) for x in jax.tree.leaves(
+        qparams, is_leaf=lambda y: isinstance(y, QuantTensor)))
+    assert n_quant == 7  # 7 LM linear stacks
+
+    lcfg = LoraConfig(r=4, alpha=8.0)
+    lora0 = init_lora_params(qparams, lcfg, jax.random.PRNGKey(8))
+    assert len(lora0) == 7
+    tcfg = T.TrainConfig(learning_rate=1e-2, lr_schedule="constant",
+                         max_steps=6, compute_dtype="float32", lora=lcfg)
+    opt, _ = T.make_optimizer(tcfg)
+    step_fn = T.make_train_step(
+        mllava_model.forward, cfg, tcfg, opt, frozen_params=None,
+        base_params_for_lora=qparams)
+    state = T.create_train_state(lora0, opt)
+    batch = make_batch(cfg)
+    l0 = None
+    for _ in range(5):
+        state, m = step_fn(state, batch)
+        if l0 is None:
+            l0 = float(m["loss"])
+    assert float(m["loss"]) < l0
+
+
+def test_quantization_error_bounds():
+    from mantis_tpu.ops.quant import dequantize, quantize
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 32)) * 0.05
+    for bits, tol in [(8, 1e-3), (4, 1.5e-2)]:
+        qt = quantize(w, bits=bits, group_size=16)
+        err = float(jnp.max(jnp.abs(dequantize(qt, jnp.float32) - w)))
+        assert err < tol, (bits, err)
