@@ -585,3 +585,20 @@ def internlm2_llama_params_from_hf(src: TensorSource, cfg,
                                 True, dtype),
         },
     }
+
+
+def idefics3_params_from_hf(src: TensorSource, cfg, dtype=jnp.float32):
+    """Map an HF Idefics3 checkpoint onto our param tree."""
+    return {
+        "vision_tower": vit_params_from_hf(
+            src, cfg.vision_config, prefix="model.vision_model.",
+            dtype=dtype),
+        "connector": {
+            "proj": jnp.asarray(
+                src.get("model.connector.modality_projection.proj."
+                        "weight").T, dtype=dtype),
+        },
+        "language_model": llama_params_from_hf(
+            src, cfg.text_config, prefix="model.text_model.",
+            lm_head_key="lm_head.weight", dtype=dtype),
+    }

@@ -773,3 +773,45 @@ class DataLoader:
             if self.drop_last and len(idxs) < self.batch_size:
                 return
             yield self.collator([self.dataset[int(j)] for j in idxs])
+
+
+class PrefetchDataLoader(DataLoader):
+    """DataLoader with a background worker pool preparing batches ahead
+    (the role torch DataLoader's C++ workers play in the reference)."""
+
+    def __init__(self, *args, num_workers: int = 4, prefetch: int = 4,
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+
+    def __iter__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(order)
+        self.epoch += 1
+        batches = [order[i:i + self.batch_size]
+                   for i in range(0, len(order), self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        def build(idxs):
+            return self.collator([self.dataset[int(j)] for j in idxs])
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            futures = []
+            it = iter(batches)
+            for _ in range(self.prefetch):
+                try:
+                    futures.append(pool.submit(build, next(it)))
+                except StopIteration:
+                    break
+            while futures:
+                fut = futures.pop(0)
+                try:
+                    futures.append(pool.submit(build, next(it)))
+                except StopIteration:
+                    pass
+                yield fut.result()

@@ -279,3 +279,40 @@ def test_dataloader_iteration(chat_fixture):
     batches = list(dl)
     assert len(batches) == 1  # 3 items, drop_last
     assert batches[0]["input_ids"].shape[0] == 2
+
+
+def test_prefetch_dataloader_matches_plain(chat_fixture):
+    proc = make_processor()
+    conv = conv_templates["mllava_v1"].copy()
+    ds = D.ChatDataset(chat_fixture, proc, conv, max_seq_len=128)
+    coll = D.Collator(0, proc.image_token_index, 4,
+                      seq_buckets=(64, 128), image_buckets=(0, 2, 4),
+                      image_size=28)
+    plain = list(D.DataLoader(ds, coll, 2, shuffle=True, seed=5))
+    pre = list(D.PrefetchDataLoader(ds, coll, 2, shuffle=True, seed=5,
+                                    num_workers=2, prefetch=2))
+    assert len(plain) == len(pre)
+    np.testing.assert_array_equal(plain[0]["input_ids"],
+                                  pre[0]["input_ids"])
+
+
+def test_data_prep_schema_roundtrip(tmp_path):
+    from mantis_tpu.data_prep import make_example, write_dataset
+    from mantis_tpu.data_prep.prepare_nlvr2 import convert
+
+    rows = [{"uid": "x", "sentence": "two cats",
+             "label": "True", "left_image": "l.jpg",
+             "right_image": "r.jpg"}]
+    examples = convert(rows)
+    path = write_dataset(examples, str(tmp_path))
+    import json as _json
+
+    loaded = _json.loads(open(path).read())
+    assert loaded[0]["conversations"][1]["value"] == "true"
+    assert len(loaded[0]["images"]) == 2
+    # role alternation enforced
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        make_example("bad", [{"from": "gpt", "value": "hi"},
+                             {"from": "human", "value": "yo"}])
