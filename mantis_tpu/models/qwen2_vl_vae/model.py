@@ -1,0 +1,104 @@
+"""Qwen2-VL-VAE model body (see package docstring)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import einops
+import jax
+import jax.numpy as jnp
+
+from mantis_tpu.models import llama
+from mantis_tpu.models.configs import LlamaConfig
+from mantis_tpu.models.mllava.model import cross_entropy_loss
+from mantis_tpu.models.qwen2_vl.model import _merge_visual
+
+
+@dataclasses.dataclass(frozen=True)
+class Qwen2VLVAEConfig:
+    latent_channels: int = 12
+    latent_patch_size: int = 2
+    spatial_merge_size: int = 2
+    vision_hidden: int = 1280
+    text_config: LlamaConfig = dataclasses.field(
+        default_factory=lambda: LlamaConfig(
+            vocab_size=152064, hidden_size=3584, intermediate_size=18944,
+            num_hidden_layers=28, num_attention_heads=28,
+            num_key_value_heads=4, rope_theta=1e6, rms_norm_eps=1e-6,
+            attention_bias=True, mrope_section=(16, 24, 24)))
+    image_token_id: int = 151655
+    ignore_index: int = -100
+
+    @property
+    def patch_dim(self) -> int:
+        return self.latent_channels * self.latent_patch_size ** 2
+
+
+def latent_grid_thw(h_lat: int, w_lat: int, cfg: Qwen2VLVAEConfig):
+    """Token grid after latent patchify (before spatial merge)."""
+    return (1, h_lat // cfg.latent_patch_size,
+            w_lat // cfg.latent_patch_size)
+
+
+def init_params(cfg: Qwen2VLVAEConfig, key, dtype=jnp.float32):
+    k1, k2, k3, kl = jax.random.split(key, 4)
+    d = cfg.vision_hidden
+    dt = cfg.text_config.hidden_size
+    merged = d * cfg.spatial_merge_size ** 2
+
+    def norm(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(
+            dtype)
+
+    return {
+        "latent_patch_embed": norm(k1, (cfg.patch_dim, d)),
+        # VAEVisionMlp projector (reference
+        # modeling_qwen2_vl_vae.py:103): merged latents -> text hidden
+        "mlp_fc1": norm(k2, (merged, merged)),
+        "mlp_fc1_b": jnp.zeros((merged,), dtype),
+        "mlp_fc2": norm(k3, (merged, dt)),
+        "mlp_fc2_b": jnp.zeros((dt,), dtype),
+        "language_model": llama.init_params(cfg.text_config, kl, dtype),
+    }
+
+
+def encode_latents(params, cfg: Qwen2VLVAEConfig, latents):
+    """latents [N, C, H, W] -> merged visual tokens [N*tok, Dt]."""
+    p = cfg.latent_patch_size
+    m = cfg.spatial_merge_size
+    x = einops.rearrange(
+        latents, "n c (hh p1) (ww p2) -> n (hh ww) (c p1 p2)",
+        p1=p, p2=p)
+    x = x.astype(params["latent_patch_embed"].dtype) @ params[
+        "latent_patch_embed"]
+    n, seq, d = x.shape
+    side_h = latents.shape[2] // p
+    side_w = latents.shape[3] // p
+    # spatial-merge grouping (2x2 neighborhoods -> one token)
+    x = x.reshape(n, side_h // m, m, side_w // m, m, d)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        n * (side_h // m) * (side_w // m), m * m * d)
+    x = jax.nn.gelu(x @ params["mlp_fc1"] + params["mlp_fc1_b"],
+                    approximate=False)
+    return x @ params["mlp_fc2"] + params["mlp_fc2_b"]
+
+
+def forward(params, cfg: Qwen2VLVAEConfig, *, input_ids,
+            latents: Optional[jax.Array] = None, positions=None,
+            segment_ids=None, labels=None, kv_cache=None,
+            attn_impl=None, use_remat=False):
+    embeds = params["language_model"]["embed_tokens"][input_ids]
+    if latents is not None and input_ids.shape[1] > 1:
+        vis = encode_latents(params, cfg, latents)
+        embeds = _merge_visual(embeds, input_ids, vis,
+                               cfg.image_token_id)
+    logits, new_cache = llama.forward(
+        params["language_model"], cfg.text_config, inputs_embeds=embeds,
+        positions=positions, segment_ids=segment_ids, kv_cache=kv_cache,
+        attn_impl=attn_impl, use_remat=use_remat)
+    loss = None
+    if labels is not None:
+        mask = None if segment_ids is None else (segment_ids != 0)
+        loss = cross_entropy_loss(logits, labels, mask, cfg.ignore_index)
+    return logits, loss, new_cache

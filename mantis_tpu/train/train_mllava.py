@@ -168,14 +168,23 @@ def main(argv=None):
     cfg, params, processor, model_name = load_model(args)
     conv = pick_conv(args, model_name)
 
+    cp = args.mesh_context
     data_args = {
         "max_seq_len": args.max_seq_len,
         "image_size": cfg.vision_config.image_size,
     }
+    if cp > 1:
+        # ring attention needs seq multiples of 2*W*128 (zigzag chunks)
+        data_args["ensure_seq_len_multiple_of"] = 2 * cp * 128
+        data_args["seq_buckets"] = tuple(
+            b for b in (512, 1024, 2048, 4096, 8192)
+            if b % (2 * cp * 128) == 0) or (args.max_seq_len,)
     if args.packing:
         data_args["max_self_attn_len"] = args.max_seq_len
     train_ds, _, _, collator = data_lib.load_data_from_config(
         args.data_config_path, processor, conv, data_args)
+    if cp > 1:
+        collator.cp = cp
     data_lib.set_default_image_token_id(processor.image_token_index)
     loader = data_lib.DataLoader(
         train_ds, collator, args.batch_size, shuffle=True, seed=args.seed)
@@ -197,6 +206,12 @@ def main(argv=None):
         tune_projector_only=args.do_pretrain,
         freeze_vision=not args.train_vision, lora=lora_cfg)
 
+    ctx_attn = None
+    if cp > 1:
+        from mantis_tpu.ops.ring_attention import make_context_attention
+
+        ctx_attn = make_context_attention(mesh, "context")
+
     opt, sched = trainer_lib.make_optimizer(tcfg)
     if lora_cfg is not None:
         base = shard_params(params, mesh)
@@ -206,7 +221,8 @@ def main(argv=None):
         frozen = None
         step_fn = trainer_lib.make_train_step(
             mllava_model.forward, cfg, tcfg, opt, frozen,
-            base_params_for_lora=base)
+            base_params_for_lora=base, context_attention=ctx_attn,
+            labels_preshifted=cp > 1)
     else:
         pred = lambda p: trainer_lib.default_trainable_pred(  # noqa: E731
             p, freeze_vision=tcfg.freeze_vision,
@@ -215,7 +231,8 @@ def main(argv=None):
         trainable = shard_params(trainable, mesh)
         frozen = shard_params(frozen, mesh)
         step_fn = trainer_lib.make_train_step(
-            mllava_model.forward, cfg, tcfg, opt, frozen)
+            mllava_model.forward, cfg, tcfg, opt, frozen,
+            context_attention=ctx_attn, labels_preshifted=cp > 1)
 
     state = trainer_lib.create_train_state(trainable, opt)
     mgr = CheckpointManager(args.output_dir, args.save_total_limit)
