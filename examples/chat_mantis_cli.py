@@ -7,6 +7,12 @@ Commands inside the loop:
   /quit           exit
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
 import argparse
 
 from PIL import Image

@@ -5,6 +5,12 @@ Usage: python examples/run_mantis.py --model /path/to/Mantis-8B-siglip-llama3 \
            --image1 image1.jpg --image2 image2.jpg
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
 import argparse
 
 from PIL import Image

@@ -595,12 +595,13 @@ def flash_attention(
     assert hq % hk == 0, f"GQA requires hq % hk == 0, got {hq}, {hk}"
     scale = softmax_scale if softmax_scale is not None else d ** -0.5
 
-    # Adaptive blocks: big blocks amortize grid-step overhead; clamp to
-    # the (128-rounded) sequence so short sequences use a single block.
+    # Adaptive blocks: big blocks amortize grid-step overhead.  Short
+    # sequences (<=1024 rounded) run as a single block, which also
+    # minimizes padding (e.g. ViT's 729 -> one 768 block, not 2x512).
     sq128 = ((sq + 127) // 128) * 128
     sk128 = ((sk + 127) // 128) * 128
-    block_q = min(block_q, sq128)
-    block_k = min(block_k, sk128)
+    block_q = sq128 if sq128 <= 1024 else min(block_q, sq128)
+    block_k = sk128 if sk128 <= 1024 else min(block_k, sk128)
 
     kseg_in = kv_segment_ids if kv_segment_ids is not None else segment_ids
     has_segments = segment_ids is not None

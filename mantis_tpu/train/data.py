@@ -270,8 +270,11 @@ class ChatDataset:
         self.data = data
         # sqrt upsampling factor consumed by DatasetCollection
         self.sample_ratio = sample_ratio
-        self.image_key = "images" if (
-            not data or "images" in data[0]) else "image"
+        # default to the plural key; fall back only when the dataset
+        # actually uses the singular form
+        self.image_key = "image" if (
+            data and "image" in data[0] and "images" not in data[0]
+        ) else "images"
 
     def __len__(self) -> int:
         return len(self.data)
@@ -815,3 +818,160 @@ class PrefetchDataLoader(DataLoader):
                 except StopIteration:
                     pass
                 yield fut.result()
+
+
+class SiglipVideoDataset:
+    """(text, frames) pairs for contrastive video training
+    (reference: data.py:903-1136 + SiglipVideoCollator :1879-1899).
+
+    Items: {"video": path, "text"|"caption": str}; frames sampled
+    uniformly and max-length-padded text (contrastive training uses
+    fixed-shape text batches)."""
+
+    def __init__(self, data_path: str, tokenizer, image_processor,
+                 num_frames: int = 8, max_text_len: int = 64,
+                 video_dir: Optional[str] = None,
+                 max_size: Optional[int] = None):
+        self.data = _load_json_data(data_path)
+        if max_size:
+            self.data = self.data[:max_size]
+        self.tokenizer = tokenizer
+        self.image_processor = image_processor
+        self.num_frames = num_frames
+        self.max_text_len = max_text_len
+        self.video_dir = video_dir or os.path.dirname(data_path)
+
+    def __len__(self):
+        return len(self.data)
+
+    def _frames(self, path):
+        import cv2
+
+        if self.video_dir and not os.path.isabs(path):
+            path = os.path.join(self.video_dir, path)
+        cap = cv2.VideoCapture(path)
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        idxs = np.linspace(0, max(total - 1, 0), self.num_frames
+                           ).astype(int)
+        frames = []
+        for i in idxs:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, int(i))
+            ok, fr = cap.read()
+            if ok:
+                frames.append(Image.fromarray(
+                    cv2.cvtColor(fr, cv2.COLOR_BGR2RGB)))
+        cap.release()
+        while len(frames) < self.num_frames and frames:
+            frames.append(frames[-1])
+        return frames
+
+    def __getitem__(self, idx):
+        item = self.data[idx]
+        text = item.get("text", item.get("caption", ""))
+        enc = self.tokenizer(
+            text, truncation=True, max_length=self.max_text_len,
+            padding="max_length")
+        frames = self._frames(item["video"]) if "video" in item else [
+            load_image(p, self.video_dir) for p in item.get("images", [])]
+        return {
+            "input_ids": np.asarray(enc["input_ids"], np.int64),
+            "frames": self.image_processor(frames),
+        }
+
+
+class Qwen2VideoClassificationDataset(ClassificationDataset):
+    """Video classification with optional per-label special tokens
+    <|LABEL_i|> appended to the prompt (reference: data.py:1328-1332);
+    frames are decoded like ChatVideoDataset and fed as images."""
+
+    def __init__(self, *args, num_frames: int = 8,
+                 use_label_special_tokens: bool = False,
+                 video_dir: Optional[str] = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.num_frames = num_frames
+        self.use_label_special_tokens = use_label_special_tokens
+        self.video_dir = video_dir or self.image_dir
+        if use_label_special_tokens:
+            specials = [f"<|LABEL_{i}|>"
+                        for i in range(len(self.label_names))]
+            self.processor.tokenizer.add_special_tokens(
+                {"additional_special_tokens": specials})
+            self.label_token_ids = [
+                self.processor.tokenizer.convert_tokens_to_ids(s)
+                for s in specials]
+
+    def getitem(self, idx):
+        item = self.data[idx]
+        if "video" in item and "images" not in item:
+            helper = ChatVideoDataset.__new__(ChatVideoDataset)
+            helper.__dict__.update(self.__dict__)
+            helper.fps = None
+            helper.max_num_frames = self.num_frames
+            frames = helper._read_video_frames(item["video"])
+            item = dict(item, images=frames)
+            self.data = list(self.data)
+            self.data[idx] = item
+        out = super().getitem(idx)
+        if self.use_label_special_tokens:
+            ids = out["input_ids"]
+            extra = np.asarray(self.label_token_ids, np.int64)
+            out["input_ids"] = np.concatenate([ids, extra])
+            out["labels"] = np.concatenate(
+                [out["labels"],
+                 np.full(len(extra), IGNORE_INDEX, np.int64)])
+            out["label_token_positions"] = np.arange(
+                len(ids), len(ids) + len(extra))
+        return out
+
+
+class CrossAttnPackingDataset(PackingDataset):
+    """Packing with a separate image-kv budget for gated cross-attn
+    models (reference: data.py:1673-1876): segments share the packed
+    self-attn sequence while their image tokens become encoder kv,
+    capped at ``max_cross_attn_kv_len`` (num_tokens_per_image each).
+
+    Emits additionally: encoder_pixel_count per pack; images exceeding
+    the budget drop the whole conversation from the pack."""
+
+    def __init__(self, dataset, max_self_attn_len: int = 8192,
+                 max_cross_attn_kv_len: int = 8192,
+                 num_tokens_per_image: int = 256):
+        self.max_kv = max_cross_attn_kv_len
+        self.tokens_per_image = num_tokens_per_image
+        super().__init__(dataset, max_self_attn_len)
+
+    def __getitem__(self, idx):
+        parts = [self.dataset[i] for i in self._plan[idx]]
+        ids, labels, seg, pos, pix = [], [], [], [], []
+        total = kv_used = 0
+        for s_idx, p in enumerate(parts, start=1):
+            n_img = p.get("pixel_values", np.zeros((0,))).shape[0]
+            kv_need = n_img * self.tokens_per_image
+            if kv_used + kv_need > self.max_kv:
+                continue  # kv budget exhausted for this conversation
+            n = len(p["input_ids"])
+            if total + n > self.max_len:
+                break
+            ids.append(p["input_ids"][:n])
+            labels.append(p["labels"][:n])
+            seg.append(np.full(n, s_idx, np.int32))
+            pos.append(np.arange(n, dtype=np.int32))
+            if n_img:
+                pix.append(p["pixel_values"])
+            kv_used += kv_need
+            total += n
+        out = {
+            "input_ids": np.concatenate(ids),
+            "labels": np.concatenate(labels),
+            "segment_ids": np.concatenate(seg),
+            "positions": np.concatenate(pos),
+        }
+        if pix:
+            out["pixel_values"] = np.concatenate(pix)
+        return out
+
+
+# late registration: defined below FORMAT_CLASSES
+FORMAT_CLASSES["qwen2_video_classification"] = \
+    Qwen2VideoClassificationDataset
+FORMAT_CLASSES["siglip_video"] = SiglipVideoDataset

@@ -1,0 +1,123 @@
+"""Video + classification dataset tests (cv2-written fixture video)."""
+
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from mantis_tpu.models.conversation import conv_templates
+from mantis_tpu.models.mllava.processor import (
+    ImageProcessorConfig, MantisImageProcessor, MLlavaProcessor)
+from mantis_tpu.train import data as D
+from tests.test_data import make_tokenizer
+
+
+@pytest.fixture
+def video_fixture(tmp_path):
+    import cv2
+
+    vid_path = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(vid_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                        10, (64, 48))
+    for i in range(20):
+        frame = np.full((48, 64, 3), i * 10 % 255, np.uint8)
+        w.write(frame)
+    w.release()
+    items = [{
+        "id": "v0", "video": "clip.mp4",
+        "conversations": [
+            {"from": "human", "value": "<video> what happens ?"},
+            {"from": "gpt", "value": "the screen brightens"},
+        ],
+    }]
+    (tmp_path / "train.json").write_text(json.dumps(items))
+    return str(tmp_path / "train.json")
+
+
+def make_processor():
+    tok = make_tokenizer()
+    ip = MantisImageProcessor(ImageProcessorConfig.for_tower("clip", 28))
+    return MLlavaProcessor(tok, ip, 4)
+
+
+def test_chat_video_dataset(video_fixture):
+    proc = make_processor()
+    conv = conv_templates["mllava_v1"].copy()
+    ds = D.ChatVideoDataset(video_fixture, proc, conv, max_seq_len=256,
+                            num_frames=4)
+    ex = ds[0]
+    img_id = proc.image_token_index
+    # 4 frames -> 4 <image> groups of 4 tokens
+    assert (ex["input_ids"] == img_id).sum() == 16
+    assert ex["pixel_values"].shape == (4, 3, 28, 28)
+    assert (ex["labels"] != D.IGNORE_INDEX).sum() > 0
+
+
+def test_siglip_video_dataset(video_fixture, tmp_path):
+    import json as _json
+
+    items = [{"video": "clip.mp4", "text": "a brightening screen"}]
+    path = tmp_path / "contrastive.json"
+    path.write_text(_json.dumps(items))
+    tok = make_tokenizer()
+    ip = MantisImageProcessor(
+        ImageProcessorConfig.for_tower("siglip", 28))
+    ds = D.SiglipVideoDataset(str(path), tok, ip, num_frames=4,
+                              max_text_len=8)
+    ex = ds[0]
+    assert ex["input_ids"].shape == (8,)       # max-length padded
+    assert ex["frames"].shape == (4, 3, 28, 28)
+
+
+def test_qwen2_video_classification(video_fixture, tmp_path):
+    import json as _json
+
+    items = [{
+        "id": "c0", "video": "clip.mp4",
+        "labels": {"bright": 1.0, "dark": 0.0},
+        "conversations": [
+            {"from": "human", "value": "classify this video"},
+            {"from": "gpt", "value": "ok"},
+        ],
+    }]
+    path = tmp_path / "cls.json"
+    path.write_text(_json.dumps(items))
+    proc = make_processor()
+    conv = conv_templates["mllava_v1"].copy()
+    ds = D.Qwen2VideoClassificationDataset(
+        str(path), proc, conv, max_seq_len=256, num_frames=2,
+        use_label_special_tokens=True)
+    ex = ds[0]
+    assert ex["class_labels"].tolist() == [1.0, 0.0]
+    assert "label_token_positions" in ex
+    assert len(ex["label_token_positions"]) == 2
+    # label tokens appended at the end
+    lt = ex["input_ids"][ex["label_token_positions"]]
+    assert len(set(lt.tolist())) == 2
+
+
+def test_cross_attn_packing_budget(tmp_path):
+    class Fake:
+        """3 items, 1 image each; kv budget fits only 2 images."""
+
+        def __len__(self):
+            return 3
+
+        def estimate_length(self, i):
+            return 8
+
+        def __getitem__(self, i):
+            return {
+                "input_ids": np.arange(8) + i,
+                "labels": np.arange(8) + i,
+                "pixel_values": np.zeros((1, 3, 4, 4), np.float32),
+            }
+
+    ds = D.CrossAttnPackingDataset(
+        Fake(), max_self_attn_len=64, max_cross_attn_kv_len=8,
+        num_tokens_per_image=4)
+    ex = ds[0]
+    # only 2 of 3 conversations fit the kv budget (2 * 4 <= 8 < 3 * 4)
+    assert ex["pixel_values"].shape[0] == 2
+    assert set(ex["segment_ids"].tolist()) == {1, 2}
