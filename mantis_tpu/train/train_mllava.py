@@ -214,6 +214,11 @@ def main(argv=None):
 
     opt, sched = trainer_lib.make_optimizer(tcfg)
     if lora_cfg is not None:
+        if args.use_qlora:
+            # 4-bit frozen base (reference: bnb NF4, train_mllava.py:134-142)
+            from mantis_tpu.ops.quant import quantize_tree
+
+            params = quantize_tree(params, bits=4)
         base = shard_params(params, mesh)
         trainable = init_lora_params(
             params, lora_cfg, jax.random.PRNGKey(args.seed + 1))
