@@ -74,6 +74,7 @@ def merge_image_features(
     input_ids: jax.Array,
     image_features: jax.Array,
     image_token_index: int,
+    feature_idx: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Splice patch embeddings over (pre-expanded) image-token positions.
 
@@ -81,11 +82,21 @@ def merge_image_features(
     token position (row-major over the batch) receives the i-th row of the
     flattened image features — the same ordering as the reference's
     cumsum-based scatter (modeling_llava.py:309-353).
+
+    feature_idx: optional [B, S] int map position -> flat feature row,
+    REQUIRED whenever the sequence axis has been permuted after
+    tokenization (context-parallel zigzag reorder): a cumsum over the
+    permuted order would pair image tokens with the wrong image.  The
+    Collator computes it on the original order and permutes it alongside
+    input_ids.
     """
     b, s, d = inputs_embeds.shape
     flat = image_features.reshape(-1, d).astype(inputs_embeds.dtype)
     is_img = (input_ids == image_token_index).reshape(-1)
-    idx = jnp.cumsum(is_img) - 1
+    if feature_idx is None:
+        idx = jnp.cumsum(is_img) - 1
+    else:
+        idx = feature_idx.reshape(-1)
     idx = jnp.clip(idx, 0, flat.shape[0] - 1)
     gathered = flat[idx].reshape(b, s, d)
     return jnp.where(is_img.reshape(b, s)[..., None], gathered,
@@ -135,6 +146,7 @@ def forward(
     use_remat: bool = False,
     context_attention=None,
     labels_preshifted: bool = False,
+    image_feature_idx: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array], Optional[KVCache]]:
     """Full forward.  Returns (logits, loss or None, new_cache or None).
 
@@ -147,7 +159,8 @@ def forward(
             params, cfg, pixel_values, attn_impl=attn_impl,
             use_remat=use_remat)
         embeds = merge_image_features(
-            embeds, input_ids, image_features, cfg.image_token_index)
+            embeds, input_ids, image_features, cfg.image_token_index,
+            feature_idx=image_feature_idx)
 
     logits, new_cache = llama.forward(
         params["language_model"], cfg.text_config,

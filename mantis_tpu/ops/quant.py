@@ -22,8 +22,10 @@ from flax import struct
 class QuantTensor:
     """Group-wise symmetric quantized weight.
 
-    q:     int8 values (int4 range [-8, 7] when bits=4), [in, out]-shaped
-           (leading layer axes preserved).
+    q:     int8 storage.  bits=8: one value per byte,
+           [..., g, group, out].  bits=4: TWO values per byte packed
+           along the group axis (low nibble = even element, high nibble
+           = odd), [..., g, group/2, out] — true 0.5 byte/weight HBM.
     scale: f32 [..., in/group, 1, out] per-group scales.
     bits:  4 or 8 (static).
     """
@@ -35,6 +37,8 @@ class QuantTensor:
     @property
     def shape(self):
         *lead, g, gs, out = self.q.shape
+        if self.bits == 4:
+            gs *= 2
         return (*lead, g * gs, out)
 
     @property
@@ -57,11 +61,24 @@ def quantize(w: jax.Array, bits: int = 8, group_size: int = 128
     absmax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)
     scale = jnp.where(absmax == 0, 1.0, absmax / maxq)
     q = jnp.clip(jnp.round(wg / scale), -maxq - 1, maxq).astype(jnp.int8)
+    if bits == 4:
+        assert group_size % 2 == 0, group_size
+        low = q[..., 0::2, :]
+        high = q[..., 1::2, :]
+        q = (low & jnp.int8(0x0F)) | (high << 4)
     return QuantTensor(q=q, scale=scale, bits=bits)
 
 
 def dequantize(qt: QuantTensor, dtype=jnp.bfloat16) -> jax.Array:
-    w = qt.q.astype(jnp.float32) * qt.scale
+    q = qt.q
+    if qt.bits == 4:
+        # arithmetic shifts sign-extend each nibble back to int8
+        low = jnp.right_shift(jnp.left_shift(q, 4), 4)
+        high = jnp.right_shift(q, 4)
+        *lead, g, gs2, out = q.shape
+        q = jnp.stack([low, high], axis=-2).reshape(
+            *lead, g, gs2 * 2, out)
+    w = q.astype(jnp.float32) * qt.scale
     *lead, g, gs, out = w.shape
     return w.reshape(*lead, g * gs, out).astype(dtype)
 

@@ -297,7 +297,12 @@ class ChatDataset:
         return messages
 
     def getitem(self, idx: int) -> Dict[str, np.ndarray]:
-        item = self.data[idx]
+        return self.getitem_from_item(self.data[idx])
+
+    def getitem_from_item(self, item: Dict) -> Dict[str, np.ndarray]:
+        # Takes the item directly (not an index) so subclasses can
+        # transform items without mutating self.data — __getitem__ runs
+        # concurrently under PrefetchDataLoader's thread pool.
         conv_messages = self._conv_messages(item)
         sub_images = load_images(item.get(self.image_key),
                                  self.image_dir, self.max_image_size)
@@ -322,8 +327,9 @@ class ChatDataset:
             if sub_images and n_tok < len(sub_images):
                 conv_messages[0][1] = DEFAULT_IMAGE_TOKEN * (
                     len(sub_images) - n_tok) + conv_messages[0][1]
-            self.conv.messages = conv_messages
-            conv_str = self.conv.get_prompt()
+            conv = self.conv.copy()  # render on a local copy: thread-safe
+            conv.messages = conv_messages
+            conv_str = conv.get_prompt()
             enc = self.processor(
                 conv_str, sub_images or None, truncation=True,
                 max_length=self.max_seq_len, expand_image_tokens=False)
@@ -419,12 +425,7 @@ class ChatVideoDataset(ChatDataset):
                                "human" if role == self.conv.roles[0]
                                else "gpt", "value": text})
         item[key] = new_source
-        saved, self.data = self.data, {idx: item}
-        try:
-            self.data = [item]
-            return super().getitem(0)
-        finally:
-            self.data = saved
+        return self.getitem_from_item(item)
 
 
 class ClassificationDataset(ChatDataset):
@@ -441,9 +442,9 @@ class ClassificationDataset(ChatDataset):
             label_names = sorted(names)
         self.label_names = label_names
 
-    def getitem(self, idx: int) -> Dict[str, np.ndarray]:
-        out = super().getitem(idx)
-        raw = self.data[idx].get("labels") or {}
+    def getitem_from_item(self, item: Dict) -> Dict[str, np.ndarray]:
+        out = super().getitem_from_item(item)
+        raw = item.get("labels") or {}
         out["class_labels"] = np.asarray(
             [float(raw.get(n, 0.0)) for n in self.label_names], np.float32)
         # classification: no LM labels
@@ -613,13 +614,36 @@ class Collator:
         labels = np.full((b, tgt), IGNORE_INDEX, np.int64)
         segment_ids = np.zeros((b, tgt), np.int32)
         positions = np.zeros((b, tgt), np.int32)
+        kept_images: List[int] = []  # images surviving truncation, per ex.
         for i, e in enumerate(examples):
-            ids = e["input_ids"][:tgt]
+            ids = np.asarray(e["input_ids"][:tgt]).copy()
             n = len(ids)
-            input_ids[i, :n] = ids
-            labels[i, :n] = e["labels"][:len(ids)]
+            lab = np.asarray(e["labels"][:n]).copy()
             seg = e.get("segment_ids")
-            segment_ids[i, :n] = seg[:n] if seg is not None else 1
+            seg = (np.asarray(seg[:n]).copy() if seg is not None
+                   else np.ones(n, np.int32))
+            n_ex_imgs = e.get("pixel_values", np.zeros((0,))).shape[0]
+            if len(e["input_ids"]) > tgt and n_ex_imgs:
+                # Truncation may cut image-token blocks: keep only the
+                # fully surviving images and neutralize any partial
+                # trailing block so token count == kept_images * P
+                # (otherwise merge_image_features misassigns patches for
+                # every subsequent image in the batch).
+                kept_tok = int((ids == self.image_token_id).sum())
+                full = kept_tok // self.num_image_tokens
+                partial = kept_tok % self.num_image_tokens
+                if partial:
+                    img_pos = np.flatnonzero(ids == self.image_token_id)
+                    cut = img_pos[-partial:]
+                    ids[cut] = self.pad_token_id
+                    lab[cut] = IGNORE_INDEX
+                    seg[cut] = 0
+                kept_images.append(min(full, n_ex_imgs))
+            else:
+                kept_images.append(n_ex_imgs)
+            input_ids[i, :n] = ids
+            labels[i, :n] = lab
+            segment_ids[i, :n] = seg
             pos = e.get("positions")
             positions[i, :n] = pos[:n] if pos is not None \
                 else np.arange(n)
@@ -643,10 +667,19 @@ class Collator:
             # attended (mirror of attention_mask[..., 1:] gating)
             shifted[:, :-1][segment_ids[:, 1:] == 0] = IGNORE_INDEX
             labels = shifted
+            # Feature-index map computed on the ORIGINAL order: after the
+            # zigzag permutation a cumsum over image-token positions no
+            # longer matches the row-major image order, so the model must
+            # gather by this precomputed (and identically permuted) map.
+            is_img = (input_ids == self.image_token_id)
+            image_feature_idx = (
+                np.cumsum(is_img.reshape(-1)).reshape(is_img.shape)
+                .astype(np.int32) - 1)
             input_ids = zigzag_reorder(input_ids, self.cp)
             labels = zigzag_reorder(labels, self.cp)
             segment_ids = zigzag_reorder(segment_ids, self.cp)
             positions = zigzag_reorder(positions, self.cp)
+            image_feature_idx = zigzag_reorder(image_feature_idx, self.cp)
 
         out = {
             "input_ids": input_ids,
@@ -654,7 +687,10 @@ class Collator:
             "segment_ids": segment_ids,
             "positions": positions,
         }
-        pix = [e["pixel_values"] for e in examples if "pixel_values" in e]
+        if self.cp > 1:
+            out["image_feature_idx"] = image_feature_idx
+        pix = [e["pixel_values"][:kept_images[i]]
+               for i, e in enumerate(examples) if "pixel_values" in e]
         if pix or pad_imgs:
             pix_cat = (np.concatenate(pix) if pix else
                        np.zeros((0, 3, self.image_size, self.image_size),
@@ -901,7 +937,9 @@ class Qwen2VideoClassificationDataset(ClassificationDataset):
                 for s in specials]
 
     def getitem(self, idx):
-        item = self.data[idx]
+        return self.getitem_from_item(self.data[idx])
+
+    def getitem_from_item(self, item):
         if "video" in item and "images" not in item:
             helper = ChatVideoDataset.__new__(ChatVideoDataset)
             helper.__dict__.update(self.__dict__)
@@ -909,9 +947,7 @@ class Qwen2VideoClassificationDataset(ClassificationDataset):
             helper.max_num_frames = self.num_frames
             frames = helper._read_video_frames(item["video"])
             item = dict(item, images=frames)
-            self.data = list(self.data)
-            self.data[idx] = item
-        out = super().getitem(idx)
+        out = super().getitem_from_item(item)
         if self.use_label_special_tokens:
             ids = out["input_ids"]
             extra = np.asarray(self.label_token_ids, np.int64)

@@ -93,6 +93,11 @@ def apply_lora(params: Any, lora: Dict, cfg: LoraConfig,
             return jax.lax.stop_gradient(leaf) if freeze_base else leaf
         base = jax.lax.stop_gradient(leaf) if freeze_base else leaf
         ab = lora[ps]
+        if cfg.use_dora and "m" not in ab:
+            raise ValueError(
+                f"use_dora=True but no magnitude 'm' for {ps}: call "
+                "init_dora_magnitudes(params, lora) after "
+                "init_lora_params")
         delta = jnp.einsum(
             "...ir,...ro->...io", ab["a"], ab["b"]) * scale
         w = base + delta.astype(base.dtype)
@@ -109,13 +114,24 @@ def apply_lora(params: Any, lora: Dict, cfg: LoraConfig,
 
 
 def init_dora_magnitudes(params: Any, lora: Dict) -> Dict:
-    """Add per-column magnitude vectors m = ||W||_col to the lora tree."""
+    """Add per-column magnitude vectors m = ||W||_col to the lora tree.
+
+    Must be called after :func:`init_lora_params` whenever
+    ``cfg.use_dora`` is set — without the ``m`` entries ``apply_lora``
+    silently degrades to plain LoRA.  Accepts quantized (QLoRA) bases.
+    """
+    from mantis_tpu.ops.quant import QuantTensor, dequantize
+
     leaves = dict(
         (_path_str(p), l)
-        for p, l in jax.tree_util.tree_flatten_with_path(params)[0])
+        for p, l in jax.tree_util.tree_flatten_with_path(
+            params, is_leaf=lambda x: isinstance(x, QuantTensor))[0])
     out = {}
     for ps, ab in lora.items():
-        w = leaves[ps].astype(jnp.float32)
+        w = leaves[ps]
+        if isinstance(w, QuantTensor):
+            w = dequantize(w, jnp.float32)
+        w = w.astype(jnp.float32)
         m = jnp.linalg.norm(w, axis=-2, keepdims=True)
         out[ps] = dict(ab, m=m.astype(ab["a"].dtype))
     return out

@@ -222,6 +222,10 @@ def main(argv=None):
         base = shard_params(params, mesh)
         trainable = init_lora_params(
             params, lora_cfg, jax.random.PRNGKey(args.seed + 1))
+        if lora_cfg.use_dora:
+            from mantis_tpu.train.lora import init_dora_magnitudes
+
+            trainable = init_dora_magnitudes(params, trainable)
         trainable = shard_params(trainable, mesh)
         frozen = None
         step_fn = trainer_lib.make_train_step(

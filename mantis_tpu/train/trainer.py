@@ -167,6 +167,8 @@ def make_train_step(
         if context_attention is not None:
             kwargs.update(context_attention=context_attention,
                           labels_preshifted=labels_preshifted)
+        if batch.get("image_feature_idx") is not None:
+            kwargs.update(image_feature_idx=batch["image_feature_idx"])
         _, loss, _ = model_forward(
             params, model_cfg,
             input_ids=batch["input_ids"],

@@ -95,3 +95,74 @@ def test_cp_train_step_matches_single_device():
                     jax.tree.leaves(sc.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=1e-4)
+
+
+def make_image_examples():
+    """Conversations whose image-token blocks land in LATER zigzag chunks
+    (W=4, S=1024 -> 8 chunks of 128): regression for the bug where
+    merge_image_features cumsum ran over the reordered sequence and
+    paired images with the wrong tokens."""
+    rng = np.random.RandomState(1)
+    out = []
+    specs = [(700, (300, 650)), (500, (450,))]
+    for L, img_offsets in specs:
+        ids = rng.randint(2, 120, size=L).astype(np.int64)
+        for off in img_offsets:
+            ids[off:off + 4] = 127  # one pre-expanded image block each
+        labels = ids.copy()
+        labels[:L // 3] = -100
+        labels[ids == 127] = -100
+        pix = rng.randn(len(img_offsets), 3, 28, 28).astype(np.float32)
+        out.append({"input_ids": ids, "labels": labels.astype(np.int64),
+                    "pixel_values": pix})
+    return out
+
+
+def test_cp_train_step_with_images_in_later_chunks():
+    cfg = tiny_cfg()
+    params = mllava_model.init_params(cfg, jax.random.PRNGKey(3))
+    tcfg = T.TrainConfig(learning_rate=1e-3, lr_schedule="constant",
+                         max_steps=5, compute_dtype="float32",
+                         use_remat=False, freeze_vision=True)
+    pred = lambda p: T.default_trainable_pred(p)  # noqa: E731
+    examples = make_image_examples()
+
+    base_coll = dict(pad_token_id=0, image_token_id=127,
+                     num_image_tokens=4, seq_buckets=(S,),
+                     image_buckets=(3,), image_size=28)
+    batch_plain = D.Collator(**base_coll)(examples)
+    batch_cp = D.Collator(**base_coll, context_parallel_size=W)(examples)
+    assert "image_feature_idx" in batch_cp
+
+    copy = lambda t: jax.tree.map(  # noqa: E731
+        lambda x: jnp.array(x, copy=True), t)
+
+    trainable, frozen = T.partition_params(params, pred)
+    opt, _ = T.make_optimizer(tcfg)
+    step1 = T.make_train_step(mllava_model.forward, cfg, tcfg, opt,
+                              copy(frozen))
+    s1 = T.create_train_state(copy(trainable), opt)
+    s1, m1 = step1(s1, {k: jnp.asarray(v) for k, v in batch_plain.items()})
+
+    mesh = create_mesh(data=2, context=W)
+    ctx_attn = make_context_attention(mesh, "context")
+    sh_train = jax.device_put(trainable, NamedSharding(mesh, P()))
+    sh_frozen = jax.device_put(frozen, NamedSharding(mesh, P()))
+    stepc = T.make_train_step(
+        mllava_model.forward, cfg, tcfg, opt, sh_frozen,
+        context_attention=ctx_attn, labels_preshifted=True)
+    sc = T.create_train_state(sh_train, opt)
+    bspec = NamedSharding(mesh, P("data", "context"))
+    rspec = NamedSharding(mesh, P())
+    batch_dev = {
+        k: jax.device_put(jnp.asarray(v),
+                          rspec if k == "pixel_values" else bspec)
+        for k, v in batch_cp.items()}
+    sc, mc = stepc(sc, batch_dev)
+
+    assert abs(float(m1["loss"]) - float(mc["loss"])) < 2e-4, (
+        float(m1["loss"]), float(mc["loss"]))
+    for a, b in zip(jax.tree.leaves(s1.params),
+                    jax.tree.leaves(sc.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4)

@@ -231,3 +231,55 @@ def test_quantization_error_bounds():
         qt = quantize(w, bits=bits, group_size=16)
         err = float(jnp.max(jnp.abs(dequantize(qt, jnp.float32) - w)))
         assert err < tol, (bits, err)
+
+
+def test_int4_packing_halves_storage_and_roundtrips():
+    """bits=4 stores two values per byte (true 0.5 byte/weight) and the
+    pack/unpack is exact for values already in the int4 grid."""
+    from mantis_tpu.ops.quant import dequantize, quantize
+
+    rng = np.random.RandomState(0)
+    # integer grid in [-7, 7] with absmax 7 per group -> scale is exactly
+    # 1.0 and quantize->dequantize is lossless, isolating the packing
+    grid = rng.randint(-7, 8, size=(64, 32)).astype(np.float32)
+    grid[::16] = 7.0  # pin per-group absmax to 7
+    qt = quantize(jnp.asarray(grid), bits=4, group_size=16)
+    assert qt.q.shape == (4, 8, 32)          # group axis halved
+    assert qt.q.size == grid.size // 2       # 0.5 byte per weight
+    assert qt.shape == (64, 32)              # logical shape preserved
+    np.testing.assert_array_equal(
+        np.asarray(dequantize(qt, jnp.float32)), grid)
+
+
+def test_dora_magnitudes_initialized_and_change_apply():
+    from mantis_tpu.train.lora import (
+        LoraConfig, apply_lora, init_dora_magnitudes, init_lora_params)
+
+    params = {"language_model": {"layers": {
+        "q_proj": jnp.asarray(
+            np.random.RandomState(0).randn(16, 16), jnp.float32)}}}
+    cfg = LoraConfig(r=4, alpha=8.0, use_dora=True,
+                     exclude_prefixes=())
+    lora = init_lora_params(params, cfg, jax.random.PRNGKey(0))
+    assert lora  # target found
+    # fail-fast without magnitudes
+    import pytest
+    with pytest.raises(ValueError, match="init_dora_magnitudes"):
+        jax.tree.leaves(apply_lora(params, lora, cfg))
+    lora = init_dora_magnitudes(params, lora)
+    assert all("m" in ab for ab in lora.values())
+    # with zero-init B the delta is 0 and DoRA renorm is identity
+    merged = apply_lora(params, lora, cfg)
+    np.testing.assert_allclose(
+        np.asarray(merged["language_model"]["layers"]["q_proj"]),
+        np.asarray(params["language_model"]["layers"]["q_proj"]),
+        rtol=1e-5, atol=1e-6)
+    # a nonzero B makes DoRA differ from plain LoRA
+    for ab in lora.values():
+        ab["b"] = ab["b"] + 0.3
+    plain = apply_lora(params, lora, LoraConfig(
+        r=4, alpha=8.0, use_dora=False, exclude_prefixes=()))
+    dora = apply_lora(params, lora, cfg)
+    assert not np.allclose(
+        np.asarray(plain["language_model"]["layers"]["q_proj"]),
+        np.asarray(dora["language_model"]["layers"]["q_proj"]))
