@@ -66,7 +66,11 @@ def parse_args(argv=None):
     p.add_argument("--max_seq_len", type=int, default=8192)
     p.add_argument("--packing", action="store_true")
     p.add_argument("--batch_size", type=int, default=1,
-                   help="per-step global batch")
+                   help="per-micro-step global batch")
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1,
+                   help="micro-batches per optimizer step (effective "
+                   "batch = batch_size * this; reference arithmetic "
+                   "train_mllava.sh:135-137)")
     # optimization (reference: lr 1e-5 cosine, warmup 3%, wd 0, bf16)
     p.add_argument("--learning_rate", type=float, default=1e-5)
     p.add_argument("--lr_schedule", default="cosine")
@@ -189,9 +193,11 @@ def main(argv=None):
     loader = data_lib.DataLoader(
         train_ds, collator, args.batch_size, shuffle=True, seed=args.seed)
 
-    steps_per_epoch = max(len(loader), 1)
+    accum = max(args.gradient_accumulation_steps, 1)
+    steps_per_epoch = max(len(loader) // accum, 1)  # optimizer steps
     max_steps = (args.max_steps if args.max_steps > 0
                  else int(steps_per_epoch * args.num_epochs))
+    micro_steps = max_steps * accum
 
     lora_cfg = None
     if args.use_lora or args.use_qlora or args.use_dora:
@@ -201,6 +207,7 @@ def main(argv=None):
         learning_rate=(1e-3 if args.do_pretrain else args.learning_rate),
         lr_schedule=args.lr_schedule, warmup_ratio=args.warmup_ratio,
         max_steps=max_steps, weight_decay=args.weight_decay,
+        gradient_accumulation_steps=accum,
         grad_clip=args.grad_clip, compute_dtype=args.compute_dtype,
         use_remat=not args.no_remat,
         tune_projector_only=args.do_pretrain,
@@ -268,10 +275,11 @@ def main(argv=None):
     flops_per_token = estimate_train_flops(cfg)
     step = int(state.step)
     t_last = time.perf_counter()
-    print(f"training: {max_steps} steps, {steps_per_epoch}/epoch")
-    while step < max_steps:
+    print(f"training: {max_steps} optimizer steps "
+          f"(x{accum} accumulation), {steps_per_epoch}/epoch")
+    while step < micro_steps:
         for batch in loader:
-            if step >= max_steps:
+            if step >= micro_steps:
                 break
             batch = put_batch(batch)
             tokens = int(np.prod(batch["input_ids"].shape))
@@ -286,7 +294,8 @@ def main(argv=None):
                     197e12 * len(jax.devices()))
                 logger.log(step=step, loss=loss,
                            grad_norm=float(metrics["grad_norm"]),
-                           lr=float(sched(step)), tokens_per_sec=tok_s,
+                           lr=float(sched(step // accum)),
+                           tokens_per_sec=tok_s,
                            mfu=mfu, step_time_s=dt)
             if step % args.save_steps == 0:
                 mgr.save(step, state)

@@ -83,7 +83,10 @@ class TrainConfig:
     learning_rate: float = 1e-5
     lr_schedule: str = "cosine"          # 'cosine' | 'linear' | 'constant'
     warmup_ratio: float = 0.03
-    max_steps: int = 1000
+    max_steps: int = 1000                # OPTIMIZER steps (not micro)
+    # micro-batches averaged per optimizer step (reference global-batch
+    # arithmetic: train_mllava.sh:135-137, global batch 128)
+    gradient_accumulation_steps: int = 1
     weight_decay: float = 0.0
     grad_clip: float = 1.0
     adam_b1: float = 0.9
@@ -125,6 +128,12 @@ def make_optimizer(cfg: TrainConfig):
         optax.adamw(sched, b1=cfg.adam_b1, b2=cfg.adam_b2,
                     eps=cfg.adam_eps, weight_decay=cfg.weight_decay),
     )
+    if cfg.gradient_accumulation_steps > 1:
+        # grads averaged over k micro-batches; the inner optimizer (and
+        # its lr schedule) advances once per k calls, so cfg.max_steps
+        # keeps meaning optimizer steps.
+        tx = optax.MultiSteps(
+            tx, every_k_schedule=cfg.gradient_accumulation_steps)
     return tx, sched
 
 

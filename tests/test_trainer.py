@@ -283,3 +283,56 @@ def test_dora_magnitudes_initialized_and_change_apply():
     assert not np.allclose(
         np.asarray(plain["language_model"]["layers"]["q_proj"]),
         np.asarray(dora["language_model"]["layers"]["q_proj"]))
+
+
+def test_gradient_accumulation_matches_combined_batch():
+    """k=2 accumulation: params frozen on odd micro-steps; the applied
+    update matches one step on the concatenated batch (equal valid-token
+    counts per micro-batch -> grad mean == combined-batch grad)."""
+    cfg = tiny_cfg()
+    params = mllava_model.init_params(cfg, jax.random.PRNGKey(0))
+    pred = lambda p: T.default_trainable_pred(p)  # noqa: E731
+    trainable, frozen = T.partition_params(params, pred)
+    copy = lambda t: jax.tree.map(  # noqa: E731
+        lambda x: jnp.array(x, copy=True), t)
+
+    rng = np.random.RandomState(0)
+    S = 64
+    ids = rng.randint(2, 120, size=(4, S)).astype(np.int64)
+    labels = ids.copy()
+    seg = np.ones((4, S), np.int32)
+    pos = np.broadcast_to(np.arange(S), (4, S)).astype(np.int32)
+
+    def batch(sl):
+        return {"input_ids": jnp.asarray(ids[sl]),
+                "labels": jnp.asarray(labels[sl]),
+                "segment_ids": jnp.asarray(seg[sl]),
+                "positions": jnp.asarray(pos[sl])}
+
+    base = dict(learning_rate=1e-3, lr_schedule="constant", max_steps=4,
+                compute_dtype="float32", use_remat=False, grad_clip=0.0)
+
+    # accumulated: two micro-batches of 2
+    tacc = T.TrainConfig(gradient_accumulation_steps=2, **base)
+    opt_a, _ = T.make_optimizer(tacc)
+    step_a = T.make_train_step(mllava_model.forward, cfg, tacc, opt_a,
+                               copy(frozen))
+    sa = T.create_train_state(copy(trainable), opt_a)
+    p0 = copy(sa.params)
+    sa, _ = step_a(sa, batch(slice(0, 2)))
+    # after the first micro-step params must be UNCHANGED
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(sa.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    sa, _ = step_a(sa, batch(slice(2, 4)))
+
+    # combined: one step on all 4 rows
+    tcmb = T.TrainConfig(gradient_accumulation_steps=1, **base)
+    opt_c, _ = T.make_optimizer(tcmb)
+    step_c = T.make_train_step(mllava_model.forward, cfg, tcmb, opt_c,
+                               copy(frozen))
+    sc = T.create_train_state(copy(trainable), opt_c)
+    sc, _ = step_c(sc, batch(slice(0, 4)))
+
+    for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sc.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
