@@ -547,6 +547,7 @@ conv_templates: Dict[str, Conversation] = {
     "mllava_v1_mmtag": conv_mllava_v1_mmtag,
     "idefics_2": conv_idefics_2,
     "idefics_3": conv_idefics_3,
+    "mfuyu_v1": conv_mfuyu_v1,
     "openflamingo": conv_openflamingo,
     "videollava": conv_videollava,
     "mpt": conv_mpt,

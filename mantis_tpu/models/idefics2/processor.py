@@ -80,7 +80,9 @@ class Idefics2Processor:
     def __call__(self, text: Union[str, List[str]], images=None,
                  truncation: bool = True,
                  max_length: Optional[int] = None,
-                 add_image_ids: bool = False) -> Dict[str, np.ndarray]:
+                 add_image_ids: bool = False,
+                 expand_image_tokens: bool = True
+                 ) -> Dict[str, np.ndarray]:
         texts = [text] if isinstance(text, str) else list(text)
         pix, masks, poss = [], [], []
         if images is not None:
@@ -97,12 +99,17 @@ class Idefics2Processor:
                     pix.append(c)
                     masks.append(m)
                     poss.append(p)
-        # the HF image_str pattern with double-fake collapsing
-        image_str = (FAKE_IMAGE_TOKEN + IMAGE_TOKEN * self.image_seq_len
-                     + FAKE_IMAGE_TOKEN)
-        texts = [t.replace(IMAGE_TOKEN, image_str).replace(
-            FAKE_IMAGE_TOKEN + FAKE_IMAGE_TOKEN, FAKE_IMAGE_TOKEN)
-            for t in texts]
+        if expand_image_tokens:
+            # the HF image_str pattern with double-fake collapsing
+            image_str = (FAKE_IMAGE_TOKEN
+                         + IMAGE_TOKEN * self.image_seq_len
+                         + FAKE_IMAGE_TOKEN)
+            texts = [t.replace(IMAGE_TOKEN, image_str).replace(
+                FAKE_IMAGE_TOKEN + FAKE_IMAGE_TOKEN, FAKE_IMAGE_TOKEN)
+                for t in texts]
+        # else: single <image> tokens survive tokenization; the training
+        # pipeline masks labels on the compact ids and then calls
+        # expand_ids_and_labels below for the identical final sequence.
         enc = self.tokenizer(texts, truncation=truncation,
                              max_length=max_length,
                              add_special_tokens=True)
@@ -120,6 +127,29 @@ class Idefics2Processor:
             out["patch_mask"] = np.stack(masks)
             out["patch_position_ids"] = np.stack(poss)
         return out
+
+    def expand_ids_and_labels(self, ids, labels):
+        """Id-level equivalent of the text-space image_str expansion:
+        <image> -> <fake> <image>*seq <fake>, collapsing the fake token
+        between adjacent images.  Inserted positions get -100 labels."""
+        import numpy as np
+
+        fake_id = self.tokenizer.convert_tokens_to_ids(FAKE_IMAGE_TOKEN)
+        out_ids, out_lab = [], []
+        for t, l in zip(ids.tolist(), labels.tolist()):
+            if t == self.image_token_index:
+                if not out_ids or out_ids[-1] != fake_id:
+                    out_ids.append(fake_id)
+                    out_lab.append(-100)
+                out_ids.extend([t] * self.image_seq_len)
+                out_lab.extend([-100] * self.image_seq_len)
+                out_ids.append(fake_id)
+                out_lab.append(-100)
+            else:
+                out_ids.append(t)
+                out_lab.append(l)
+        return (np.asarray(out_ids, np.int64),
+                np.asarray(out_lab, np.int64))
 
     def decode(self, ids, **kw):
         return self.tokenizer.decode(ids, **kw)

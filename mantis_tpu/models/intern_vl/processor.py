@@ -89,7 +89,7 @@ class InternVLChatProcessor:
             IMG_CONTEXT)
 
     def __call__(self, text: str, images=None, truncation=True,
-                 max_length: Optional[int] = None):
+                 max_length: Optional[int] = None, **_):
         tiles_per_image: List[int] = []
         all_tiles = []
         if images:
@@ -121,3 +121,14 @@ class InternVLChatProcessor:
             out["pixel_values"] = normalize_tiles(all_tiles)
             out["tiles_per_image"] = np.asarray(tiles_per_image)
         return out
+
+    def expand_ids_and_labels(self, ids, labels):
+        # IMG_CONTEXT runs were expanded inline during __call__; only
+        # mask them (and the img delimiters) out of the loss
+        lab = labels.copy()
+        for tok in (IMG_START, IMG_END, IMG_CONTEXT):
+            lab[ids == self.tokenizer.convert_tokens_to_ids(tok)] = -100
+        return ids, lab
+
+    def decode(self, ids, **kw):
+        return self.tokenizer.decode(ids, **kw)

@@ -39,6 +39,10 @@ from PIL import Image
 from mantis_tpu.models.conversation import Conversation, SeparatorStyle
 
 IGNORE_INDEX = -100
+# per-image model inputs forwarded from processors through datasets and
+# concatenated along the image axis by the Collator
+IMAGE_BATCH_KEYS = ("pixel_values", "patch_mask", "patch_position_ids",
+                    "image_patches", "image_grid_thw", "tiles_per_image")
 DEFAULT_IMAGE_TOKEN = "<image>"
 DEFAULT_IMAGE_TOKEN_ID: Optional[int] = None
 DEFAULT_VIDEO_TOKEN = "<video>"
@@ -336,9 +340,15 @@ class ChatDataset:
 
         ids = enc["input_ids"][0]
         labels = mask_labels(ids, self.conv, self.processor.tokenizer)
-        ids, labels = expand_ids_and_labels(
-            ids, labels, self.processor.image_token_index,
-            self.processor.num_image_tokens)
+        expand = getattr(self.processor, "expand_ids_and_labels", None)
+        if expand is not None:
+            # arch-specific expansion (idefics fake-token wrapping,
+            # already-inline internvl/qwen2 runs, fuyu patch blocks)
+            ids, labels = expand(np.asarray(ids, np.int64), labels)
+        else:
+            ids, labels = expand_ids_and_labels(
+                ids, labels, self.processor.image_token_index,
+                self.processor.num_image_tokens)
 
         if (self.ensure_seq_len_multiple_of
                 and len(ids) % self.ensure_seq_len_multiple_of != 0):
@@ -350,8 +360,9 @@ class ChatDataset:
                 [labels, np.full(pad, IGNORE_INDEX, np.int64)])
 
         out = {"input_ids": ids, "labels": labels}
-        if "pixel_values" in enc:
-            out["pixel_values"] = enc["pixel_values"]
+        for k in IMAGE_BATCH_KEYS:
+            if k in enc:
+                out[k] = enc[k]
         return out
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
@@ -702,6 +713,41 @@ class Collator:
                     np.float32)
                 pix_cat = np.concatenate([pix_cat, pad_block])
             out["pixel_values"] = pix_cat.astype(np.float32)
+        # other per-image inputs (NaViT masks, fuyu patches, qwen grids)
+        for key in IMAGE_BATCH_KEYS:
+            if key == "pixel_values":
+                continue
+            vals = [e[key] for e in examples if key in e]
+            if not vals:
+                continue
+            if key in ("patch_mask", "patch_position_ids"):
+                vals = [e[key][:kept_images[i]]
+                        for i, e in enumerate(examples) if key in e]
+                cat = np.concatenate(vals)
+                if pad_imgs > 0:
+                    # pad images are full-square canvases: all-ones mask
+                    # and the square position grid keep NaViT attention
+                    # well-formed; nothing references their features
+                    pad = (np.ones((pad_imgs, *cat.shape[1:]), cat.dtype)
+                           if key == "patch_mask" else
+                           np.broadcast_to(
+                               np.arange(cat.shape[1], dtype=cat.dtype),
+                               (pad_imgs, cat.shape[1])).copy())
+                    cat = np.concatenate([cat, pad])
+                out[key] = cat
+            else:
+                # fuyu patches / qwen grids: no pad-image or truncation
+                # story (variable tokens per image) — require the batch
+                # to fit, with exact image buckets
+                truncated = any(
+                    key in e and len(e["input_ids"]) > tgt
+                    for e in examples)
+                if pad_imgs > 0 or truncated:
+                    raise ValueError(
+                        f"image padding/truncation unsupported with "
+                        f"'{key}' inputs; raise seq bucket or use exact "
+                        f"image buckets")
+                out[key] = np.concatenate(vals)
         if "class_labels" in examples[0]:
             out["class_labels"] = np.stack(
                 [e["class_labels"] for e in examples])

@@ -1,0 +1,283 @@
+"""Multi-architecture SFT trainer CLI.
+
+One entry covering the reference's per-arch trainer scripts
+(reference: mantis/train/train_idefics2.py, train_idefics3.py,
+train_qwen2_vl.py, train_intern_vl_25.py, train_openflamingo.py,
+train_siglip_video.py, train_fuyu.py — all sharing the skeleton of
+train_mllava.py:266-349).  Pick the family with ``--arch``; per-arch
+freezing/LoRA/data policies come from mantis_tpu.train.archs.
+
+Debug/smoke usage (the reference's train_example_* recipe):
+  python -m mantis_tpu.train.train --arch idefics2 --init_random \
+      --data_path examples/data/chat/train.json \
+      --output_dir /tmp/sft --max_steps 20 --batch_size 2
+
+The flagship MLlava keeps its dedicated CLI (train_mllava.py) with HF
+checkpoint loading; this entry accepts --arch mllava too.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mantis_tpu.models.conversation import conv_templates
+from mantis_tpu.parallel.mesh import create_mesh
+from mantis_tpu.parallel.sharding import batch_sharding, shard_params
+from mantis_tpu.train import archs as archs_lib
+from mantis_tpu.train import data as data_lib
+from mantis_tpu.train import trainer as trainer_lib
+from mantis_tpu.train.checkpoints import CheckpointManager
+from mantis_tpu.train.lora import LoraConfig, init_lora_params
+from mantis_tpu.utils.metrics import MetricsLogger, estimate_train_flops
+
+
+def parse_args(argv=None, default_arch=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--arch", default=default_arch, required=not
+                   default_arch, choices=sorted(archs_lib.ARCHS))
+    p.add_argument("--init_random", action="store_true",
+                   help="random-init a tiny debug model (smoke recipe)")
+    p.add_argument("--conv_template", default=None)
+    p.add_argument("--param_dtype", default="float32")
+    # peft / freezing
+    p.add_argument("--use_lora", action="store_true")
+    p.add_argument("--use_qlora", action="store_true")
+    p.add_argument("--use_dora", action="store_true")
+    p.add_argument("--lora_r", type=int, default=128)
+    p.add_argument("--lora_alpha", type=float, default=256.0)
+    p.add_argument("--train_vision", action="store_true")
+    p.add_argument("--xattn_pretrain", action="store_true",
+                   help="internvl: clone self-attn into cross-attn, "
+                   "train the cross-attn branch only "
+                   "(reference train_intern_vl_25.py:302-332)")
+    # data
+    p.add_argument("--data_path", type=str, default=None,
+                   help="single chat JSON/JSONL (or siglip_video JSON)")
+    p.add_argument("--data_config_path", type=str, default=None,
+                   help="YAML mixture (chat format entries)")
+    p.add_argument("--max_seq_len", type=int, default=8192)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--num_frames", type=int, default=4)
+    # optimization
+    p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--lr_schedule", default="cosine")
+    p.add_argument("--warmup_ratio", type=float, default=0.03)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--max_steps", type=int, default=-1)
+    p.add_argument("--num_epochs", type=float, default=1.0)
+    p.add_argument("--grad_clip", type=float, default=1.0)
+    p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--no_remat", action="store_true")
+    # mesh
+    p.add_argument("--mesh_data", type=int, default=-1)
+    p.add_argument("--mesh_fsdp", type=int, default=1)
+    # io
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--save_steps", type=int, default=500)
+    p.add_argument("--save_total_limit", type=int, default=1)
+    p.add_argument("--logging_steps", type=int, default=1)
+    p.add_argument("--resume", action="store_true", default=True)
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args(argv)
+
+
+def _data_paths(args):
+    if args.data_path:
+        return [args.data_path]
+    import yaml
+
+    with open(args.data_config_path) as f:
+        dcfg = yaml.safe_load(f)
+    return [e["path"] for e in dcfg.get("data", [])]
+
+
+def build_model_and_data(args, spec):
+    from mantis_tpu.utils.debug_tokenizer import (
+        build_tokenizer_from_json_data)
+
+    paths = _data_paths(args)
+    if not args.init_random:
+        raise NotImplementedError(
+            f"HF checkpoint loading for --arch {spec.name} comes via "
+            "mantis_tpu.io.hf_loader (see train_mllava.py for the "
+            "flagship path); use --init_random for the debug recipe.")
+    if spec.dataset_format == "siglip_video":
+        import json
+
+        def texts():
+            for p in paths:
+                with open(p) as f:
+                    for item in json.load(f):
+                        yield item.get("text", item.get("caption", ""))
+        from mantis_tpu.utils.debug_tokenizer import (
+            build_tokenizer_from_texts)
+
+        tok = build_tokenizer_from_texts(texts())
+    else:
+        tok = build_tokenizer_from_json_data(paths)
+    cfg = spec.debug_config(tok)
+    params = spec.init_params(cfg, jax.random.PRNGKey(args.seed),
+                              jnp.dtype(args.param_dtype))
+    if spec.prepare_params is not None and args.xattn_pretrain:
+        params = spec.prepare_params(params, cfg)
+    processor = spec.make_processor(tok, cfg)
+
+    conv = conv_templates[args.conv_template or spec.conv_template]
+    if spec.dataset_format == "siglip_video":
+        datasets = [data_lib.SiglipVideoDataset(
+            p, processor.tokenizer, processor.image_processor,
+            num_frames=args.num_frames) for p in paths]
+    else:
+        data_lib.set_default_image_token_id(processor.image_token_index)
+        datasets = [data_lib.ChatDataset(
+            p, processor, conv, max_seq_len=args.max_seq_len)
+            for p in paths]
+    ds = (datasets[0] if len(datasets) == 1
+          else data_lib.DatasetCollection(datasets))
+    collator = spec.make_collator(processor, cfg, {
+        "seq_buckets": tuple(
+            b for b in (256, 512, 1024, 2048, 4096, 8192)
+            if b <= args.max_seq_len) or (args.max_seq_len,),
+    })
+    return cfg, params, processor, ds, collator
+
+
+def main(argv=None, default_arch=None):
+    args = parse_args(argv, default_arch)
+    spec = archs_lib.get_arch(args.arch)
+    os.makedirs(args.output_dir, exist_ok=True)
+    devices = None
+    if args.mesh_data > 0:
+        n = args.mesh_data * args.mesh_fsdp
+        if n < len(jax.devices()):  # explicit sub-mesh
+            devices = jax.devices()[:n]
+    mesh = create_mesh(data=args.mesh_data, fsdp=args.mesh_fsdp,
+                       devices=devices)
+
+    cfg, params, processor, ds, collator = build_model_and_data(
+        args, spec)
+    loader = data_lib.DataLoader(ds, collator, args.batch_size,
+                                 shuffle=True, seed=args.seed)
+
+    accum = max(args.gradient_accumulation_steps, 1)
+    steps_per_epoch = max(len(loader) // accum, 1)
+    max_steps = (args.max_steps if args.max_steps > 0
+                 else int(steps_per_epoch * args.num_epochs))
+    micro_steps = max_steps * accum
+
+    lora_cfg = None
+    if args.use_lora or args.use_qlora or args.use_dora:
+        lora_cfg = LoraConfig(r=args.lora_r, alpha=args.lora_alpha,
+                              use_dora=args.use_dora,
+                              exclude_prefixes=spec.lora_exclude)
+    tcfg = trainer_lib.TrainConfig(
+        learning_rate=args.learning_rate, lr_schedule=args.lr_schedule,
+        warmup_ratio=args.warmup_ratio, max_steps=max_steps,
+        weight_decay=args.weight_decay,
+        gradient_accumulation_steps=accum, grad_clip=args.grad_clip,
+        compute_dtype=args.compute_dtype, use_remat=not args.no_remat,
+        lora=lora_cfg)
+
+    opt, sched = trainer_lib.make_optimizer(tcfg)
+    if lora_cfg is not None:
+        if args.use_qlora:
+            from mantis_tpu.ops.quant import quantize_tree
+
+            params = quantize_tree(params, bits=4)
+        base = shard_params(params, mesh)
+        trainable = init_lora_params(
+            params, lora_cfg, jax.random.PRNGKey(args.seed + 1))
+        if lora_cfg.use_dora:
+            from mantis_tpu.train.lora import init_dora_magnitudes
+
+            trainable = init_dora_magnitudes(params, trainable)
+        trainable = shard_params(trainable, mesh)
+        step_fn = trainer_lib.make_train_step(
+            None, cfg, tcfg, opt, None, base_params_for_lora=base,
+            compute_loss=spec.compute_loss)
+    else:
+        if args.xattn_pretrain:
+            # train only the cross-attn branch (+ gates)
+            pred = lambda p: p.startswith("cross_attention")  # noqa
+        elif args.train_vision:
+            pred = lambda p: True  # noqa: E731
+        else:
+            pred = spec.trainable_pred
+        trainable, frozen = trainer_lib.partition_params(params, pred)
+        trainable = shard_params(trainable, mesh)
+        frozen = shard_params(frozen, mesh)
+        step_fn = trainer_lib.make_train_step(
+            None, cfg, tcfg, opt, frozen,
+            compute_loss=spec.compute_loss)
+
+    state = trainer_lib.create_train_state(trainable, opt)
+    mgr = CheckpointManager(args.output_dir, args.save_total_limit)
+    if args.resume:
+        restored, start_step = mgr.restore_latest(state)
+        if restored is not None:
+            state = restored
+            print(f"resumed from checkpoint-{start_step}")
+
+    bs = batch_sharding(mesh)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def put_batch(batch):
+        out = {}
+        for k, v in batch.items():
+            # [B, ...] rows shard over (data, fsdp); per-image tensors
+            # and qwen2's [3, B, S] M-RoPE positions replicate
+            if v.ndim >= 2 and v.shape[0] == args.batch_size \
+                    and not (k == "positions" and v.ndim == 3):
+                out[k] = jax.device_put(v, bs)
+            else:
+                out[k] = jax.device_put(
+                    v, NamedSharding(mesh, PartitionSpec()))
+        return out
+
+    logger = MetricsLogger(os.path.join(args.output_dir,
+                                        "metrics.jsonl"))
+    try:
+        flops_per_token = estimate_train_flops(cfg)
+    except Exception:
+        flops_per_token = 0.0
+    step = int(state.step)
+    t_last = time.perf_counter()
+    print(f"training {spec.name}: {max_steps} optimizer steps "
+          f"(x{accum} accumulation), {steps_per_epoch}/epoch")
+    while step < micro_steps:
+        for batch in loader:
+            if step >= micro_steps:
+                break
+            batch = put_batch(batch)
+            tokens = int(np.prod(batch["input_ids"].shape))
+            state, metrics = step_fn(state, batch)
+            step += 1
+            if step % args.logging_steps == 0:
+                loss = float(metrics["loss"])
+                dt = time.perf_counter() - t_last
+                t_last = time.perf_counter()
+                tok_s = tokens / dt
+                mfu = (flops_per_token * tok_s) / (
+                    197e12 * len(jax.devices()))
+                logger.log(step=step, loss=loss,
+                           grad_norm=float(metrics["grad_norm"]),
+                           lr=float(sched(step // accum)),
+                           tokens_per_sec=tok_s, mfu=mfu,
+                           step_time_s=dt)
+            if step % args.save_steps == 0:
+                mgr.save(step, state)
+    mgr.save(step, state)
+    print(f"done at step {step}; final checkpoint saved to "
+          f"{args.output_dir}")
+
+
+if __name__ == "__main__":
+    main()

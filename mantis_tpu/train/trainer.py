@@ -150,12 +150,17 @@ def make_train_step(
     base_params_for_lora: Any = None,
     context_attention=None,
     labels_preshifted: bool = False,
+    compute_loss: Optional[Callable] = None,
 ):
     """Build the jitted train step.
 
     Full/partial finetune: state.params is the trainable subtree, combined
     with ``frozen_params`` each step.  LoRA: state.params is the adapter
     tree; ``base_params_for_lora`` is the full (frozen) base.
+
+    compute_loss: optional arch adapter ``(params, cfg, batch, train_cfg)
+    -> loss`` replacing the default batch->forward mapping (used by the
+    multi-arch trainer, mantis_tpu.train.archs).
     """
     compute_dtype = jnp.dtype(train_cfg.compute_dtype)
 
@@ -172,6 +177,8 @@ def make_train_step(
 
     def loss_fn(trainable, batch):
         params = cast(build_full_params(trainable))
+        if compute_loss is not None:
+            return compute_loss(params, model_cfg, batch, train_cfg)
         kwargs = {}
         if context_attention is not None:
             kwargs.update(context_attention=context_attention,

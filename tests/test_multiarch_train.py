@@ -1,0 +1,63 @@
+"""Smoke-train every architecture end-to-end through the generic CLI
+(VERDICT #4 done-criterion: per-arch loss decreases on example data and
+the checkpoint round-trips).  Mirrors the reference's
+train_example_chat.sh debug recipe (reference: README.md:84-99)."""
+
+import json
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CHAT = os.path.join(REPO, "examples", "data", "chat", "train.json")
+SV = os.path.join(REPO, "examples", "data", "siglip_video",
+                  "train.json")
+
+ARCHS = ["mllava", "idefics2", "idefics3", "internvl", "qwen2_vl",
+         "mfuyu", "openflamingo", "siglip_video"]
+
+
+def _read_metrics(out_dir):
+    with open(os.path.join(out_dir, "metrics.jsonl")) as f:
+        return [json.loads(l) for l in f if l.strip()]
+
+
+def _run(arch, out_dir, extra=()):
+    from mantis_tpu.train.train import main
+
+    data = SV if arch == "siglip_video" else CHAT
+    main([
+        "--arch", arch, "--init_random", "--data_path", data,
+        "--output_dir", out_dir, "--max_steps", "8",
+        "--batch_size", "2", "--learning_rate", "3e-3",
+        "--lr_schedule", "constant", "--compute_dtype", "float32",
+        "--max_seq_len", "1024", "--no_remat", "--save_steps", "8",
+        "--num_frames", "2", "--mesh_data", "2", "--mesh_fsdp", "1",
+        *extra,
+    ])
+    return _read_metrics(out_dir)
+
+
+@pytest.mark.parametrize("arch", ARCHS)
+def test_smoke_train_loss_decreases(arch, tmp_path):
+    out = str(tmp_path / arch)
+    metrics = _run(arch, out)
+    losses = [m["loss"] for m in metrics]
+    assert len(losses) == 8
+    assert all(l == l and abs(l) < 1e9 for l in losses), losses  # finite
+    assert losses[-1] < losses[0], (arch, losses)
+    # checkpoint written and resumable: continuing adds steps on top
+    ckpts = [d for d in os.listdir(out) if d.startswith("checkpoint-")]
+    assert ckpts, os.listdir(out)
+    metrics2 = _run(arch, out)  # resumes from checkpoint-8
+    assert metrics2[-1]["step"] == 8  # already done; no extra steps run
+
+
+def test_lora_smoke_qwen2_vl(tmp_path):
+    out = str(tmp_path / "qwen_lora")
+    metrics = _run("qwen2_vl", out,
+                   extra=("--use_lora", "--lora_r", "4",
+                          "--lora_alpha", "8", "--learning_rate",
+                          "5e-3"))
+    losses = [m["loss"] for m in metrics]
+    assert losses[-1] < losses[0], losses
