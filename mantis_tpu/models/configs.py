@@ -32,6 +32,9 @@ class LlamaConfig:
     # M-RoPE (Qwen2-VL): per-axis rotary sections summing to head_dim/2;
     # None = standard 1-D rope.
     mrope_section: 'Optional[tuple]' = None
+    # Mistral sliding-window attention (reference Idefics2 inherits it
+    # via attn_implementation, modeling_idefics2.py:1498); None = full.
+    sliding_window: Optional[int] = None
 
     @property
     def head_dim_(self) -> int:
@@ -56,6 +59,7 @@ class LlamaConfig:
             tie_word_embeddings=get("tie_word_embeddings", False),
             attention_bias=get("attention_bias", False),
             mlp_bias=get("mlp_bias", False),
+            sliding_window=get("sliding_window", None),
             mrope_section=tuple(get("rope_scaling")["mrope_section"])
             if isinstance(get("rope_scaling"), dict)
             and "mrope_section" in get("rope_scaling") else None,

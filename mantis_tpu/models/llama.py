@@ -147,7 +147,8 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
             ).astype(x.dtype)
 
 
-def _decode_attention(q, k_cache, v_cache, kv_seg, q_seg, length, scale):
+def _decode_attention(q, k_cache, v_cache, kv_seg, q_seg, length, scale,
+                      window=None):
     """Single/few-token attention against the KV cache.
 
     q: [B, Sq, Hq, Dh]; k_cache/v_cache: [B, M, Hk, Dh]; kv_seg: [B, M];
@@ -166,6 +167,10 @@ def _decode_attention(q, k_cache, v_cache, kv_seg, q_seg, length, scale):
     causal = pos[None, None, :] <= q_pos[None, :, None]       # [1, Sq, M]
     seg_ok = kv_seg[:, None, :] == q_seg[:, :, None]          # [B, Sq, M]
     mask = causal & seg_ok
+    if window is not None:
+        # Mistral SWA over the cache: only the last `window` positions
+        mask = mask & (q_pos[None, :, None] - pos[None, None, :]
+                       < window)
     logits = jnp.where(mask[:, None, None, :, :], logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
     out = jnp.einsum("bhgqm,bmhd->bqhgd", probs, v_cache)
@@ -257,7 +262,7 @@ def forward(
         if decode_mode:
             attn = _decode_attention(
                 q, k_cache_l, v_cache_l, kv_seg_full, segment_ids,
-                offset + s, scale)
+                offset + s, scale, window=cfg.sliding_window)
         elif context_attention is not None:
             # ring attention over the context mesh axis (sequence is
             # zigzag-ordered by the data layer)
@@ -266,11 +271,13 @@ def forward(
             if attn_impl == "xla":
                 attn = mha_reference(
                     q, k, v, causal=True, segment_ids=segment_ids,
-                    softmax_scale=scale)
+                    softmax_scale=scale,
+                    window_size=cfg.sliding_window)
             else:
                 attn = flash_attention(
                     q, k, v, causal=True, segment_ids=segment_ids,
-                    softmax_scale=scale, implementation=attn_impl)
+                    softmax_scale=scale, implementation=attn_impl,
+                    window_size=cfg.sliding_window)
         attn = attn.reshape(b, s, hq * dh)
         h = residual + attn @ lp["o_proj"]
 

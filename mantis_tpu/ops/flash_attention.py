@@ -54,6 +54,7 @@ def mha_reference(
     segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
     softmax_scale: Optional[float] = None,
+    window_size: Optional[int] = None,
 ) -> jax.Array:
     """O(S^2)-memory attention in plain jnp. BSHD layout, GQA-aware.
 
@@ -77,6 +78,9 @@ def mha_reference(
         qi = jnp.arange(sq)[:, None]
         ki = jnp.arange(sk)[None, :]
         mask = mask & (qi >= ki)[None, None]
+        if window_size is not None:
+            # Mistral SWA: attend the last window_size keys (incl. self)
+            mask = mask & (qi - ki < window_size)[None, None]
     if segment_ids is not None:
         kseg = kv_segment_ids if kv_segment_ids is not None else segment_ids
         mask = mask & (segment_ids[:, None, :, None] == kseg[:, None, None, :])
@@ -95,7 +99,7 @@ def _fwd_kernel(
     o_ref, lse_ref,
     m_scr, l_scr, acc_scr,
     *, scale, causal, has_segments, block_q, block_k, num_k_blocks,
-    kv_len=None,
+    kv_len=None, window=None,
 ):
     # qseg_ref: [1, block_q, LANES] (lanes replicated);
     # kseg_ref: [1, 8, block_k] (sublanes replicated);
@@ -112,6 +116,11 @@ def _fwd_kernel(
     # A causal block is dead when its lowest q row is above its lowest k col.
     if causal:
         run = (qi + 1) * block_q - 1 >= ki * block_k
+        if window is not None:
+            # block fully below the window band: highest k col is more
+            # than window-1 positions behind the lowest q row
+            run = run & (qi * block_q - ((ki + 1) * block_k - 1)
+                         < window)
     else:
         run = True
 
@@ -136,6 +145,8 @@ def _fwd_kernel(
         mask = None
         if causal:
             mask = row >= col
+            if window is not None:
+                mask = mask & (row - col < window)
         if kv_len is not None:
             # static kv padding boundary (cheaper than segment arrays)
             mask = (col < kv_len) if mask is None else (
@@ -182,7 +193,7 @@ def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, delta_ref,
     dq_ref, dq_scr,
     *, scale, causal, has_segments, block_q, block_k, num_k_blocks,
-    kv_len=None,
+    kv_len=None, window=None,
 ):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
@@ -193,6 +204,11 @@ def _bwd_dq_kernel(
 
     if causal:
         run = (qi + 1) * block_q - 1 >= ki * block_k
+        if window is not None:
+            # block fully below the window band: highest k col is more
+            # than window-1 positions behind the lowest q row
+            run = run & (qi * block_q - ((ki + 1) * block_k - 1)
+                         < window)
     else:
         run = True
 
@@ -221,6 +237,8 @@ def _bwd_dq_kernel(
                     jnp.int32, (block_q, block_k), 0
                 )
                 mask = row >= col
+                if window is not None:
+                    mask = mask & (row - col < window)
             if kv_len is not None:
                 mask = (col < kv_len) if mask is None else (
                     mask & (col < kv_len))
@@ -248,7 +266,7 @@ def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref, dk_scr, dv_scr,
     *, scale, causal, has_segments, block_q, block_k, num_q_blocks,
-    kv_len=None,
+    kv_len=None, window=None,
 ):
     ki = pl.program_id(2)
     qi = pl.program_id(3)
@@ -260,6 +278,11 @@ def _bwd_dkv_kernel(
 
     if causal:
         run = (qi + 1) * block_q - 1 >= ki * block_k
+        if window is not None:
+            # block fully below the window band: highest k col is more
+            # than window-1 positions behind the lowest q row
+            run = run & (qi * block_q - ((ki + 1) * block_k - 1)
+                         < window)
     else:
         run = True
 
@@ -288,6 +311,8 @@ def _bwd_dkv_kernel(
                     jnp.int32, (block_q, block_k), 0
                 )
                 mask = row >= col
+                if window is not None:
+                    mask = mask & (row - col < window)
             if kv_len is not None:
                 mask = (col < kv_len) if mask is None else (
                     mask & (col < kv_len))
@@ -345,7 +370,8 @@ def _broadcast_segs(qseg, kseg, block_q, block_k):
 
 
 def _fwd_call(q, k, v, qseg, kseg, *, scale, causal, has_segments,
-              block_q, block_k, interpret, save_residuals, kv_len=None):
+              block_q, block_k, interpret, save_residuals, kv_len=None,
+              window=None):
     # q: [B, Hq, Sq, D]; k, v: [B, Hk, Sk, D]  (BHSD kernel layout)
     b, hq, sq, d = q.shape
     _, hk, sk, _ = k.shape
@@ -371,6 +397,7 @@ def _fwd_call(q, k, v, qseg, kseg, *, scale, causal, has_segments,
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, has_segments=has_segments,
         block_q=block_q, block_k=block_k, num_k_blocks=nk, kv_len=kv_len,
+        window=window,
     )
     if save_residuals:
         out_specs = [o_spec, lse_spec]
@@ -413,7 +440,7 @@ def _fwd_call(q, k, v, qseg, kseg, *, scale, causal, has_segments,
 
 
 def _bwd_call(res, g, *, scale, causal, has_segments, block_q, block_k,
-              interpret, kv_len=None):
+              interpret, kv_len=None, window=None):
     q, k, v, qseg, kseg, out, lse = res
     b, hq, sq, d = q.shape
     _, hk, sk, _ = k.shape
@@ -444,7 +471,7 @@ def _bwd_call(res, g, *, scale, causal, has_segments, block_q, block_k,
         functools.partial(
             _bwd_dq_kernel, scale=scale, causal=causal,
             has_segments=has_segments, block_q=block_q, block_k=block_k,
-            num_k_blocks=nk, kv_len=kv_len,
+            num_k_blocks=nk, kv_len=kv_len, window=window,
         ),
         grid=(b, hq, nq, nk),
         in_specs=[q_spec, k_spec, k_spec, qseg_spec, kseg_spec, q_spec,
@@ -479,7 +506,7 @@ def _bwd_call(res, g, *, scale, causal, has_segments, block_q, block_k,
         functools.partial(
             _bwd_dkv_kernel, scale=scale, causal=causal,
             has_segments=has_segments, block_q=block_q, block_k=block_k,
-            num_q_blocks=nq, kv_len=kv_len,
+            num_q_blocks=nq, kv_len=kv_len, window=window,
         ),
         grid=(b, hq, nk, nq),
         in_specs=[kq_spec, kk_spec, kk_spec, kqseg_spec, kkseg_spec,
@@ -515,34 +542,36 @@ def _bwd_call(res, g, *, scale, causal, has_segments, block_q, block_k,
 # ---------------------------------------------------------------------------
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12)
 )
 def _flash_attention_core(q, k, v, qseg, kseg, scale, causal, has_segments,
-                          block_q, block_k, interpret, kv_len):
+                          block_q, block_k, interpret, kv_len, window):
     out, _ = _fwd_call(
         q, k, v, qseg, kseg, scale=scale, causal=causal,
         has_segments=has_segments, block_q=block_q, block_k=block_k,
         interpret=interpret, save_residuals=False, kv_len=kv_len,
+        window=window,
     )
     return out
 
 
 def _core_fwd(q, k, v, qseg, kseg, scale, causal, has_segments,
-              block_q, block_k, interpret, kv_len):
+              block_q, block_k, interpret, kv_len, window):
     out, lse = _fwd_call(
         q, k, v, qseg, kseg, scale=scale, causal=causal,
         has_segments=has_segments, block_q=block_q, block_k=block_k,
         interpret=interpret, save_residuals=True, kv_len=kv_len,
+        window=window,
     )
     return out, (q, k, v, qseg, kseg, out, lse)
 
 
 def _core_bwd(scale, causal, has_segments, block_q, block_k, interpret,
-              kv_len, res, g):
+              kv_len, window, res, g):
     dq, dk, dv = _bwd_call(
         res, g, scale=scale, causal=causal, has_segments=has_segments,
         block_q=block_q, block_k=block_k, interpret=interpret,
-        kv_len=kv_len,
+        kv_len=kv_len, window=window,
     )
     return dq, dk, dv, None, None
 
@@ -559,6 +588,7 @@ def flash_attention(
     segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
     softmax_scale: Optional[float] = None,
+    window_size: Optional[int] = None,
     block_q: int = 512,
     block_k: int = 1024,
     implementation: Optional[str] = None,
@@ -577,15 +607,22 @@ def flash_attention(
       kv_segment_ids: ids for k/v when kv_seq != q_seq (defaults to
         segment_ids).
       softmax_scale: defaults to head_dim ** -0.5.
+      window_size: sliding-window attention (Mistral SWA, reference:
+        mantis/models/idefics2/modeling_idefics2.py:1498 passes
+        attn_implementation to the Mistral text model): query i attends
+        keys [i-window_size+1, i].  Requires causal=True.
       implementation: 'pallas' (default on TPU), or 'xla' for the reference
         O(S^2) path.
 
     Returns [batch, q_seq, num_q_heads, head_dim] in q.dtype.
     """
+    if window_size is not None:
+        assert causal, "sliding window requires causal attention"
     if implementation == "xla":
         return mha_reference(
             q, k, v, causal=causal, segment_ids=segment_ids,
             kv_segment_ids=kv_segment_ids, softmax_scale=softmax_scale,
+            window_size=window_size,
         )
     if interpret is None:
         interpret = _interpret_default()
@@ -623,9 +660,11 @@ def flash_attention(
     kp = _pad_to(k, block_k, 1).transpose(0, 2, 1, 3)
     vp = _pad_to(v, block_k, 1).transpose(0, 2, 1, 3)
 
+    window = window_size if (
+        window_size is not None and window_size < sk) else None
     out = _flash_attention_core(
         qp, kp, vp, qseg, kseg, scale, causal, has_segments,
-        block_q, block_k, interpret, kv_len,
+        block_q, block_k, interpret, kv_len, window,
     )
     out = out.transpose(0, 2, 1, 3)
     if pad_q:

@@ -148,3 +148,47 @@ def test_classification_head_shapes():
         params, cfg, input_ids=jnp.asarray(ids),
         segment_ids=jnp.asarray(seg), attn_impl="xla")
     assert logits.shape == (2, 3)
+
+
+def test_sliding_window_parity_seq_longer_than_window():
+    """Mistral SWA (reference: HF Mistral via attn_implementation,
+    modeling_idefics2.py:1498): at seq 48 > window 8 our windowed
+    decoder must match HF eager, and differ from the full-attn run."""
+    cfg_kwargs = dict(
+        vision_config=dict(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=56, patch_size=14),
+        perceiver_config=dict(
+            resampler_n_latents=4, resampler_depth=2, resampler_n_heads=2,
+            resampler_head_dim=16, num_key_value_heads=1),
+        text_config=dict(
+            model_type="mistral", vocab_size=128, hidden_size=32,
+            intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            rms_norm_eps=1e-6, rope_theta=10000.0, sliding_window=8),
+        image_token_id=127,
+        attn_implementation="eager",
+    )
+    hf_cfg = transformers.Idefics2Config(**cfg_kwargs)
+    torch.manual_seed(33)
+    hf = transformers.Idefics2ForConditionalGeneration(hf_cfg).eval()
+    cfg = Idefics2Config.from_hf_config(hf_cfg)
+    assert cfg.text_config.sliding_window == 8
+    params = idefics2_params_from_hf(
+        TensorSource.from_state_dict(hf.state_dict()), cfg)
+
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, 120, size=(1, 48))
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids)).logits.numpy()
+    ours, _, _ = forward(params, cfg, input_ids=jnp.asarray(ids))
+    rel = (np.abs(np.asarray(ours, np.float32) - ref).max()
+           / (np.abs(ref).max() + 1e-9))
+    assert rel < 2e-3, rel
+
+    # full attention must differ (the window actually bites at seq 48)
+    import dataclasses as dc
+    cfg_full = dc.replace(
+        cfg, text_config=dc.replace(cfg.text_config, sliding_window=None))
+    full, _, _ = forward(params, cfg_full, input_ids=jnp.asarray(ids))
+    assert float(jnp.abs(full - ours).max()) > 1e-3
