@@ -33,11 +33,23 @@ def MLLM_Models(model_name: str):
     if model_name.startswith("mantis-tpu:"):
         path = model_name.split(":", 1)[1]
         return lambda: MantisTPUAdapter(path)
+    if ":" in model_name:
+        arch, path = model_name.split(":", 1)
+        from mantis_tpu.benchmark.adapters.chat_models import (
+            ARCH_CHAT_CLASSES)
+
+        if arch in ARCH_CHAT_CLASSES:
+            cls = ARCH_CHAT_CLASSES[arch]
+            return lambda: cls.from_pretrained(path)
     if model_name in _REGISTRY:
         return _REGISTRY[model_name]
+    from mantis_tpu.benchmark.adapters.chat_models import (
+        ARCH_CHAT_CLASSES)
+
     raise KeyError(
-        f"Unknown model {model_name!r}; registered: {sorted(_REGISTRY)} "
-        f"or use 'mantis-tpu:<checkpoint_dir>'")
+        f"Unknown model {model_name!r}; registered: {sorted(_REGISTRY)}, "
+        f"or '<arch>:<checkpoint_dir>' with arch in "
+        f"{sorted(ARCH_CHAT_CLASSES) + ['mantis-tpu']}")
 
 
 def merge_images(images):

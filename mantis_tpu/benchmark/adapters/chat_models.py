@@ -1,0 +1,316 @@
+"""Per-architecture eval adapters: from_pretrained + greedy generate.
+
+Fills the reference's adapter registry for the in-repo families
+(reference: mantis/mllm_tools/__init__.py:4-60 — idefics2/idefics3/
+qwenVL/fuyu/openflamingo wrappers, each exposing ``support_multi_image``
+and ``__call__(messages) -> str`` with greedy ``max_new_tokens=4096``
+decode, mllm_tools/mllava_eval.py:51-55).
+
+Every adapter shares :class:`GenericChat`: build the conversation
+prompt with ``<image>`` markers, run the arch processor, and drive the
+jitted bucketed-prefill + while_loop decode (generation/sampler.py)
+through an arch ``gen_forward`` wrapper that maps the generic
+(input_ids, pixel_values, positions, …) call onto the arch's forward.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+from PIL import Image
+
+import jax.numpy as jnp
+
+from mantis_tpu.generation.sampler import GenerationConfig, generate
+from mantis_tpu.models.conversation import conv_templates
+
+
+class GenericChat:
+    """messages -> prompt -> processor -> generate -> decoded text."""
+
+    support_multi_image = True
+    arch: str = ""
+    conv_template: str = ""
+
+    def __init__(self, cfg, params, processor,
+                 max_new_tokens: int = 4096, cache_dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.params = params
+        self.processor = processor
+        self.max_new_tokens = max_new_tokens
+        self.cache_dtype = cache_dtype
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16,
+                        max_new_tokens: int = 4096):
+        import transformers
+
+        from mantis_tpu.io.hf_loader import load_checkpoint
+        from mantis_tpu.train.archs import get_arch
+
+        arch, cfg, params = load_checkpoint(path, dtype=dtype)
+        if arch != cls.arch:
+            raise ValueError(
+                f"checkpoint {path} is {arch!r}, adapter is {cls.arch!r}")
+        tok = transformers.AutoTokenizer.from_pretrained(path)
+        processor = get_arch(arch).make_processor(tok, cfg)
+        return cls(cfg, params, processor, max_new_tokens=max_new_tokens)
+
+    # ------------------------------------------------------------------
+    def build_prompt(self, messages: List[dict]):
+        parts, images = [], []
+        for m in messages:
+            if m["type"] == "image":
+                im = m["content"]
+                if isinstance(im, str):
+                    im = Image.open(im).convert("RGB")
+                images.append(im)
+                parts.append("<image>")
+            else:
+                parts.append(m["content"])
+        text = "".join(parts)
+        conv = conv_templates[self.conv_template].copy()
+        conv.messages = []
+        conv.append_message(conv.roles[0], text)
+        conv.append_message(conv.roles[1], "")
+        return conv.get_prompt(), images
+
+    def terminators(self):
+        tok = self.processor.tokenizer
+        outs = [tok.eos_token_id]
+        conv = conv_templates[self.conv_template]
+        for t in (conv.sep, conv.sep2):
+            if t and t in tok.get_vocab():
+                outs.append(tok.convert_tokens_to_ids(t.strip(" \n")))
+        return tuple(t for t in dict.fromkeys(outs) if t is not None)
+
+    # arch hooks ---------------------------------------------------------
+    def prepare_inputs(self, prompt: str, images):
+        """-> (input_ids, attention_mask, pixel_values, extra dict)."""
+        enc = self.processor(prompt, images or None, truncation=True,
+                             max_length=None)
+        return (enc["input_ids"], enc.get("attention_mask"),
+                enc.get("pixel_values"), {})
+
+    def gen_forward(self, params, cfg, *, input_ids, pixel_values,
+                    positions, segment_ids, kv_cache, **extra):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    def __call__(self, messages: List[dict]) -> str:
+        prompt, images = self.build_prompt(messages)
+        ids, mask, pix, extra = self.prepare_inputs(prompt, images)
+        gen_cfg = GenerationConfig(
+            max_new_tokens=self.max_new_tokens, do_sample=False,
+            eos_token_ids=self.terminators(),
+            pad_token_id=self.processor.tokenizer.pad_token_id or 0)
+        out = generate(
+            self.params, self.cfg, self.gen_forward, ids,
+            pixel_values=pix, attention_mask=mask, gen_cfg=gen_cfg,
+            cache_dtype=self.cache_dtype, extra=extra)
+        row = out[0]
+        eos = set(gen_cfg.eos_token_ids)
+        stop = len(row)
+        for i, t in enumerate(row):
+            if int(t) in eos:
+                stop = i
+                break
+        return self.processor.tokenizer.decode(
+            row[:stop], skip_special_tokens=True).strip()
+
+
+class Idefics2Chat(GenericChat):
+    arch = "idefics2"
+    conv_template = "idefics_2"
+
+    def prepare_inputs(self, prompt, images):
+        enc = self.processor(prompt, images or None, truncation=True)
+        extra = {}
+        if "patch_mask" in enc:
+            extra = {"patch_mask": enc["patch_mask"],
+                     "patch_position_ids": enc["patch_position_ids"]}
+        return (enc["input_ids"], enc.get("attention_mask"),
+                enc.get("pixel_values"), extra)
+
+    def gen_forward(self, params, cfg, *, input_ids, pixel_values,
+                    positions, segment_ids, kv_cache,
+                    patch_mask=None, patch_position_ids=None):
+        from mantis_tpu.models.idefics2 import model as M
+
+        decode = input_ids.shape[1] == 1
+        return M.forward(
+            params, cfg, input_ids=input_ids,
+            pixel_values=None if decode else pixel_values,
+            patch_mask=None if decode else patch_mask,
+            patch_position_ids=None if decode else patch_position_ids,
+            positions=positions, segment_ids=segment_ids,
+            kv_cache=kv_cache)
+
+
+class Idefics3Chat(Idefics2Chat):
+    arch = "idefics3"
+    conv_template = "idefics_3"
+
+    def gen_forward(self, params, cfg, *, input_ids, pixel_values,
+                    positions, segment_ids, kv_cache,
+                    patch_mask=None, patch_position_ids=None):
+        from mantis_tpu.models.idefics3 import model as M
+
+        decode = input_ids.shape[1] == 1
+        return M.forward(
+            params, cfg, input_ids=input_ids,
+            pixel_values=None if decode else pixel_values,
+            patch_mask=None if decode else patch_mask,
+            patch_position_ids=None if decode else patch_position_ids,
+            positions=positions, segment_ids=segment_ids,
+            kv_cache=kv_cache)
+
+
+class InternVLChat(GenericChat):
+    arch = "internvl"
+    conv_template = "internvl2_5"
+
+    def gen_forward(self, params, cfg, *, input_ids, pixel_values,
+                    positions, segment_ids, kv_cache):
+        from mantis_tpu.models.intern_vl import model as M
+
+        decode = input_ids.shape[1] == 1
+        return M.forward(
+            params, cfg, input_ids=input_ids,
+            pixel_values=None if decode else pixel_values,
+            positions=positions, segment_ids=segment_ids,
+            kv_cache=kv_cache)
+
+
+class MFuyuChat(GenericChat):
+    arch = "mfuyu"
+    conv_template = "mfuyu_v1"
+
+    def prepare_inputs(self, prompt, images):
+        enc = self.processor(prompt, images or None, truncation=True)
+        extra = {}
+        if "image_patches" in enc:
+            extra["image_patches"] = enc["image_patches"]
+        return (enc["input_ids"], enc.get("attention_mask"), None, extra)
+
+    def gen_forward(self, params, cfg, *, input_ids, pixel_values,
+                    positions, segment_ids, kv_cache,
+                    image_patches=None):
+        from mantis_tpu.models.mfuyu import model as M
+
+        decode = input_ids.shape[1] == 1
+        return M.forward(
+            params, cfg, input_ids=input_ids,
+            image_patches=None if decode else image_patches,
+            positions=positions, segment_ids=segment_ids,
+            kv_cache=kv_cache)
+
+
+class Qwen2VLChat(GenericChat):
+    arch = "qwen2_vl"
+    conv_template = "qwen2_vl"
+
+    def prepare_inputs(self, prompt, images):
+        from mantis_tpu.models.qwen2_vl.model import (
+            get_rope_index, vision_rot_pos_ids, vision_segment_ids)
+
+        enc = self.processor(prompt, images or None, truncation=True)
+        ids = enc["input_ids"]
+        b, s = ids.shape
+        # pre-bucket to 128 so the host-computed M-RoPE positions match
+        # the padded shapes inside the jitted loop
+        sb = ((s + 127) // 128) * 128
+        pad_id = self.processor.tokenizer.pad_token_id or 0
+        ids_p = np.full((b, sb), pad_id, np.int64)
+        ids_p[:, :s] = ids
+        mask = np.zeros((b, sb), np.int64)
+        mask[:, :s] = 1
+        grids = enc.get("image_grid_thw")
+        grid_list = ([tuple(int(x) for x in g) for g in grids]
+                     if grids is not None else None)
+        pos3, delta = get_rope_index(
+            ids_p, np.asarray(grid_list) if grid_list else None, mask,
+            self.cfg)
+        extra = {"mrope_positions": pos3.astype(np.int32),
+                 "rope_delta": delta.astype(np.int32)}
+        if grid_list:
+            extra["rot_pos_ids"] = vision_rot_pos_ids(
+                grid_list, self.cfg.vision_config.spatial_merge_size)
+            extra["vision_segment_ids_arr"] = vision_segment_ids(
+                grid_list)
+        return ids_p, mask, enc.get("pixel_values"), extra
+
+    def gen_forward(self, params, cfg, *, input_ids, pixel_values,
+                    positions, segment_ids, kv_cache,
+                    mrope_positions=None, rope_delta=None,
+                    rot_pos_ids=None, vision_segment_ids_arr=None):
+        from mantis_tpu.models.qwen2_vl import model as M
+
+        decode = input_ids.shape[1] == 1
+        if decode:
+            # text decode: all three axes advance together, shifted by
+            # the prompt's vision-span compression delta
+            pos = positions[None] + rope_delta[None]  # [3(broadcast),B,1]
+            pos = jnp.broadcast_to(pos, (3, *positions.shape))
+            pv = rp = vs = None
+        else:
+            pos = mrope_positions
+            pv, rp, vs = pixel_values, rot_pos_ids, vision_segment_ids_arr
+        return M.forward(
+            params, cfg, input_ids=input_ids, pixel_values=pv,
+            rot_pos_ids=rp, vision_segment_ids_arr=vs, positions=pos,
+            segment_ids=segment_ids, kv_cache=kv_cache)
+
+
+class OpenFlamingoChat(GenericChat):
+    """No kv-cache in the flamingo forward (media kv are cross-attended,
+    not cached yet): greedy decode re-runs the bucketed full forward per
+    token — correct, slower; fine for eval batch-1."""
+
+    arch = "openflamingo"
+    conv_template = "openflamingo"
+
+    def __call__(self, messages):
+        from mantis_tpu.models.openflamingo import model as M
+
+        prompt, images = self.build_prompt(messages)
+        enc = self.processor(prompt, images or None, truncation=True)
+        ids = list(enc["input_ids"][0])
+        pix = enc.get("pixel_values")
+        pv = jnp.asarray(pix) if pix is not None else None
+        tok = self.processor.tokenizer
+        eos = set(self.terminators())
+        out_ids = []
+        import jax
+
+        @jax.jit
+        def step(params, ids_arr, seg):
+            logits, _, _ = M.forward(
+                params, self.cfg, input_ids=ids_arr, pixel_values=pv,
+                num_media=len(images) if images else 1,
+                segment_ids=seg)
+            return logits
+
+        max_new = min(self.max_new_tokens, 128)
+        for _ in range(max_new):
+            sb = ((len(ids) + 127) // 128) * 128
+            arr = np.full((1, sb), tok.pad_token_id or 0, np.int64)
+            arr[0, :len(ids)] = ids
+            seg = np.zeros((1, sb), np.int32)
+            seg[0, :len(ids)] = 1
+            logits = step(self.params, jnp.asarray(arr),
+                          jnp.asarray(seg))
+            nxt = int(jnp.argmax(logits[0, len(ids) - 1]))
+            if nxt in eos:
+                break
+            out_ids.append(nxt)
+            ids.append(nxt)
+        return tok.decode(out_ids, skip_special_tokens=True).strip()
+
+
+ARCH_CHAT_CLASSES = {
+    c.arch: c for c in (Idefics2Chat, Idefics3Chat, InternVLChat,
+                        MFuyuChat, Qwen2VLChat, OpenFlamingoChat)
+}

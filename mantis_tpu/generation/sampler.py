@@ -68,6 +68,7 @@ def _generate_jit(
     pixel_values,       # [N, C, H, W] or None
     true_lens,          # [B]
     rng,
+    extra,              # dict of arch-specific arrays (may be empty)
     *,
     model_forward: Callable,
     model_cfg,
@@ -84,7 +85,7 @@ def _generate_jit(
     cache = KVCache.create(text_cfg, b, s + max_new, dtype=cache_dtype)
     logits, _, cache = model_forward(
         params, model_cfg, input_ids=input_ids, pixel_values=pixel_values,
-        positions=positions, segment_ids=seg, kv_cache=cache)
+        positions=positions, segment_ids=seg, kv_cache=cache, **extra)
     last_logits = jnp.take_along_axis(
         logits, (true_lens - 1)[:, None, None], axis=1)[:, 0]
 
@@ -113,7 +114,8 @@ def _generate_jit(
         logits, _, cache = model_forward(
             params, model_cfg, input_ids=tok[:, None].astype(jnp.int32),
             pixel_values=None, positions=pos,
-            segment_ids=jnp.ones((b, 1), jnp.int32), kv_cache=cache)
+            segment_ids=jnp.ones((b, 1), jnp.int32), kv_cache=cache,
+            **extra)
         nxt = sample_token(logits[:, -1], gen_cfg, rng_s)
         nxt = jnp.where(done, gen_cfg.pad_token_id, nxt).astype(jnp.int32)
         out = out.at[:, step].set(
@@ -137,8 +139,14 @@ def generate(
     gen_cfg: Optional[GenerationConfig] = None,
     rng: Optional[jax.Array] = None,
     cache_dtype=jnp.bfloat16,
+    extra: Optional[dict] = None,
 ) -> np.ndarray:
     """Host-side wrapper: bucket-pad the prompt, run the jitted loop.
+
+    extra: arch-specific arrays forwarded to EVERY model_forward call
+    (prefill and decode) — NaViT patch masks, qwen2 grids/M-RoPE inputs,
+    fuyu patches.  The adapter's forward wrapper decides what applies at
+    which phase (prefill has seq>1, decode seq==1 — a static property).
 
     Returns new tokens [B, max_new_tokens] (pad-token filled after EOS).
     """
@@ -156,8 +164,9 @@ def generate(
         rng = jax.random.PRNGKey(0)
 
     pv = None if pixel_values is None else jnp.asarray(pixel_values)
+    extra = {k: jnp.asarray(v) for k, v in (extra or {}).items()}
     out = _generate_jit(
-        params, jnp.asarray(ids), pv, jnp.asarray(true_lens), rng,
+        params, jnp.asarray(ids), pv, jnp.asarray(true_lens), rng, extra,
         model_forward=model_forward, model_cfg=model_cfg, gen_cfg=gen_cfg,
         max_new=gen_cfg.max_new_tokens, cache_dtype=cache_dtype)
     return np.asarray(out)

@@ -602,3 +602,56 @@ def idefics3_params_from_hf(src: TensorSource, cfg, dtype=jnp.float32):
             src, cfg.text_config, prefix="model.text_model.",
             lm_head_key="lm_head.weight", dtype=dtype),
     }
+
+
+# ---------------------------------------------------------------------------
+# Generic directory loader (dispatch on config.json model_type)
+# ---------------------------------------------------------------------------
+
+def load_checkpoint(checkpoint_dir: str, dtype=jnp.bfloat16):
+    """(arch_name, cfg, params) from a local HF checkpoint directory.
+
+    Dispatches on config.json's model_type/architectures the way the
+    reference resolves model classes per adapter
+    (reference: mantis/mllm_tools/__init__.py:61-174).
+    """
+    with open(os.path.join(checkpoint_dir, "config.json")) as f:
+        hf_cfg = json.load(f)
+    mt = (hf_cfg.get("model_type") or "").lower()
+    archs = " ".join(hf_cfg.get("architectures") or []).lower()
+    src = TensorSource.from_safetensors_dir(checkpoint_dir)
+
+    def is_(*names):
+        return any(n in mt or n in archs for n in names)
+
+    if is_("idefics3"):
+        from mantis_tpu.models.idefics3.model import Idefics3Config
+
+        cfg = Idefics3Config.from_hf_config(hf_cfg)
+        return "idefics3", cfg, idefics3_params_from_hf(src, cfg, dtype)
+    if is_("idefics2"):
+        from mantis_tpu.models.idefics2.model import Idefics2Config
+
+        cfg = Idefics2Config.from_hf_config(hf_cfg)
+        return "idefics2", cfg, idefics2_params_from_hf(src, cfg, dtype)
+    if is_("qwen2_vl", "qwen2vl"):
+        from mantis_tpu.models.qwen2_vl.model import Qwen2VLConfig
+
+        cfg = Qwen2VLConfig.from_hf_config(hf_cfg)
+        return "qwen2_vl", cfg, qwen2_vl_params_from_hf(src, cfg, dtype)
+    if is_("fuyu"):
+        from mantis_tpu.models.mfuyu.model import MFuyuConfig
+
+        cfg = MFuyuConfig.from_hf_config(hf_cfg)
+        return "mfuyu", cfg, mfuyu_params_from_hf(src, cfg, dtype)
+    if is_("internvl"):
+        from mantis_tpu.models.intern_vl.model import InternVLConfig
+
+        cfg = InternVLConfig.from_hf_config(hf_cfg)
+        return "internvl", cfg, internvl_params_from_hf(src, cfg, dtype)
+    if is_("llava"):
+        cfg = LlavaConfig.from_hf_config(hf_cfg)
+        return "mllava", cfg, llava_params_from_hf(src, cfg, dtype)
+    raise ValueError(
+        f"Unrecognized checkpoint type: model_type={mt!r}, "
+        f"architectures={archs!r}")
