@@ -398,7 +398,8 @@ def _qwen2_debug_config(tokenizer):
             vocab_size=_vocab(tokenizer), hidden_size=128,
             intermediate_size=256, num_hidden_layers=2,
             num_attention_heads=4, num_key_value_heads=2,
-            rope_theta=1e6, mrope_section=(4, 6, 6)),
+            rope_theta=1e6, mrope_section=(4, 6, 6),
+            attention_bias=True),  # Qwen2 always has qkv biases
         image_token_id=tokenizer.convert_tokens_to_ids("<|image_pad|>"),
         video_token_id=tokenizer.convert_tokens_to_ids("<|video_pad|>"),
         vision_start_token_id=tokenizer.convert_tokens_to_ids(
