@@ -90,6 +90,19 @@ def mha_reference(
                       precision=jax.lax.Precision.HIGHEST).astype(q.dtype)
 
 
+def _xla_fast_attention(q, k, v, scale):
+    """bf16 MXU matmuls + f32 softmax, fully fused by XLA.  GQA-aware."""
+    b, sq, hq, d = q.shape
+    hk = k.shape[2]
+    if hk != hq:
+        k = jnp.repeat(k, hq // hk, axis=2)
+        v = jnp.repeat(v, hq // hk, axis=2)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v).astype(q.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
@@ -183,6 +196,54 @@ def _fwd_kernel(
             lse = m_scr[:] + jnp.log(
                 jnp.where(l_scr[:] == 0.0, 1.0, l_scr[:]))
             lse_ref[0, 0, :, :] = lse
+
+
+def _fwd_kernel_single(
+    q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref,
+    *, scale, causal, has_segments, block_q, block_k, kv_len=None,
+    window=None,
+):
+    """One (q, k) block per grid step: direct softmax, no scratch, no
+    online rescaling.  3-5x faster than the streaming kernel at encoder
+    shapes (e.g. [64, 729, 16, 72] ViT) where the whole sequence fits a
+    block; segment inputs are elided from the DMA stream entirely when
+    unused (they cost ~0.4 MB/step otherwise)."""
+    q = q_ref[0, 0, :, :]
+    k = k_ref[0, 0, :, :]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    mask = None
+    if causal or kv_len is not None:
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        mask = row >= col
+        if window is not None:
+            mask = mask & (row - col < window)
+    if kv_len is not None:
+        mask = (col < kv_len) if mask is None else (mask & (col < kv_len))
+    if has_segments:
+        seg = qseg_ref[0, :, :1] == kseg_ref[0, :1, :]
+        mask = seg if mask is None else (mask & seg)
+    if mask is not None:
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    v = v_ref[0, 0, :, :]
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0, :, :] = (pv * (1.0 / l_safe)).astype(o_ref.dtype)
+    if lse_ref is not None:
+        lse_ref[0, 0, :, :] = jnp.broadcast_to(
+            m + jnp.log(l_safe), (block_q, _LANES))
 
 
 # ---------------------------------------------------------------------------
@@ -392,13 +453,49 @@ def _fwd_call(q, k, v, qseg, kseg, *, scale, causal, has_segments,
     lse_spec = pl.BlockSpec(
         (1, 1, block_q, _LANES), lambda b_, h, qi, ki: (b_, h, qi, 0))
 
-    qsegb, ksegb = _broadcast_segs(qseg, kseg, block_q, block_k)
+    single = nq == 1 and nk == 1
+    seg_args, seg_specs = (), ()
+    if has_segments:
+        qsegb, ksegb = _broadcast_segs(qseg, kseg, block_q, block_k)
+        seg_args = (qsegb, ksegb)
+        seg_specs = (qseg_spec, kseg_spec)
 
-    kernel = functools.partial(
-        _fwd_kernel, scale=scale, causal=causal, has_segments=has_segments,
-        block_q=block_q, block_k=block_k, num_k_blocks=nk, kv_len=kv_len,
-        window=window,
-    )
+    if single:
+        base = functools.partial(
+            _fwd_kernel_single, scale=scale, causal=causal,
+            has_segments=has_segments, block_q=block_q, block_k=block_k,
+            kv_len=kv_len, window=window,
+        )
+        scratch = []
+    else:
+        base = functools.partial(
+            _fwd_kernel, scale=scale, causal=causal,
+            has_segments=has_segments, block_q=block_q, block_k=block_k,
+            num_k_blocks=nk, kv_len=kv_len, window=window,
+        )
+        scratch = [
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ]
+
+    def kernel(q_ref, k_ref, v_ref, *rest):
+        if has_segments:
+            qseg_ref, kseg_ref, *outs = rest
+        else:
+            qseg_ref = kseg_ref = None
+            outs = list(rest)
+        if save_residuals:
+            o_ref, lse_ref, *scr = outs
+        else:
+            o_ref, *scr = outs
+            lse_ref = None
+        if single:
+            base(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref)
+        else:
+            base(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref,
+                 *scr)
+
     if save_residuals:
         out_specs = [o_spec, lse_spec]
         out_shape = [
@@ -406,20 +503,15 @@ def _fwd_call(q, k, v, qseg, kseg, *, scale, causal, has_segments,
             jax.ShapeDtypeStruct((b, hq, sq, _LANES), jnp.float32),
         ]
     else:
-        kernel = functools.partial(_drop_lse, kernel)
         out_specs = [o_spec]
         out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
     res = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[q_spec, k_spec, v_spec, qseg_spec, kseg_spec],
+        in_specs=[q_spec, k_spec, v_spec, *seg_specs],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
@@ -432,7 +524,7 @@ def _fwd_call(q, k, v, qseg, kseg, *, scale, causal, has_segments,
             transcendentals=int(b * hq * sq * sk),
         ),
         interpret=interpret,
-    )(q, k, v, qsegb, ksegb)
+    )(q, k, v, *seg_args)
     if save_residuals:
         out, lse = res
         return out, lse[..., 0]
@@ -454,7 +546,10 @@ def _bwd_call(res, g, *, scale, causal, has_segments, block_q, block_k,
     )
     delta = jnp.broadcast_to(delta3[..., None], (*delta3.shape, _LANES))
     lse4 = jnp.broadcast_to(lse[..., None], (*lse.shape, _LANES))
-    qsegb, ksegb = _broadcast_segs(qseg, kseg, block_q, block_k)
+    seg_args, dq_seg_specs, dkv_seg_specs = (), (), ()
+    if has_segments:
+        qsegb, ksegb = _broadcast_segs(qseg, kseg, block_q, block_k)
+        seg_args = (qsegb, ksegb)
 
     q_spec = pl.BlockSpec(
         (1, 1, block_q, d), lambda b_, h, qi, ki: (b_, h, qi, 0))
@@ -467,14 +562,27 @@ def _bwd_call(res, g, *, scale, causal, has_segments, block_q, block_k,
     lse_spec = pl.BlockSpec(
         (1, 1, block_q, _LANES), lambda b_, h, qi, ki: (b_, h, qi, 0))
 
+    dq_base = functools.partial(
+        _bwd_dq_kernel, scale=scale, causal=causal,
+        has_segments=has_segments, block_q=block_q, block_k=block_k,
+        num_k_blocks=nk, kv_len=kv_len, window=window,
+    )
+
+    def dq_kernel(q_ref, k_ref, v_ref, *rest):
+        if has_segments:
+            qs, ks_, do_ref, lse_ref, delta_ref, *scr = rest
+        else:
+            qs = ks_ = None
+            do_ref, lse_ref, delta_ref, *scr = rest
+        dq_base(q_ref, k_ref, v_ref, qs, ks_, do_ref, lse_ref,
+                delta_ref, *scr)
+
+    if has_segments:
+        dq_seg_specs = (qseg_spec, kseg_spec)
     dq = pl.pallas_call(
-        functools.partial(
-            _bwd_dq_kernel, scale=scale, causal=causal,
-            has_segments=has_segments, block_q=block_q, block_k=block_k,
-            num_k_blocks=nk, kv_len=kv_len, window=window,
-        ),
+        dq_kernel,
         grid=(b, hq, nq, nk),
-        in_specs=[q_spec, k_spec, k_spec, qseg_spec, kseg_spec, q_spec,
+        in_specs=[q_spec, k_spec, k_spec, *dq_seg_specs, q_spec,
                   lse_spec, lse_spec],
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -484,7 +592,7 @@ def _bwd_call(res, g, *, scale, causal, has_segments, block_q, block_k,
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v, qsegb, ksegb, do, lse4, delta)
+    )(q, k, v, *seg_args, do, lse4, delta)
 
     # dk/dv: grid over kv blocks; inner loop over q blocks.  Output has kv
     # head count == q head count; GQA summing over the group is done in XLA
@@ -502,14 +610,27 @@ def _bwd_call(res, g, *, scale, causal, has_segments, block_q, block_k,
     klse_spec = pl.BlockSpec(
         (1, 1, block_q, _LANES), lambda b_, h, ki, qi: (b_, h, qi, 0))
 
+    dkv_base = functools.partial(
+        _bwd_dkv_kernel, scale=scale, causal=causal,
+        has_segments=has_segments, block_q=block_q, block_k=block_k,
+        num_q_blocks=nq, kv_len=kv_len, window=window,
+    )
+
+    def dkv_kernel(q_ref, k_ref, v_ref, *rest):
+        if has_segments:
+            qs, ks_, do_ref, lse_ref, delta_ref, *outs = rest
+        else:
+            qs = ks_ = None
+            do_ref, lse_ref, delta_ref, *outs = rest
+        dkv_base(q_ref, k_ref, v_ref, qs, ks_, do_ref, lse_ref,
+                 delta_ref, *outs)
+
+    if has_segments:
+        dkv_seg_specs = (kqseg_spec, kkseg_spec)
     dk_full, dv_full = pl.pallas_call(
-        functools.partial(
-            _bwd_dkv_kernel, scale=scale, causal=causal,
-            has_segments=has_segments, block_q=block_q, block_k=block_k,
-            num_q_blocks=nq, kv_len=kv_len, window=window,
-        ),
+        dkv_kernel,
         grid=(b, hq, nk, nq),
-        in_specs=[kq_spec, kk_spec, kk_spec, kqseg_spec, kkseg_spec,
+        in_specs=[kq_spec, kk_spec, kk_spec, *dkv_seg_specs,
                   kq_spec, klse_spec, klse_spec],
         out_specs=[dk_spec, dk_spec],
         out_shape=[
@@ -525,7 +646,7 @@ def _bwd_call(res, g, *, scale, causal, has_segments, block_q, block_k,
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v, qsegb, ksegb, do, lse4, delta)
+    )(q, k, v, *seg_args, do, lse4, delta)
 
     if group > 1:
         dk = dk_full.reshape(b, hk, group, sk, d).sum(axis=2)
@@ -589,6 +710,7 @@ def flash_attention(
     kv_segment_ids: Optional[jax.Array] = None,
     softmax_scale: Optional[float] = None,
     window_size: Optional[int] = None,
+    kv_valid_len: Optional[int] = None,
     block_q: int = 512,
     block_k: int = 1024,
     implementation: Optional[str] = None,
@@ -607,6 +729,9 @@ def flash_attention(
       kv_segment_ids: ids for k/v when kv_seq != q_seq (defaults to
         segment_ids).
       softmax_scale: defaults to head_dim ** -0.5.
+      kv_valid_len: static count of valid kv positions when the caller
+        already padded the sequence; keys beyond it are masked (cheaper
+        than segment ids for pure right-padding).
       window_size: sliding-window attention (Mistral SWA, reference:
         mantis/models/idefics2/modeling_idefics2.py:1498 passes
         attn_implementation to the Mistral text model): query i attends
@@ -618,6 +743,14 @@ def flash_attention(
     """
     if window_size is not None:
         assert causal, "sliding window requires causal attention"
+    # 'xla_fast' materializes the probs tensor (bf16 matmuls, f32
+    # softmax).  Measured SLOWER than the Pallas single-block kernel at
+    # encode shapes (8.5 vs 4.6 ms/layer at [64,729,16,72] on v5e, see
+    # scripts/profile_attn2.py) — kept only as an explicit option.
+    if implementation == "xla_fast":
+        scale_ = (softmax_scale if softmax_scale is not None
+                  else q.shape[-1] ** -0.5)
+        return _xla_fast_attention(q, k, v, scale_)
     if implementation == "xla":
         return mha_reference(
             q, k, v, causal=causal, segment_ids=segment_ids,
@@ -648,6 +781,12 @@ def flash_attention(
     # synthesizing segment-id arrays.  Q padding needs no mask (pad rows
     # are sliced off and their cotangents are zero).
     kv_len = sk if pad_k and not has_segments else None
+    if kv_valid_len is not None and not has_segments \
+            and kv_valid_len < sk + pad_k:
+        # caller pre-padded the sequence (e.g. the ViT pads once for the
+        # whole stack instead of per layer): mask keys >= kv_valid_len
+        kv_len = (kv_valid_len if kv_len is None
+                  else min(kv_len, kv_valid_len))
 
     if has_segments:
         qseg = _pad_to(segment_ids.astype(jnp.int32), block_q, 1, value=-1)
