@@ -103,6 +103,18 @@ def init_params(cfg: LlamaConfig, key: jax.Array, dtype=jnp.float32):
 # Building blocks
 # ---------------------------------------------------------------------------
 
+def _mm(x: jax.Array, w) -> jax.Array:
+    """Matmul that accepts int8/int4 QuantTensor weights (weight-only
+    quantized serving: the dequant multiply fuses into the MXU input —
+    TPU-native stand-in for the reference's bitsandbytes path,
+    train_mllava.py:134-142)."""
+    from mantis_tpu.ops.quant import QuantTensor, quant_matmul
+
+    if isinstance(w, QuantTensor):
+        return quant_matmul(x, w)
+    return x @ w
+
+
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     dtype = x.dtype
     xf = x.astype(jnp.float32)
@@ -238,9 +250,9 @@ def forward(
             lp = scanned
         residual = h
         x = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)
-        q = x @ lp["q_proj"]
-        k = x @ lp["k_proj"]
-        v = x @ lp["v_proj"]
+        q = _mm(x, lp["q_proj"])
+        k = _mm(x, lp["k_proj"])
+        v = _mm(x, lp["v_proj"])
         if cfg.attention_bias:
             q = q + lp["q_b"]
             k = k + lp["k_b"]
@@ -279,12 +291,13 @@ def forward(
                     softmax_scale=scale, implementation=attn_impl,
                     window_size=cfg.sliding_window)
         attn = attn.reshape(b, s, hq * dh)
-        h = residual + attn @ lp["o_proj"]
+        h = residual + _mm(attn, lp["o_proj"])
 
         residual = h
         x = rms_norm(h, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-        gated = jax.nn.silu(x @ lp["gate_proj"]) * (x @ lp["up_proj"])
-        h = residual + gated @ lp["down_proj"]
+        gated = jax.nn.silu(_mm(x, lp["gate_proj"])) * _mm(
+            x, lp["up_proj"])
+        h = residual + _mm(gated, lp["down_proj"])
         return h, new_kv
 
     if use_remat:
@@ -306,5 +319,5 @@ def forward(
     if cfg.tie_word_embeddings:
         logits = h @ params["embed_tokens"].T
     else:
-        logits = h @ params["lm_head"]
+        logits = _mm(h, params["lm_head"])
     return logits, new_cache

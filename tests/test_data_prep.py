@@ -1,0 +1,191 @@
+"""Golden tests for the data-prep converters (VERDICT #9): sample
+inputs per source -> validated unified-schema output (reference
+recipes under /root/reference/data/*/prepare.py)."""
+
+import json
+
+from mantis_tpu.data_prep import schema
+from mantis_tpu.data_prep.prepare_birds_to_words import (
+    convert as conv_birds)
+from mantis_tpu.data_prep.prepare_coinstruct import convert as conv_coin
+from mantis_tpu.data_prep.prepare_contrastive_caption import (
+    convert as conv_cc)
+from mantis_tpu.data_prep.prepare_dream_sim import convert as conv_dream
+from mantis_tpu.data_prep.prepare_iconqa import convert as conv_iconqa
+from mantis_tpu.data_prep.prepare_llava_pretrain import (
+    convert as conv_lp)
+from mantis_tpu.data_prep.prepare_mementos import convert as conv_mem
+from mantis_tpu.data_prep.prepare_multi_vqa import (
+    convert as conv_mvqa, parse_completion)
+from mantis_tpu.data_prep.prepare_qbench2 import (
+    convert as conv_qb, split_pair_path)
+from mantis_tpu.data_prep.prepare_sharegpt4v import convert as conv_sgpt
+from mantis_tpu.data_prep.prepare_spot_the_diff import (
+    convert as conv_spot, parse_vqa)
+
+
+def _check(examples, min_n=1):
+    assert len(examples) >= min_n
+    for ex in examples:
+        schema.validate_example(ex)
+    return examples
+
+
+def test_qbench2():
+    assert split_pair_path("a\\b\\x.jpg_cat_y.jpg.jpg") == (
+        "x.jpg", "y.jpg")
+    rows = [{"question": "Which is clearer?",
+             "img_path": "x.jpg_cat_y.jpg.jpg",
+             "candidates": ["First", "Second", "Same"],
+             "correct_ans": "Second", "correct_choice": "B"}]
+    exs = _check(conv_qb(rows))
+    assert exs[0]["conversations"][1]["value"] == "B"
+    assert len(exs[0]["images"]) == 2
+    assert "(B) Second" in exs[0]["conversations"][0]["value"]
+
+
+def test_iconqa_all_tasks():
+    items = [
+        ("choose_txt", {"question": "What shape?",
+                        "choices": ["circle", "square"], "answer": 1},
+         "choose_txt/0"),
+        ("choose_img", {"question": "Pick the match.",
+                        "choices": ["c0.png", "c1.png"], "answer": 0},
+         "choose_img/1"),
+        ("fill_in_blank", {"question": "How many dots?", "answer": 3},
+         "fill_in_blank/2"),
+    ]
+    exs = _check(conv_iconqa(items), min_n=3)
+    by_id = {e["id"]: e for e in exs}
+    assert by_id["iconqa_choose_txt_0"]["conversations"][1]["value"] == "B"
+    assert by_id["iconqa_choose_img_1"]["conversations"][1]["value"] \
+        == "image 1"
+    assert len(by_id["iconqa_choose_img_1"]["images"]) == 3
+    assert by_id["iconqa_fill_in_blank_2"]["conversations"][1]["value"] \
+        == "3"
+
+
+def test_coinstruct_merges_shared_images():
+    rows = [
+        {"image": "a.jpg",
+         "conversations": [{"from": "human", "value": "<image>\nQ1"},
+                           {"from": "gpt", "value": "A1"}]},
+        {"image": "a.jpg",
+         "conversations": [{"from": "human", "value": "Q2"},
+                           {"from": "gpt", "value": "A2"}]},
+        {"image": ["b.jpg", "c.jpg"],
+         "conversations": [{"from": "human",
+                            "value": "<image>\n<image>\nQ3"},
+                           {"from": "gpt", "value": "A3"}]},
+    ]
+    exs = _check(conv_coin(rows), min_n=2)
+    assert len(exs[0]["conversations"]) == 4  # merged two exchanges
+    assert exs[0]["images"] == ["images/a.jpg"]
+    assert len(exs[1]["images"]) == 2
+
+
+def test_dream_sim():
+    rows = [{"ref": "r.png", "img_left": "l.png", "img_right": "x.png",
+             "left_is_closer": True} for _ in range(6)]
+    exs = _check(conv_dream(rows), min_n=6)
+    for ex in exs:
+        ans = ex["conversations"][1]["value"]
+        assert ans in ("A", "image 2")  # left is always closer here
+        assert len(ex["images"]) == 3
+
+
+def test_mementos():
+    rows = [{"image_name": "ep1.gif", "gt_description": "A robot arm.",
+             "frames": "0.jpg;1.jpg;2.jpg"}]
+    exs = _check(conv_mem(rows, folder="single_image_robo"))
+    assert exs[0]["conversations"][0]["value"].count("<image>") == 3
+    assert exs[0]["images"][0].startswith("images/single_image_robo/ep1")
+
+
+def test_llava_pretrain_plain_pairs():
+    rows = [{"id": "x", "image": "00/1.jpg",
+             "conversations": [
+                 {"from": "human", "value": "<image>"},
+                 {"from": "gpt", "value": "a cat on a mat"}]}]
+    exs = _check(conv_lp(rows))
+    assert exs[0]["conversations"][1]["value"] == "a cat on a mat"
+    assert exs[0]["conversations"][0]["value"] == "<image>"
+
+
+def fake_completion(messages, model_name, **kw):
+    # deterministic stand-in for the LLM (judge protocol)
+    text = messages[-1]["content"]
+    if "multi-choice and short-answer" in text.lower() \
+            or "Multi-choice" in text:
+        return {"text": (
+            'Multi-choice:\n{"question": "What moved?", '
+            '"options": ["A: car", "B: person"], "answer": "A"}\n'
+            'Short-answer:\n{"question": "What moved?", '
+            '"options": [], "answer": "car"}'), "prompt_tokens": 0, "completion_tokens": 0}
+    if "bird images" in text:
+        return {"text": (
+            '{"question": "Which bird is darker?", '
+            '"options": ["A: first", "B: second"], "answer": "B"}'),
+            "prompt_tokens": 0, "completion_tokens": 0}
+    return {"text": (
+        "Question: What links image 1 and image 2?\n"
+        "Answer: Both show water.\n"
+        "Question: Which image is brighter?\n"
+        "Answer: image 2."), "prompt_tokens": 0, "completion_tokens": 0}
+
+
+def test_spot_the_diff_llm_parsing(tmp_path):
+    rows = [{"img_id": 17, "sentences": ["the car moved left"]}]
+    exs = _check(conv_spot(rows, completion_fn=fake_completion,
+                           cache_dir=str(tmp_path)),
+                 min_n=2)  # one MC + one SA question
+    assert exs[0]["conversations"][1]["value"] == "A"
+    assert exs[1]["conversations"][1]["value"] == "car"
+    assert parse_vqa("no json here") == []
+
+
+def test_birds_to_words_llm(tmp_path):
+    rows = [{"img1": "b1.jpg", "img2": "b2.jpg",
+             "description": "the second is darker"}]
+    exs = _check(conv_birds(rows, completion_fn=fake_completion,
+                            cache_dir=str(tmp_path)))
+    assert exs[0]["conversations"][1]["value"] == "B"
+
+
+def test_multi_vqa_llm():
+    assert len(parse_completion(
+        "Question: q1? Answer: a1. Question: q2? Answer: a2.")) == 2
+    groups = [{"images": ["i1.jpg", "i2.jpg"],
+               "captions": ["a lake", "a bright sea"]}]
+    exs = _check(conv_mvqa(groups, completion_fn=fake_completion,
+                           cache_dir=None))
+    conv = exs[0]["conversations"]
+    assert conv[0]["value"].count("<image>") == 2
+    assert len(conv) == 4  # two QA pairs
+
+
+def test_contrastive_caption():
+    groups = [{"images": ["a.jpg", "b.jpg", "c.jpg"],
+               "captions": ["cap a", "cap b", "cap c"]}]
+    exs = _check(conv_cc(groups))
+    conv = exs[0]["conversations"]
+    assert conv[0]["value"].count("<image>") == 3
+    assert conv[3]["value"].startswith("image ")
+
+
+def test_sharegpt4v_grouping():
+    rows = [{"image": f"im{i}.jpg", "caption": f"caption {i}"}
+            for i in range(7)]
+    exs = _check(conv_sgpt(rows, group_range=(2, 3)))
+    for ex in exs:
+        assert 2 <= len(ex["images"]) <= 3
+        assert len(ex["conversations"]) == 2 * len(ex["images"])
+
+
+def test_write_dataset_roundtrip(tmp_path):
+    exs = conv_lp([{"id": "x", "image": "1.jpg",
+                    "conversations": [
+                        {"from": "human", "value": "<image>"},
+                        {"from": "gpt", "value": "cap"}]}])
+    path = schema.write_dataset(exs, str(tmp_path))
+    assert json.load(open(path))[0]["id"] == "x"
