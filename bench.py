@@ -139,17 +139,46 @@ def bench_decode():
     from mantis_tpu.models.llama import KVCache
     from mantis_tpu.ops.quant import quantize_tree
 
+    from mantis_tpu.ops.quant import QuantTensor
+
+    del quantize_tree  # full bf16 8B does not fit HBM to quantize from
     cfg = LlamaConfig(
         vocab_size=128256, hidden_size=4096, intermediate_size=14336,
         num_hidden_layers=32, num_attention_heads=32,
         num_key_value_heads=8, rope_theta=500000.0)
-    params = llama.init_params(cfg, jax.random.PRNGKey(0),
-                               dtype=jnp.bfloat16)
-    params = quantize_tree(
-        params, bits=8,
-        predicate=lambda p: p.split("/")[-1] in (
-            "q_proj", "k_proj", "v_proj", "o_proj",
-            "gate_proj", "up_proj", "down_proj"))
+
+    # Build the int8 tree host-side directly (random weights are fine
+    # for throughput; a real checkpoint would be quantized shard-wise).
+    rng = np.random.RandomState(0)
+    L, d, li = cfg.num_hidden_layers, cfg.hidden_size, \
+        cfg.intermediate_size
+    hq, hk, dh = 32, 8, 128
+    g = 128  # quant group size
+
+    def qt(din, dout):
+        q = rng.randint(-127, 128, size=(L, din // g, g, dout),
+                        dtype=np.int8)
+        scale = (rng.rand(L, din // g, 1, dout) * 0.002 + 1e-4
+                 ).astype(np.float32)
+        return QuantTensor(q=jnp.asarray(q), scale=jnp.asarray(scale),
+                           bits=8)
+
+    def bf(*shape, scale=0.02):
+        return jnp.asarray(rng.randn(*shape) * scale, jnp.bfloat16)
+
+    params = {
+        "embed_tokens": bf(cfg.vocab_size, d),
+        "norm": jnp.ones((d,), jnp.bfloat16),
+        "lm_head": bf(d, cfg.vocab_size),
+        "layers": {
+            "input_layernorm": jnp.ones((L, d), jnp.bfloat16),
+            "post_attention_layernorm": jnp.ones((L, d), jnp.bfloat16),
+            "q_proj": qt(d, hq * dh), "k_proj": qt(d, hk * dh),
+            "v_proj": qt(d, hk * dh), "o_proj": qt(hq * dh, d),
+            "gate_proj": qt(d, li), "up_proj": qt(d, li),
+            "down_proj": qt(li, d),
+        },
+    }
 
     # 8-image-scale prefill: 8 x 729 image tokens + text ~= 6016
     s_prompt, max_new = 6016, 32

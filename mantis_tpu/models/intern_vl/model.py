@@ -94,6 +94,9 @@ class InternVLConfig:
     projector_hidden_act: str = "gelu"
     ignore_index: int = -100
     enable_cross_attention: bool = False
+    # shared-cross-attn inference: image-prefix tokens self-attend in
+    # local groups of this size (reference local_attention_group_size)
+    local_attention_group_size: Optional[int] = None
 
     @property
     def num_image_tokens(self) -> int:
@@ -294,10 +297,20 @@ def decoder_forward(
     kv_cache: Optional[KVCache] = None,
     attn_impl=None, use_remat=False, context_attention=None,
     cross_attention_fn=None,
+    shared_xattn_prefix: Optional[int] = None,
 ):
     """LLaMA-style decoder; when ``encoder_hidden`` ([B, M, D]) is given
     and cross-attn params exist, each layer adds
-    tanh(gate) * CrossAttn(norm(h), enc) after self-attention."""
+    tanh(gate) * CrossAttn(norm(h), enc) after self-attention.
+
+    shared_xattn_prefix: static length M of an image-token prefix for
+    the SHARED cross-attention inference mode (reference
+    modeling_internvl_chat.py:284-330 + modeling_internlm2.py:1828-1864):
+    text queries (positions >= M) attend the full [image ++ text]
+    sequence causally (causal_offset=M), while image-prefix tokens
+    self-attend only inside local groups of
+    ``cfg.local_attention_group_size`` — same layer weights, no
+    separate branch, O(text * total + M * group) attention."""
     tcfg = cfg.text_config
     lm = params["language_model"]
     xattn = params.get("cross_attention")
@@ -320,6 +333,12 @@ def decoder_forward(
             kv_cache.seg, segment_ids, (0, offset))
 
     q_seg = jnp.ones((b, s), jnp.int32)
+    img_group_ids = None
+    if shared_xattn_prefix:
+        gsz = cfg.local_attention_group_size or shared_xattn_prefix
+        img_group_ids = jnp.broadcast_to(
+            1 + jnp.arange(shared_xattn_prefix, dtype=jnp.int32) // gsz,
+            (b, shared_xattn_prefix))
 
     def layer_fn(carry, scanned):
         h = carry
@@ -349,6 +368,20 @@ def decoder_forward(
         if decode_mode:
             attn = llama._decode_attention(
                 q, kc, vc, kv_seg_full, segment_ids, offset + s, scale)
+        elif shared_xattn_prefix:
+            m_pre = shared_xattn_prefix
+            # image prefix: local-group causal self-attention
+            attn_img = flash_attention(
+                q[:, :m_pre], k[:, :m_pre], v[:, :m_pre], causal=True,
+                segment_ids=img_group_ids, softmax_scale=scale,
+                implementation=attn_impl)
+            # text: causal over [image ++ text] with the offset diagonal
+            attn_txt = flash_attention(
+                q[:, m_pre:], k, v, causal=True, causal_offset=m_pre,
+                segment_ids=segment_ids[:, m_pre:],
+                kv_segment_ids=segment_ids, softmax_scale=scale,
+                implementation=attn_impl)
+            attn = jnp.concatenate([attn_img, attn_txt], axis=1)
         elif context_attention is not None:
             attn = context_attention(q, k, v, segment_ids, scale)
         elif attn_impl == "xla":
@@ -422,6 +455,8 @@ def forward(
     kv_cache=None, attn_impl=None, use_remat=False,
     context_attention=None, cross_attention_fn=None,
     encoder_mask=None, labels_preshifted: bool = False,
+    shared_xattn_prefix: Optional[int] = None,
+    vision_dp_mesh=None, vision_dp_axis: str = "context",
 ):
     """Inline mode: image features spliced at IMG_CONTEXT positions.
     Cross-attn mode (cfg.enable_cross_attention): features become
@@ -429,8 +464,16 @@ def forward(
     embeds = params["language_model"]["embed_tokens"][input_ids]
     encoder_hidden = None
     if pixel_values is not None and input_ids.shape[1] > 1:
-        feats = encode_images(params, cfg, pixel_values,
-                              attn_impl=attn_impl, use_remat=use_remat)
+        def _enc(pix):
+            return encode_images(params, cfg, pix, attn_impl=attn_impl,
+                                 use_remat=use_remat)
+        if vision_dp_mesh is not None:
+            from mantis_tpu.parallel.vision_dp import (
+                make_context_vision_encoder)
+
+            _enc = make_context_vision_encoder(
+                _enc, vision_dp_mesh, vision_dp_axis)
+        feats = _enc(pixel_values)
         if cfg.enable_cross_attention:
             encoder_hidden = feats.reshape(1, -1, feats.shape[-1])
             encoder_hidden = jnp.broadcast_to(
@@ -450,7 +493,8 @@ def forward(
         encoder_mask=encoder_mask, kv_cache=kv_cache,
         attn_impl=attn_impl, use_remat=use_remat,
         context_attention=context_attention,
-        cross_attention_fn=cross_attention_fn)
+        cross_attention_fn=cross_attention_fn,
+        shared_xattn_prefix=shared_xattn_prefix)
     loss = None
     if labels is not None:
         mask = None if segment_ids is None else (segment_ids != 0)

@@ -147,6 +147,8 @@ def forward(
     context_attention=None,
     labels_preshifted: bool = False,
     image_feature_idx: Optional[jax.Array] = None,
+    vision_dp_mesh=None,
+    vision_dp_axis: str = "context",
 ) -> Tuple[jax.Array, Optional[jax.Array], Optional[KVCache]]:
     """Full forward.  Returns (logits, loss or None, new_cache or None).
 
@@ -155,9 +157,18 @@ def forward(
     """
     embeds = params["language_model"]["embed_tokens"][input_ids]
     if pixel_values is not None and input_ids.shape[1] > 1:
-        image_features = encode_images(
-            params, cfg, pixel_values, attn_impl=attn_impl,
-            use_remat=use_remat)
+        def _enc(pix):
+            return encode_images(params, cfg, pix, attn_impl=attn_impl,
+                                 use_remat=use_remat)
+        if vision_dp_mesh is not None:
+            # shard the image batch across the ring/context group
+            # (reference: modeling_internvl_chat.py:200-228)
+            from mantis_tpu.parallel.vision_dp import (
+                make_context_vision_encoder)
+
+            _enc = make_context_vision_encoder(
+                _enc, vision_dp_mesh, vision_dp_axis)
+        image_features = _enc(pixel_values)
         embeds = merge_image_features(
             embeds, input_ids, image_features, cfg.image_token_index,
             feature_idx=image_feature_idx)

@@ -55,6 +55,7 @@ def mha_reference(
     kv_segment_ids: Optional[jax.Array] = None,
     softmax_scale: Optional[float] = None,
     window_size: Optional[int] = None,
+    causal_offset: int = 0,
 ) -> jax.Array:
     """O(S^2)-memory attention in plain jnp. BSHD layout, GQA-aware.
 
@@ -75,7 +76,7 @@ def mha_reference(
     ) * scale
     mask = jnp.ones((b, 1, sq, sk), dtype=bool)
     if causal:
-        qi = jnp.arange(sq)[:, None]
+        qi = jnp.arange(sq)[:, None] + causal_offset
         ki = jnp.arange(sk)[None, :]
         mask = mask & (qi >= ki)[None, None]
         if window_size is not None:
@@ -112,7 +113,7 @@ def _fwd_kernel(
     o_ref, lse_ref,
     m_scr, l_scr, acc_scr,
     *, scale, causal, has_segments, block_q, block_k, num_k_blocks,
-    kv_len=None, window=None,
+    kv_len=None, window=None, causal_offset=0,
 ):
     # qseg_ref: [1, block_q, LANES] (lanes replicated);
     # kseg_ref: [1, 8, block_k] (sublanes replicated);
@@ -128,12 +129,12 @@ def _fwd_kernel(
 
     # A causal block is dead when its lowest q row is above its lowest k col.
     if causal:
-        run = (qi + 1) * block_q - 1 >= ki * block_k
+        run = (qi + 1) * block_q - 1 + causal_offset >= ki * block_k
         if window is not None:
             # block fully below the window band: highest k col is more
             # than window-1 positions behind the lowest q row
-            run = run & (qi * block_q - ((ki + 1) * block_k - 1)
-                         < window)
+            run = run & (qi * block_q + causal_offset
+                         - ((ki + 1) * block_k - 1) < window)
     else:
         run = True
 
@@ -152,7 +153,7 @@ def _fwd_kernel(
                 jnp.int32, (block_q, block_k), 1
             )
         if causal:
-            row = qi * block_q + jax.lax.broadcasted_iota(
+            row = qi * block_q + causal_offset + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
             )
         mask = None
@@ -201,7 +202,7 @@ def _fwd_kernel(
 def _fwd_kernel_single(
     q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref,
     *, scale, causal, has_segments, block_q, block_k, kv_len=None,
-    window=None,
+    window=None, causal_offset=0,
 ):
     """One (q, k) block per grid step: direct softmax, no scratch, no
     online rescaling.  3-5x faster than the streaming kernel at encoder
@@ -219,7 +220,8 @@ def _fwd_kernel_single(
     if causal or kv_len is not None:
         col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
     if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        row = causal_offset + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
         mask = row >= col
         if window is not None:
             mask = mask & (row - col < window)
@@ -254,7 +256,7 @@ def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, delta_ref,
     dq_ref, dq_scr,
     *, scale, causal, has_segments, block_q, block_k, num_k_blocks,
-    kv_len=None, window=None,
+    kv_len=None, window=None, causal_offset=0,
 ):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
@@ -264,12 +266,12 @@ def _bwd_dq_kernel(
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
     if causal:
-        run = (qi + 1) * block_q - 1 >= ki * block_k
+        run = (qi + 1) * block_q - 1 + causal_offset >= ki * block_k
         if window is not None:
             # block fully below the window band: highest k col is more
             # than window-1 positions behind the lowest q row
-            run = run & (qi * block_q - ((ki + 1) * block_k - 1)
-                         < window)
+            run = run & (qi * block_q + causal_offset
+                         - ((ki + 1) * block_k - 1) < window)
     else:
         run = True
 
@@ -294,9 +296,9 @@ def _bwd_dq_kernel(
                     jnp.int32, (block_q, block_k), 1
                 )
             if causal:
-                row = qi * block_q + jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, block_k), 0
-                )
+                row = (qi * block_q + causal_offset
+                       + jax.lax.broadcasted_iota(
+                           jnp.int32, (block_q, block_k), 0))
                 mask = row >= col
                 if window is not None:
                     mask = mask & (row - col < window)
@@ -327,7 +329,7 @@ def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref, dk_scr, dv_scr,
     *, scale, causal, has_segments, block_q, block_k, num_q_blocks,
-    kv_len=None, window=None,
+    kv_len=None, window=None, causal_offset=0,
 ):
     ki = pl.program_id(2)
     qi = pl.program_id(3)
@@ -338,12 +340,12 @@ def _bwd_dkv_kernel(
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
     if causal:
-        run = (qi + 1) * block_q - 1 >= ki * block_k
+        run = (qi + 1) * block_q - 1 + causal_offset >= ki * block_k
         if window is not None:
             # block fully below the window band: highest k col is more
             # than window-1 positions behind the lowest q row
-            run = run & (qi * block_q - ((ki + 1) * block_k - 1)
-                         < window)
+            run = run & (qi * block_q + causal_offset
+                         - ((ki + 1) * block_k - 1) < window)
     else:
         run = True
 
@@ -368,9 +370,9 @@ def _bwd_dkv_kernel(
                     jnp.int32, (block_q, block_k), 1
                 )
             if causal:
-                row = qi * block_q + jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, block_k), 0
-                )
+                row = (qi * block_q + causal_offset
+                       + jax.lax.broadcasted_iota(
+                           jnp.int32, (block_q, block_k), 0))
                 mask = row >= col
                 if window is not None:
                     mask = mask & (row - col < window)
@@ -432,7 +434,7 @@ def _broadcast_segs(qseg, kseg, block_q, block_k):
 
 def _fwd_call(q, k, v, qseg, kseg, *, scale, causal, has_segments,
               block_q, block_k, interpret, save_residuals, kv_len=None,
-              window=None):
+              window=None, causal_offset=0):
     # q: [B, Hq, Sq, D]; k, v: [B, Hk, Sk, D]  (BHSD kernel layout)
     b, hq, sq, d = q.shape
     _, hk, sk, _ = k.shape
@@ -464,7 +466,7 @@ def _fwd_call(q, k, v, qseg, kseg, *, scale, causal, has_segments,
         base = functools.partial(
             _fwd_kernel_single, scale=scale, causal=causal,
             has_segments=has_segments, block_q=block_q, block_k=block_k,
-            kv_len=kv_len, window=window,
+            kv_len=kv_len, window=window, causal_offset=causal_offset,
         )
         scratch = []
     else:
@@ -472,6 +474,7 @@ def _fwd_call(q, k, v, qseg, kseg, *, scale, causal, has_segments,
             _fwd_kernel, scale=scale, causal=causal,
             has_segments=has_segments, block_q=block_q, block_k=block_k,
             num_k_blocks=nk, kv_len=kv_len, window=window,
+            causal_offset=causal_offset,
         )
         scratch = [
             pltpu.VMEM((block_q, _LANES), jnp.float32),
@@ -532,7 +535,7 @@ def _fwd_call(q, k, v, qseg, kseg, *, scale, causal, has_segments,
 
 
 def _bwd_call(res, g, *, scale, causal, has_segments, block_q, block_k,
-              interpret, kv_len=None, window=None):
+              interpret, kv_len=None, window=None, causal_offset=0):
     q, k, v, qseg, kseg, out, lse = res
     b, hq, sq, d = q.shape
     _, hk, sk, _ = k.shape
@@ -566,6 +569,7 @@ def _bwd_call(res, g, *, scale, causal, has_segments, block_q, block_k,
         _bwd_dq_kernel, scale=scale, causal=causal,
         has_segments=has_segments, block_q=block_q, block_k=block_k,
         num_k_blocks=nk, kv_len=kv_len, window=window,
+        causal_offset=causal_offset,
     )
 
     def dq_kernel(q_ref, k_ref, v_ref, *rest):
@@ -614,6 +618,7 @@ def _bwd_call(res, g, *, scale, causal, has_segments, block_q, block_k,
         _bwd_dkv_kernel, scale=scale, causal=causal,
         has_segments=has_segments, block_q=block_q, block_k=block_k,
         num_q_blocks=nq, kv_len=kv_len, window=window,
+        causal_offset=causal_offset,
     )
 
     def dkv_kernel(q_ref, k_ref, v_ref, *rest):
@@ -663,36 +668,38 @@ def _bwd_call(res, g, *, scale, causal, has_segments, block_q, block_k,
 # ---------------------------------------------------------------------------
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13)
 )
 def _flash_attention_core(q, k, v, qseg, kseg, scale, causal, has_segments,
-                          block_q, block_k, interpret, kv_len, window):
+                          block_q, block_k, interpret, kv_len, window,
+                          causal_offset=0):
     out, _ = _fwd_call(
         q, k, v, qseg, kseg, scale=scale, causal=causal,
         has_segments=has_segments, block_q=block_q, block_k=block_k,
         interpret=interpret, save_residuals=False, kv_len=kv_len,
-        window=window,
+        window=window, causal_offset=causal_offset,
     )
     return out
 
 
 def _core_fwd(q, k, v, qseg, kseg, scale, causal, has_segments,
-              block_q, block_k, interpret, kv_len, window):
+              block_q, block_k, interpret, kv_len, window,
+              causal_offset=0):
     out, lse = _fwd_call(
         q, k, v, qseg, kseg, scale=scale, causal=causal,
         has_segments=has_segments, block_q=block_q, block_k=block_k,
         interpret=interpret, save_residuals=True, kv_len=kv_len,
-        window=window,
+        window=window, causal_offset=causal_offset,
     )
     return out, (q, k, v, qseg, kseg, out, lse)
 
 
 def _core_bwd(scale, causal, has_segments, block_q, block_k, interpret,
-              kv_len, window, res, g):
+              kv_len, window, causal_offset, res, g):
     dq, dk, dv = _bwd_call(
         res, g, scale=scale, causal=causal, has_segments=has_segments,
         block_q=block_q, block_k=block_k, interpret=interpret,
-        kv_len=kv_len, window=window,
+        kv_len=kv_len, window=window, causal_offset=causal_offset,
     )
     return dq, dk, dv, None, None
 
@@ -711,6 +718,7 @@ def flash_attention(
     softmax_scale: Optional[float] = None,
     window_size: Optional[int] = None,
     kv_valid_len: Optional[int] = None,
+    causal_offset: int = 0,
     block_q: int = 512,
     block_k: int = 1024,
     implementation: Optional[str] = None,
@@ -729,6 +737,10 @@ def flash_attention(
       kv_segment_ids: ids for k/v when kv_seq != q_seq (defaults to
         segment_ids).
       softmax_scale: defaults to head_dim ** -0.5.
+      causal_offset: shift of the causal diagonal — query row i may
+        attend keys <= i + causal_offset.  Used when q is a suffix of
+        the kv sequence (shared-cross-attention text queries over an
+        image-prefixed kv, reference modeling_internlm2.py:1828-1864).
       kv_valid_len: static count of valid kv positions when the caller
         already padded the sequence; keys beyond it are masked (cheaper
         than segment ids for pure right-padding).
@@ -803,7 +815,7 @@ def flash_attention(
         window_size is not None and window_size < sk) else None
     out = _flash_attention_core(
         qp, kp, vp, qseg, kseg, scale, causal, has_segments,
-        block_q, block_k, interpret, kv_len, window,
+        block_q, block_k, interpret, kv_len, window, causal_offset,
     )
     out = out.transpose(0, 2, 1, 3)
     if pad_q:

@@ -42,7 +42,8 @@ IGNORE_INDEX = -100
 # per-image model inputs forwarded from processors through datasets and
 # concatenated along the image axis by the Collator
 IMAGE_BATCH_KEYS = ("pixel_values", "patch_mask", "patch_position_ids",
-                    "image_patches", "image_grid_thw", "tiles_per_image")
+                    "image_patches", "image_grid_thw", "tiles_per_image",
+                    "video_frames")
 DEFAULT_IMAGE_TOKEN = "<image>"
 DEFAULT_IMAGE_TOKEN_ID: Optional[int] = None
 DEFAULT_VIDEO_TOKEN = "<video>"
@@ -300,6 +301,17 @@ class ChatDataset:
                 "content", sentence.get("text", sentence.get("value", "")))])
         return messages
 
+    def media_key(self, idx: int):
+        """Hashable identity of the item's media, used by
+        packing_same_mm_media (reference: data.py:607-614) to pack
+        conversations sharing a video/image set together."""
+        item = self.data[idx]
+        if "video" in item:
+            return ("video", item["video"])
+        imgs = item.get(self.image_key) or []
+        return tuple(im if isinstance(im, str) else ("obj", i)
+                     for i, im in enumerate(imgs))
+
     def getitem(self, idx: int) -> Dict[str, np.ndarray]:
         return self.getitem_from_item(self.data[idx])
 
@@ -382,12 +394,25 @@ class ChatVideoDataset(ChatDataset):
 
     def __init__(self, *args, num_frames: int = 8, fps: Optional[float] =
                  None, max_num_frames: int = 16, video_dir: Optional[str]
-                 = None, **kwargs):
+                 = None, use_video_encoder: bool = False,
+                 num_video_tokens: int = 64, **kwargs):
         super().__init__(*args, **kwargs)
         self.num_frames = num_frames
         self.fps = fps
         self.max_num_frames = max_num_frames
         self.video_dir = video_dir or self.image_dir
+        # reference data.py:763-799: keep a <video> token that a video
+        # encoder consumes (vs frames-as-images): the token expands to
+        # num_video_tokens copies (one per temporal-perceiver latent,
+        # e.g. siglip_video's resampler) and raw frames ride along as
+        # ``video_frames`` for the encoder.
+        self.use_video_encoder = use_video_encoder
+        self.num_video_tokens = num_video_tokens
+        if use_video_encoder:
+            tok = self.processor.tokenizer
+            if DEFAULT_VIDEO_TOKEN not in tok.get_vocab():
+                tok.add_special_tokens(
+                    {"additional_special_tokens": [DEFAULT_VIDEO_TOKEN]})
 
     def _read_video_frames(self, path: str) -> List[Image.Image]:
         import cv2
@@ -419,9 +444,17 @@ class ChatVideoDataset(ChatDataset):
         frames = self._read_video_frames(item["video"]) \
             if "video" in item else []
         conv_messages = self._conv_messages(item)
+        n = len(frames)
+        if self.use_video_encoder:
+            # <video> stays a video placeholder run; frames go to the
+            # video tower separately
+            vid_tok_id = self.processor.tokenizer.convert_tokens_to_ids(
+                DEFAULT_VIDEO_TOKEN)
+            out = self._getitem_video_encoder(
+                item, conv_messages, frames, vid_tok_id)
+            return out
         # frames-as-images: replace <video> with N <image> tokens
         # (reference data.py:763-799)
-        n = len(frames)
         for m in conv_messages:
             if DEFAULT_VIDEO_TOKEN in m[1]:
                 m[1] = m[1].replace(
@@ -437,6 +470,37 @@ class ChatVideoDataset(ChatDataset):
                                else "gpt", "value": text})
         item[key] = new_source
         return self.getitem_from_item(item)
+
+    def _getitem_video_encoder(self, item, conv_messages, frames,
+                               vid_tok_id):
+        conv = self.conv.copy()
+        conv.messages = conv_messages
+        conv_str = conv.get_prompt()
+        enc = self.processor(conv_str, None, truncation=True,
+                             max_length=self.max_seq_len,
+                             expand_image_tokens=False)
+        ids = np.asarray(enc["input_ids"][0], np.int64)
+        labels = mask_labels(ids, self.conv, self.processor.tokenizer)
+        # expand each <video> token to num_video_tokens placeholders
+        out_ids, out_lab = [], []
+        for t, l in zip(ids.tolist(), labels.tolist()):
+            if t == vid_tok_id:
+                out_ids.extend([t] * self.num_video_tokens)
+                out_lab.extend([IGNORE_INDEX] * self.num_video_tokens)
+            else:
+                out_ids.append(t)
+                out_lab.append(l)
+        out = {"input_ids": np.asarray(out_ids, np.int64),
+               "labels": np.asarray(out_lab, np.int64)}
+        if frames:
+            ip = getattr(self.processor, "image_processor", None)
+            if ip is not None:
+                out["video_frames"] = ip(frames)
+            else:
+                out["video_frames"] = np.stack(
+                    [np.asarray(f, np.float32).transpose(2, 0, 1) / 255.
+                     for f in frames])
+        return out
 
 
 class ClassificationDataset(ChatDataset):
@@ -507,10 +571,14 @@ class PackingDataset:
     """
 
     def __init__(self, dataset, max_self_attn_len: int = 8192,
-                 max_images_per_pack: Optional[int] = None):
+                 max_images_per_pack: Optional[int] = None,
+                 packing_same_mm_media: bool = False):
         self.dataset = dataset
         self.max_len = max_self_attn_len
         self.max_images = max_images_per_pack
+        # group conversations sharing a video/image set into the same
+        # pack (reference: data.py:607-614)
+        self.same_mm_media = packing_same_mm_media
         self._plan: List[List[int]] = []
         self._build_plan()
 
@@ -523,9 +591,12 @@ class PackingDataset:
                 lengths.append(est(i))
             else:
                 lengths.append(None)
+        order = list(range(len(self.dataset)))
+        if self.same_mm_media and hasattr(self.dataset, "media_key"):
+            order.sort(key=lambda i: (str(self.dataset.media_key(i)), i))
         cur: List[int] = []
         cur_len = 0
-        for i in range(len(self.dataset)):
+        for i in order:
             L = lengths[i]
             if L is None:
                 L = self.max_len // 4  # conservative default
@@ -1017,18 +1088,30 @@ class CrossAttnPackingDataset(PackingDataset):
 
     def __init__(self, dataset, max_self_attn_len: int = 8192,
                  max_cross_attn_kv_len: int = 8192,
-                 num_tokens_per_image: int = 256):
+                 num_tokens_per_image: int = 256,
+                 packing_same_mm_media: bool = False):
         self.max_kv = max_cross_attn_kv_len
         self.tokens_per_image = num_tokens_per_image
-        super().__init__(dataset, max_self_attn_len)
+        super().__init__(dataset, max_self_attn_len,
+                         packing_same_mm_media=packing_same_mm_media)
 
     def __getitem__(self, idx):
-        parts = [self.dataset[i] for i in self._plan[idx]]
+        idxs = self._plan[idx]
+        parts = [self.dataset[i] for i in idxs]
+        keys = ([self.dataset.media_key(i) for i in idxs]
+                if self.same_mm_media
+                and hasattr(self.dataset, "media_key")
+                else [None] * len(idxs))
         ids, labels, seg, pos, pix = [], [], [], [], []
         total = kv_used = 0
-        for s_idx, p in enumerate(parts, start=1):
+        seen_media = set()
+        for s_idx, (p, mkey) in enumerate(zip(parts, keys), start=1):
             n_img = p.get("pixel_values", np.zeros((0,))).shape[0]
-            kv_need = n_img * self.tokens_per_image
+            shared = (self.same_mm_media and mkey is not None
+                      and mkey != () and mkey in seen_media)
+            # conversations over the SAME media share one image-kv
+            # block (reference: data.py:1779-1781)
+            kv_need = 0 if shared else n_img * self.tokens_per_image
             if kv_used + kv_need > self.max_kv:
                 continue  # kv budget exhausted for this conversation
             n = len(p["input_ids"])
@@ -1038,8 +1121,10 @@ class CrossAttnPackingDataset(PackingDataset):
             labels.append(p["labels"][:n])
             seg.append(np.full(n, s_idx, np.int32))
             pos.append(np.arange(n, dtype=np.int32))
-            if n_img:
+            if n_img and not shared:
                 pix.append(p["pixel_values"])
+            if mkey is not None:
+                seen_media.add(mkey)
             kv_used += kv_need
             total += n
         out = {

@@ -151,6 +151,7 @@ def make_train_step(
     context_attention=None,
     labels_preshifted: bool = False,
     compute_loss: Optional[Callable] = None,
+    vision_dp_mesh=None,
 ):
     """Build the jitted train step.
 
@@ -185,6 +186,8 @@ def make_train_step(
                           labels_preshifted=labels_preshifted)
         if batch.get("image_feature_idx") is not None:
             kwargs.update(image_feature_idx=batch["image_feature_idx"])
+        if vision_dp_mesh is not None:
+            kwargs.update(vision_dp_mesh=vision_dp_mesh)
         _, loss, _ = model_forward(
             params, model_cfg,
             input_ids=batch["input_ids"],

@@ -166,3 +166,56 @@ def test_cp_train_step_with_images_in_later_chunks():
                     jax.tree.leaves(sc.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=1e-4)
+
+
+def test_cp_train_step_with_ring_vision_dp():
+    """Vision-encoder DP inside the ring group (reference:
+    modeling_internvl_chat.py:200-228 + GatherLayer): sharding the image
+    batch over the context axis must not change the train step."""
+    cfg = tiny_cfg()
+    params = mllava_model.init_params(cfg, jax.random.PRNGKey(5))
+    tcfg = T.TrainConfig(learning_rate=1e-3, lr_schedule="constant",
+                         max_steps=5, compute_dtype="float32",
+                         use_remat=False)
+    pred = lambda p: T.default_trainable_pred(p)  # noqa: E731
+    examples = make_image_examples()
+
+    base_coll = dict(pad_token_id=0, image_token_id=127,
+                     num_image_tokens=4, seq_buckets=(S,),
+                     image_buckets=(4,), image_size=28)
+    batch_plain = D.Collator(**base_coll)(examples)
+    batch_cp = D.Collator(**base_coll, context_parallel_size=W)(examples)
+    assert batch_cp["pixel_values"].shape[0] == 4  # divisible by W
+
+    copy = lambda t: jax.tree.map(  # noqa: E731
+        lambda x: jnp.array(x, copy=True), t)
+    trainable, frozen = T.partition_params(params, pred)
+    opt, _ = T.make_optimizer(tcfg)
+    step1 = T.make_train_step(mllava_model.forward, cfg, tcfg, opt,
+                              copy(frozen))
+    s1 = T.create_train_state(copy(trainable), opt)
+    s1, m1 = step1(s1, {k: jnp.asarray(v) for k, v in batch_plain.items()})
+
+    mesh = create_mesh(data=2, context=W)
+    ctx_attn = make_context_attention(mesh, "context")
+    sh_train = jax.device_put(trainable, NamedSharding(mesh, P()))
+    sh_frozen = jax.device_put(frozen, NamedSharding(mesh, P()))
+    stepc = T.make_train_step(
+        mllava_model.forward, cfg, tcfg, opt, sh_frozen,
+        context_attention=ctx_attn, labels_preshifted=True,
+        vision_dp_mesh=mesh)
+    sc = T.create_train_state(sh_train, opt)
+    bspec = NamedSharding(mesh, P("data", "context"))
+    pspec = NamedSharding(mesh, P("context"))
+    batch_dev = {
+        k: jax.device_put(jnp.asarray(v),
+                          pspec if k == "pixel_values" else bspec)
+        for k, v in batch_cp.items()}
+    sc, mc = stepc(sc, batch_dev)
+
+    assert abs(float(m1["loss"]) - float(mc["loss"])) < 2e-4, (
+        float(m1["loss"]), float(mc["loss"]))
+    for a, b in zip(jax.tree.leaves(s1.params),
+                    jax.tree.leaves(sc.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4)

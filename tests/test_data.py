@@ -316,3 +316,44 @@ def test_data_prep_schema_roundtrip(tmp_path):
     with _pytest.raises(AssertionError):
         make_example("bad", [{"from": "gpt", "value": "hi"},
                              {"from": "human", "value": "yo"}])
+
+
+def test_packing_same_mm_media_shares_kv_block():
+    """Conversations over the SAME media pack together and share one
+    image-kv block (reference: data.py:607-614, 1779-1781)."""
+    from mantis_tpu.train.data import CrossAttnPackingDataset
+
+    class FakeDS:
+        # items 0 and 2 share media 'vidA'; 1 uses 'vidB'
+        media = ["vidA", "vidB", "vidA"]
+
+        def __len__(self):
+            return 3
+
+        def media_key(self, i):
+            return ("video", self.media[i])
+
+        def estimate_length(self, i):
+            return 10
+
+        def __getitem__(self, i):
+            return {
+                "input_ids": np.full(10, i + 2, np.int64),
+                "labels": np.full(10, i + 2, np.int64),
+                "pixel_values": np.full((2, 3, 4, 4), i, np.float32),
+            }
+
+    ds = CrossAttnPackingDataset(
+        FakeDS(), max_self_attn_len=64, max_cross_attn_kv_len=1024,
+        num_tokens_per_image=4, packing_same_mm_media=True)
+    assert len(ds) == 1
+    pack = ds[0]
+    # three conversations packed, but only TWO pixel blocks (vidA shared)
+    assert len(np.unique(pack["segment_ids"])) == 3
+    assert pack["pixel_values"].shape[0] == 4  # 2 media x 2 images
+
+    # without sharing: three pixel blocks
+    ds2 = CrossAttnPackingDataset(
+        FakeDS(), max_self_attn_len=64, max_cross_attn_kv_len=1024,
+        num_tokens_per_image=4, packing_same_mm_media=False)
+    assert ds2[0]["pixel_values"].shape[0] == 6

@@ -156,3 +156,40 @@ def test_sliding_window_composes_with_segments():
                           segment_ids=seg)
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_causal_offset_suffix_queries():
+    """q is the text suffix of an image-prefixed kv sequence
+    (shared-cross-attn, reference modeling_internlm2.py:1828-1864):
+    query i attends keys <= i + M."""
+    rng = np.random.RandomState(11)
+    b, h, d, M, St = 1, 2, 32, 192, 128
+    S = M + St
+    q_full = jnp.asarray(rng.randn(b, S, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, S, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, S, h, d), jnp.float32)
+    q = q_full[:, M:]
+
+    out = flash_attention(q, k, v, causal=True, causal_offset=M,
+                          block_q=128, block_k=128)
+    ref = mha_reference(q, k, v, causal=True, causal_offset=M)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    # equivalence: rows M.. of a full causal attention over q_full
+    full = mha_reference(q_full, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(full[:, M:]),
+                               atol=2e-5, rtol=2e-5)
+
+    # grads flow too
+    def f(q, k, v):
+        return flash_attention(q, k, v, causal=True, causal_offset=M,
+                               block_q=128, block_k=128).sum()
+
+    def fr(q, k, v):
+        return mha_reference(q, k, v, causal=True,
+                             causal_offset=M).sum()
+    gk = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(fr, argnums=(0, 1, 2))(q, k, v)
+    for a, r in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=5e-4, rtol=5e-4)

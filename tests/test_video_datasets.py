@@ -121,3 +121,21 @@ def test_cross_attn_packing_budget(tmp_path):
     # only 2 of 3 conversations fit the kv budget (2 * 4 <= 8 < 3 * 4)
     assert ex["pixel_values"].shape[0] == 2
     assert set(ex["segment_ids"].tolist()) == {1, 2}
+
+
+def test_use_video_encoder_mode(video_fixture):
+    """<video> survives as an expanded placeholder run and raw frames
+    ride along for a video tower (reference data.py:763-799), instead of
+    the frames-as-images expansion."""
+    processor = make_processor()
+    conv = conv_templates["mllava_v1"].copy()
+    ds = D.ChatVideoDataset(
+        video_fixture, processor, conv, num_frames=4,
+        use_video_encoder=True, num_video_tokens=8)
+    out = ds[0]
+    vid_id = processor.tokenizer.convert_tokens_to_ids("<video>")
+    n_vid_tokens = int((out["input_ids"] == vid_id).sum())
+    assert n_vid_tokens == 8
+    assert "video_frames" in out and out["video_frames"].shape[0] == 4
+    # placeholder labels are ignored
+    assert (out["labels"][out["input_ids"] == vid_id] == -100).all()
