@@ -60,8 +60,18 @@ class MantisImageProcessor:
     (square bicubic resize + rescale + normalize).
     """
 
-    def __init__(self, config: ImageProcessorConfig):
+    def __init__(self, config: ImageProcessorConfig,
+                 use_native: Optional[bool] = None):
         self.config = config
+        # native C++ path (native/imgproc.cpp): batched OpenMP resize +
+        # normalize; opt-in via MANTIS_NATIVE_IMGPROC=1 (bilinear, no
+        # antialias — keeps the PIL path for bit-level HF parity)
+        if use_native is None:
+            import os
+
+            use_native = os.environ.get(
+                "MANTIS_NATIVE_IMGPROC", "0") == "1"
+        self.use_native = use_native
 
     def _resize_clip(self, image: Image.Image) -> Image.Image:
         size = self.config.image_size
@@ -82,6 +92,29 @@ class MantisImageProcessor:
 
     def __call__(self, images: Sequence[Image.Image]) -> np.ndarray:
         """-> float32 [N, 3, H, W], normalized."""
+        if self.use_native and self.config.tower_type == "siglip" \
+                and images:
+            from mantis_tpu.utils import native_imgproc
+
+            if native_imgproc.available():
+                size = self.config.image_size
+                arrs, shapes = [], set()
+                for image in images:
+                    if not isinstance(image, Image.Image):
+                        image = Image.fromarray(np.asarray(image))
+                    if image.mode != "RGB":
+                        image = image.convert("RGB")
+                    a = np.asarray(image, np.uint8)
+                    arrs.append(a)
+                    shapes.add(a.shape)
+                if len(shapes) == 1:  # batched same-size fast path
+                    return native_imgproc.batch_resize_normalize(
+                        np.stack(arrs), size, size,
+                        self.config.image_mean, self.config.image_std)
+                return np.concatenate([
+                    native_imgproc.batch_resize_normalize(
+                        a[None], size, size, self.config.image_mean,
+                        self.config.image_std) for a in arrs])
         out = []
         mean = np.asarray(self.config.image_mean, np.float32)[:, None, None]
         std = np.asarray(self.config.image_std, np.float32)[:, None, None]
