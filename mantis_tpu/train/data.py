@@ -1142,3 +1142,71 @@ class CrossAttnPackingDataset(PackingDataset):
 FORMAT_CLASSES["qwen2_video_classification"] = \
     Qwen2VideoClassificationDataset
 FORMAT_CLASSES["siglip_video"] = SiglipVideoDataset
+
+
+class DistributedDataLoader(DataLoader):
+    """Multi-host input sharding (the v5p-8+ SFT configuration).
+
+    Replaces the reference's torchrun DistributedSampler: every process
+    draws the SAME seeded epoch permutation, takes its
+    ``process_index``-strided row shard, and yields LOCAL batches of
+    ``global_batch_size / process_count`` rows.  ``globalize`` turns a
+    local numpy batch into jax global arrays over a mesh via
+    ``jax.make_array_from_process_local_data`` so the pjit train step
+    sees one logical batch.
+    """
+
+    def __init__(self, dataset, collator, global_batch_size: int,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None,
+                 shuffle: bool = True, seed: int = 0,
+                 drop_last: bool = True):
+        import jax
+
+        pi = (jax.process_index() if process_index is None
+              else process_index)
+        pc = (jax.process_count() if process_count is None
+              else process_count)
+        assert global_batch_size % pc == 0, (global_batch_size, pc)
+        super().__init__(dataset, collator, global_batch_size // pc,
+                         shuffle=shuffle, seed=seed, drop_last=drop_last)
+        self.process_index = pi
+        self.process_count = pc
+        self.global_batch_size = global_batch_size
+
+    def __len__(self):
+        shard = len(self.dataset) // self.process_count
+        n = shard // self.batch_size
+        if not self.drop_last and shard % self.batch_size:
+            n += 1
+        return n
+
+    def __iter__(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            # identical permutation on every host (same seed+epoch)
+            np.random.RandomState(self.seed + self.epoch).shuffle(order)
+        self.epoch += 1
+        shard = order[self.process_index::self.process_count]
+        for i in range(0, len(shard), self.batch_size):
+            idxs = shard[i:i + self.batch_size]
+            if self.drop_last and len(idxs) < self.batch_size:
+                return
+            yield self.collator([self.dataset[int(j)] for j in idxs])
+
+    def globalize(self, batch, mesh, batch_axes=("data", "fsdp")):
+        """Local numpy batch -> global jax arrays sharded over mesh."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axes = tuple(a for a in batch_axes if mesh.shape.get(a, 1) > 1)
+        row_spec = PartitionSpec(axes if axes else None)
+        out = {}
+        for k, v in batch.items():
+            if v.ndim >= 2 and v.shape[0] == self.batch_size:
+                sh = NamedSharding(mesh, row_spec)
+                out[k] = jax.make_array_from_process_local_data(sh, v)
+            else:
+                out[k] = jax.device_put(
+                    v, NamedSharding(mesh, PartitionSpec()))
+        return out

@@ -357,3 +357,31 @@ def test_packing_same_mm_media_shares_kv_block():
         FakeDS(), max_self_attn_len=64, max_cross_attn_kv_len=1024,
         num_tokens_per_image=4, packing_same_mm_media=False)
     assert ds2[0]["pixel_values"].shape[0] == 6
+
+
+def test_distributed_loader_shards_disjoint_and_complete():
+    """Multi-host input: per-process shards are disjoint, cover the
+    dataset, and every host agrees on the epoch permutation."""
+    from mantis_tpu.train.data import DistributedDataLoader
+
+    class DS:
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            return {"input_ids": np.full(4, i, np.int64)}
+
+    def collate(items):
+        return {"input_ids": np.stack([x["input_ids"] for x in items])}
+
+    loaders = [DistributedDataLoader(
+        DS(), collate, global_batch_size=8, process_index=p,
+        process_count=2, seed=7) for p in range(2)]
+    assert all(len(ld) == 4 for ld in loaders)
+    seen = [set(), set()]
+    for p, ld in enumerate(loaders):
+        for batch in ld:
+            assert batch["input_ids"].shape[0] == 4  # local batch
+            seen[p].update(batch["input_ids"][:, 0].tolist())
+    assert seen[0] & seen[1] == set()
+    assert seen[0] | seen[1] == set(range(32))
