@@ -235,3 +235,92 @@ def encode_images(
         raise ValueError(
             f"Unexpected select strategy: {vision_feature_select_strategy}")
     return feats
+
+
+# ---------------------------------------------------------------------------
+# int8 serving encode (W8A8 dynamic) — v5e int8 MXU runs ~2x bf16
+# ---------------------------------------------------------------------------
+
+def quantize_encoder_weights_int8(params):
+    """Per-output-channel symmetric int8 for the encoder matmuls.
+
+    Returns a params copy where each layer matmul weight W [.., K, N]
+    becomes (w_q int8, w_scale f32[1, N]).  Embedding/layernorm stay
+    bf16.  Serving-only: accuracy is the caller's responsibility
+    (cosine > 0.999 vs bf16 on random inputs, see tests).
+    """
+    import jax.numpy as jnp
+
+    out = {k: v for k, v in params.items()}
+    layers = dict(params["layers"])
+    for name in ("q", "k", "v", "o", "fc1", "fc2"):
+        w = layers[name].astype(jnp.float32)          # [L, K, N]
+        s = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 127.0
+        s = jnp.where(s == 0, 1.0, s)
+        layers[name + "_q8"] = jnp.clip(
+            jnp.round(w / s), -127, 127).astype(jnp.int8)
+        layers[name + "_s8"] = s
+        del layers[name]
+    out["layers"] = layers
+    return out
+
+
+def _int8_linear(x, w_q, w_s, bias):
+    """Dynamic per-row activation quant + int8 MXU matmul + rescale."""
+    import jax
+    import jax.numpy as jnp
+
+    xs = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
+    xs = jnp.where(xs == 0, 1.0, xs)
+    xq = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w_q, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * xs * w_s
+    return (y + bias).astype(x.dtype)
+
+
+def encoder_int8(params_q8, cfg: VisionConfig, x, *,
+                 num_layers: Optional[int] = None):
+    """Encoder stack with W8A8 matmuls (serving path; attention stays
+    bf16 flash).  params_q8 from quantize_encoder_weights_int8."""
+    n, s_in, d = x.shape
+    hh, dh = cfg.num_attention_heads, cfg.head_dim
+    act = quick_gelu if cfg.tower_type == "clip" else gelu_tanh
+    scale = dh ** -0.5
+    kv_valid = None
+    s = ((s_in + 127) // 128) * 128
+    if s != s_in:
+        x = jnp.pad(x, ((0, 0), (0, s - s_in), (0, 0)))
+        kv_valid = s_in
+    L = num_layers or cfg.num_hidden_layers
+    layers = jax.tree.map(lambda a: a[:L], params_q8["layers"])
+
+    def layer_fn(carry, lp):
+        h = carry
+        residual = h
+        xx = layer_norm(h, lp["ln1_scale"], lp["ln1_bias"],
+                        cfg.layer_norm_eps)
+        q = _int8_linear(xx, lp["q_q8"], lp["q_s8"], lp["q_b"]).reshape(
+            n, s, hh, dh)
+        k = _int8_linear(xx, lp["k_q8"], lp["k_s8"], lp["k_b"]).reshape(
+            n, s, hh, dh)
+        v = _int8_linear(xx, lp["v_q8"], lp["v_s8"], lp["v_b"]).reshape(
+            n, s, hh, dh)
+        attn = flash_attention(q, k, v, causal=False,
+                               softmax_scale=scale,
+                               kv_valid_len=kv_valid)
+        h = residual + _int8_linear(attn.reshape(n, s, d), lp["o_q8"],
+                                    lp["o_s8"], lp["o_b"])
+        residual = h
+        xx = layer_norm(h, lp["ln2_scale"], lp["ln2_bias"],
+                        cfg.layer_norm_eps)
+        xx = _int8_linear(act(_int8_linear(xx, lp["fc1_q8"],
+                                           lp["fc1_s8"], lp["fc1_b"])),
+                          lp["fc2_q8"], lp["fc2_s8"], lp["fc2_b"])
+        return residual + xx, None
+
+    x, _ = jax.lax.scan(layer_fn, x, layers)
+    if s != s_in:
+        x = x[:, :s_in]
+    return x
