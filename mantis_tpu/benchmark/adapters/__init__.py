@@ -41,6 +41,12 @@ def MLLM_Models(model_name: str):
         if arch in ARCH_CHAT_CLASSES:
             cls = ARCH_CHAT_CLASSES[arch]
             return lambda: cls.from_pretrained(path)
+        from mantis_tpu.benchmark.adapters.torch_baselines import (
+            TORCH_BASELINES)
+
+        if arch in TORCH_BASELINES:
+            bcls = TORCH_BASELINES[arch]
+            return lambda: bcls(path)
     if model_name in _REGISTRY:
         return _REGISTRY[model_name]
     from mantis_tpu.benchmark.adapters.chat_models import (

@@ -1,0 +1,96 @@
+"""Third-party torch baseline adapters (reference mllm_tools wrappers):
+driven end-to-end over tiny in-memory HF models."""
+
+import numpy as np
+import pytest
+import torch
+import transformers
+from PIL import Image
+
+from mantis_tpu.benchmark.adapters.torch_baselines import Blip2, LlavaHF
+
+
+def _imgs(n=2):
+    rng = np.random.RandomState(0)
+    return [Image.fromarray(rng.randint(0, 255, (48, 56, 3), np.uint8))
+            for _ in range(n)]
+
+
+def test_blip2_adapter_tiny():
+    cfg = transformers.Blip2Config(
+        vision_config=dict(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           image_size=224, patch_size=16),
+        qformer_config=dict(hidden_size=32, intermediate_size=64,
+                            num_hidden_layers=2, num_attention_heads=2,
+                            encoder_hidden_size=32),
+        text_config=dict(model_type="opt", vocab_size=128,
+                         hidden_size=32, ffn_dim=64, num_hidden_layers=2,
+                         num_attention_heads=2, word_embed_proj_dim=32,
+                         max_position_embeddings=512),
+        num_query_tokens=4)
+    tok = _tiny_gpt2_tok()
+    tok.add_special_tokens({"additional_special_tokens": ["<image>"]})
+    cfg.image_token_id = tok.convert_tokens_to_ids("<image>")
+    cfg.text_config.vocab_size = max(len(tok), 128)
+    torch.manual_seed(0)
+    model = transformers.Blip2ForConditionalGeneration(cfg).eval()
+    ip = transformers.BlipImageProcessor(size={"height": 224,
+                                               "width": 224})
+    proc = transformers.Blip2Processor(ip, tok, num_query_tokens=4)
+    adapter = Blip2(model=model, processor=proc, max_new_tokens=3)
+    out = adapter([{"type": "image", "content": _imgs(2)[0]},
+                   {"type": "text", "content": "what is this"}])
+    assert isinstance(out, str)
+
+
+def _tiny_gpt2_tok():
+    # a minimal offline tokenizer compatible with AutoProcessor shims
+    from mantis_tpu.utils.debug_tokenizer import build_tokenizer_from_texts
+
+    return build_tokenizer_from_texts(["what is this a b c"])
+
+
+def test_llava_hf_prompt_protocol():
+    """LlavaHF builds the USER/ASSISTANT prompt with one <image> marker
+    per image and strips the prompt from the decode (protocol-level test
+    with stubs; the real-model path is covered by the blip2 test)."""
+    import torch
+
+    captured = {}
+
+    class StubTok:
+        def decode(self, ids, skip_special_tokens=True):
+            return "stub answer"
+
+    class StubProc:
+        tokenizer = StubTok()
+
+        def __call__(self, images=None, text=None, return_tensors=None):
+            captured["text"] = text
+            captured["n_images"] = len(images) if images else 0
+            return {"input_ids": torch.ones((1, 5), dtype=torch.long)}
+
+    class StubModel:
+        def generate(self, **kw):
+            return torch.ones((1, 8), dtype=torch.long)
+
+    adapter = LlavaHF(model=StubModel(), processor=StubProc(),
+                      max_new_tokens=3)
+    out = adapter([
+        {"type": "image", "content": _imgs(2)[0]},
+        {"type": "text", "content": "compare with"},
+        {"type": "image", "content": _imgs(2)[1]},
+    ])
+    assert out == "stub answer"
+    assert captured["text"] == "USER: <image>compare with<image> ASSISTANT:"
+    assert captured["n_images"] == 2
+
+
+def test_registry_resolves_baseline_names():
+    from mantis_tpu.benchmark.adapters import MLLM_Models
+
+    factory = MLLM_Models("blip2:/nonexistent/path")
+    assert callable(factory)
+    with pytest.raises(Exception):
+        factory()  # no checkpoint there — resolution itself worked
