@@ -70,7 +70,29 @@ def bench_encode():
         float(acc)  # single sync per round
         dt = time.perf_counter() - t0
         best = max(best, batch * n_calls / dt)
-    return best
+
+    # W8A8 int8 serving variant (cosine > 0.999 vs bf16, see
+    # tests/test_int8_encode.py); reported separately from the bf16
+    # headline for apples-to-apples with the A100 fp16 reference
+    q8 = jax.jit(vit.quantize_encoder_weights_int8)(params)
+
+    @jax.jit
+    def encode_int8(q8_, pix):
+        x = vit.embed(params, cfg, pix)
+        h = vit.encoder_int8(q8_, cfg, x,
+                             num_layers=cfg.num_hidden_layers - 1)
+        return jnp.sum(h.astype(jnp.float32))
+
+    float(encode_int8(q8, batches[-1]))
+    best8 = 0.0
+    for r in range(min(rounds, 2)):
+        t0 = time.perf_counter()
+        acc = 0.0
+        for pix in batches[r * n_calls:(r + 1) * n_calls]:
+            acc = acc + encode_int8(q8, pix)
+        float(acc)
+        best8 = max(best8, batch * n_calls / (time.perf_counter() - t0))
+    return best, best8
 
 
 def bench_train_mfu():
@@ -257,7 +279,7 @@ def bench_decode():
 
 
 def main():
-    imgs_per_sec = bench_encode()
+    imgs_per_sec, imgs_per_sec_int8 = bench_encode()
     mfu, train_tok_s = bench_train_mfu()
     ttft_ms, decode_tok_s = bench_decode()
     print(json.dumps({
@@ -266,6 +288,7 @@ def main():
         "unit": "images/sec",
         "vs_baseline": round(imgs_per_sec / 400.0, 3),
         "extra_metrics": {
+            "encode_img_s_int8_w8a8": round(imgs_per_sec_int8, 2),
             "train_step_mfu": round(mfu, 4),
             "train_tokens_per_sec": round(train_tok_s, 1),
             "prefill_ttft_ms_6016tok_fulldepth_int8": round(ttft_ms, 1),
