@@ -19,6 +19,8 @@ from mantis_tpu.models.qwen2_vl.model import _merge_visual
 class Qwen2VLVAEConfig:
     latent_channels: int = 12
     latent_patch_size: int = 2
+    vae_base_channels: int = 64
+    vae_channel_mults: tuple = (1, 2, 4, 4)
     spatial_merge_size: int = 2
     vision_hidden: int = 1280
     text_config: LlamaConfig = dataclasses.field(
@@ -41,7 +43,16 @@ def latent_grid_thw(h_lat: int, w_lat: int, cfg: Qwen2VLVAEConfig):
             w_lat // cfg.latent_patch_size)
 
 
-def init_params(cfg: Qwen2VLVAEConfig, key, dtype=jnp.float32):
+def _vae_cfg(cfg: Qwen2VLVAEConfig):
+    from mantis_tpu.models.qwen2_vl_vae.vae import VAEEncoderConfig
+
+    return VAEEncoderConfig(latent_channels=cfg.latent_channels,
+                            base_channels=cfg.vae_base_channels,
+                            channel_mults=cfg.vae_channel_mults)
+
+
+def init_params(cfg: Qwen2VLVAEConfig, key, dtype=jnp.float32,
+                with_vae: bool = False):
     k1, k2, k3, kl = jax.random.split(key, 4)
     d = cfg.vision_hidden
     dt = cfg.text_config.hidden_size
@@ -51,7 +62,7 @@ def init_params(cfg: Qwen2VLVAEConfig, key, dtype=jnp.float32):
         return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(
             dtype)
 
-    return {
+    params = {
         "latent_patch_embed": norm(k1, (cfg.patch_dim, d)),
         # VAEVisionMlp projector (reference
         # modeling_qwen2_vl_vae.py:103): merged latents -> text hidden
@@ -61,6 +72,12 @@ def init_params(cfg: Qwen2VLVAEConfig, key, dtype=jnp.float32):
         "mlp_fc2_b": jnp.zeros((dt,), dtype),
         "language_model": llama.init_params(cfg.text_config, kl, dtype),
     }
+    if with_vae:
+        from mantis_tpu.models.qwen2_vl_vae import vae as vae_lib
+
+        params["vae"] = vae_lib.init_vae_encoder(
+            _vae_cfg(cfg), jax.random.fold_in(key, 7), dtype)
+    return params
 
 
 def encode_latents(params, cfg: Qwen2VLVAEConfig, latents):
@@ -85,10 +102,22 @@ def encode_latents(params, cfg: Qwen2VLVAEConfig, latents):
 
 
 def forward(params, cfg: Qwen2VLVAEConfig, *, input_ids,
-            latents: Optional[jax.Array] = None, positions=None,
+            latents: Optional[jax.Array] = None,
+            pixel_values: Optional[jax.Array] = None, positions=None,
             segment_ids=None, labels=None, kv_cache=None,
             attn_impl=None, use_remat=False):
+    """pixel_values [N, C, H, W] go through the in-tree VAE encoder
+    (params["vae"], see vae.py — the reference's diffusers
+    AutoencoderKL equivalent) when raw frames are given instead of
+    precomputed latents."""
     embeds = params["language_model"]["embed_tokens"][input_ids]
+    if pixel_values is not None and latents is None \
+            and input_ids.shape[1] > 1:
+        from mantis_tpu.models.qwen2_vl_vae import vae as vae_lib
+
+        assert "vae" in params, "init with init_params(..., with_vae=...)"
+        latents = vae_lib.encode(params["vae"], _vae_cfg(cfg),
+                                 pixel_values)
     if latents is not None and input_ids.shape[1] > 1:
         vis = encode_latents(params, cfg, latents)
         embeds = _merge_visual(embeds, input_ids, vis,

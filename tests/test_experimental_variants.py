@@ -47,3 +47,53 @@ def test_delta_frames():
     assert deltas[0].size == (32, 32)
     stream = interleave_frames_and_deltas(frames)
     assert len(stream) == 5  # f0 d01 f1 d12 f2
+
+
+def test_qwen2_vl_vae_raw_pixels_through_vae_encoder():
+    """Raw frames -> in-tree VAE encoder -> latent patchify -> LM
+    (previously only precomputed latents were accepted; reference
+    plugs a diffusers AutoencoderKL here,
+    modeling_qwen2_vl_vae.py:121-143)."""
+    from mantis_tpu.models.qwen2_vl_vae import model as M
+    from mantis_tpu.models.qwen2_vl_vae.vae import (
+        VAEEncoderConfig, encode, init_vae_encoder)
+
+    cfg = M.Qwen2VLVAEConfig(
+        latent_channels=4, latent_patch_size=2, spatial_merge_size=2,
+        vision_hidden=32, vae_base_channels=8,
+        vae_channel_mults=(1, 2),
+        text_config=type(M.Qwen2VLVAEConfig().text_config)(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, rope_theta=1e6,
+            mrope_section=None),
+        image_token_id=127)
+    params = M.init_params(cfg, jax.random.PRNGKey(0), with_vae=True)
+    assert "vae" in params
+
+    # VAE encoder alone: downsample factor and latent channels
+    vcfg = VAEEncoderConfig(latent_channels=4, base_channels=8,
+                            channel_mults=(1, 2))
+    rng = np.random.RandomState(0)
+    pix = jnp.asarray(rng.randn(1, 3, 32, 32), jnp.float32)
+    lat = encode(init_vae_encoder(vcfg, jax.random.PRNGKey(1)), vcfg,
+                 pix)
+    assert lat.shape == (1, 4, 16, 16)  # factor 2, 4 channels
+
+    # end to end: raw pixels produce a finite loss and grads flow
+    # latents 16x16 / patch 2 -> 8x8=64 tokens / merge 2 -> 16 merged
+    ids = rng.randint(2, 120, size=(1, 40))
+    ids[0, 2:18] = 127
+    labels = ids.copy()
+
+    def loss_fn(p):
+        _, loss, _ = M.forward(
+            p, cfg, input_ids=jnp.asarray(ids),
+            pixel_values=pix, labels=jnp.asarray(labels))
+        return loss
+
+    params_t = jax.tree.map(lambda x: x, params)
+    loss, grads = jax.value_and_grad(loss_fn)(params_t)
+    assert np.isfinite(float(loss))
+    gleaves = jax.tree.leaves(grads["vae"])
+    assert any(float(jnp.abs(g).max()) > 0 for g in gleaves)
