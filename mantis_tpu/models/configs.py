@@ -131,6 +131,8 @@ class LlavaConfig:
     text_config: LlamaConfig = dataclasses.field(default_factory=LlamaConfig)
     image_token_index: int = 32000
     ignore_index: int = -100
+    # MLlava cross-image variant (reference modeling_llava.py:618-621)
+    type_vocab_size: int = 144
     vision_feature_layer: int = -2
     vision_feature_select_strategy: str = "default"
     projector_hidden_act: str = "gelu"

@@ -48,6 +48,43 @@ def init_params(cfg: LlavaConfig, key: jax.Array, dtype=jnp.float32):
     }
 
 
+def init_mllava_xattn_params(cfg: LlavaConfig, key,
+                             dtype=jnp.float32):
+    """Extra params for the MLlava cross-image variant (reference:
+    modeling_llava.py:606-712 ``MLlavaForConditionalGeneration``):
+    per-image type embeddings (type_vocab_size=144) + a second
+    CLIP-encoder stack run over the tapped image features before the
+    projector.  The reference flags this as a debug/ablation path (it
+    re-inits the stack from clip-vit at load, train_mllava.py:207-210);
+    flagship releases use the plain model."""
+    from mantis_tpu.models import vit as vit_lib
+
+    k1, k2 = jax.random.split(key)
+    enc = vit_lib.init_params(cfg.vision_config, k2, dtype)
+    return {
+        "image_type_embeddings": (jax.random.normal(
+            k1, (cfg.type_vocab_size, cfg.vision_config.hidden_size),
+            jnp.float32) * 0.02).astype(dtype),
+        "vision_xatten_layers": enc["layers"],
+    }
+
+
+def apply_cross_image_layers(xattn_params, cfg: LlavaConfig,
+                             feats: jax.Array) -> jax.Array:
+    """feats [N_images, P, Dv] + type embedding per image, then the
+    extra encoder stack (per-image attention; cross-image mixing enters
+    through the shared type embeddings, exactly like the reference)."""
+    from mantis_tpu.models import vit as vit_lib
+
+    n = feats.shape[0]
+    type_emb = xattn_params["image_type_embeddings"][
+        jnp.arange(n) % cfg.type_vocab_size]
+    feats = feats + type_emb[:, None, :].astype(feats.dtype)
+    return vit_lib.encoder(
+        {"layers": xattn_params["vision_xatten_layers"]},
+        cfg.vision_config, feats)
+
+
 def project_image_features(params, cfg: LlavaConfig, feats: jax.Array
                            ) -> jax.Array:
     """2-layer MLP projector (reference: modeling_llava.py:157-170)."""
@@ -66,6 +103,9 @@ def encode_images(params, cfg: LlavaConfig, pixel_values: jax.Array,
         vision_feature_layer=cfg.vision_feature_layer,
         vision_feature_select_strategy=cfg.vision_feature_select_strategy,
         attn_impl=attn_impl, use_remat=use_remat)
+    if "mllava_xattn" in params:  # cross-image variant
+        feats = apply_cross_image_layers(
+            params["mllava_xattn"], cfg, feats)
     return project_image_features(params, cfg, feats)
 
 
