@@ -191,3 +191,35 @@ def test_mantis_adapter_over_tiny_model(bench_fixture, tmp_path):
     assert len(results) == 2
     for r in results:
         assert isinstance(r["prediction"]["raw_answer"], str)
+
+
+def test_blink_conversion_and_eval(tmp_path):
+    """BLINK rows -> local driver JSON -> scored run with the random
+    baseline (the reference ran BLINK via an external fork;
+    benchmark/README.md:14-16)."""
+    from PIL import Image as PILImage
+
+    from mantis_tpu.benchmark.prepare_blink import convert_rows
+
+    rng = np.random.RandomState(0)
+    rows = [{
+        "idx": f"blink_{i}",
+        "image_1": PILImage.fromarray(
+            rng.randint(0, 255, (32, 32, 3), np.uint8)),
+        "image_2": PILImage.fromarray(
+            rng.randint(0, 255, (32, 32, 3), np.uint8)),
+        "question": "Which image is brighter?",
+        "choices": ["first", "second"],
+        "answer": "(B)",
+    } for i in range(3)]
+    out_dir = str(tmp_path / "blink")
+    items = convert_rows(rows, out_dir, subtask="vis_sim")
+    import json as _json
+    with open(f"{out_dir}/val.json", "w") as f:
+        _json.dump(items, f)
+    assert items[0]["answer"] == "B"
+    assert len(items[0]["images"]) == 2
+    summary, results = eval_lib.main(
+        model_name="random", dataset_path=f"{out_dir}/val.json",
+        dataset_name="blink-mini", results_dir=str(tmp_path / "res"))
+    assert len(results) == 3
