@@ -14,6 +14,11 @@ python -m mantis_tpu.benchmark.eval --model_name "$MODEL" \
 [ -n "$QBENCH2_JSON" ] && python -m mantis_tpu.benchmark.eval \
     --model_name "$MODEL" --dataset_path "$QBENCH2_JSON" \
     --dataset_name q-bench2-a1-pair-dev --results_dir "$RESULTS"
+# BLINK: convert once with benchmark/prepare_blink.py, then point
+# BLINK_JSON at the produced val.json (reference ran an external fork)
+[ -n "$BLINK_JSON" ] && python -m mantis_tpu.benchmark.eval \
+    --model_name "$MODEL" --dataset_path "$BLINK_JSON" \
+    --dataset_name blink --results_dir "$RESULTS"
 [ -n "$MVBENCH_DIR" ] && python -m mantis_tpu.benchmark.eval_on_mvbench \
     --model_name "$MODEL" --json_dir "$MVBENCH_DIR/json" \
     --video_dir "$MVBENCH_DIR/video" --num_frames "${NUM_FRAMES:-8}" \
