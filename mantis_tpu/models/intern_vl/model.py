@@ -457,6 +457,7 @@ def forward(
     encoder_mask=None, labels_preshifted: bool = False,
     shared_xattn_prefix: Optional[int] = None,
     vision_dp_mesh=None, vision_dp_axis: str = "context",
+    image_feature_idx=None,
 ):
     """Inline mode: image features spliced at IMG_CONTEXT positions.
     Cross-attn mode (cfg.enable_cross_attention): features become
@@ -484,8 +485,11 @@ def forward(
                 encoder_mask = jnp.ones(
                     encoder_hidden.shape[:2], jnp.int32)
         else:
+            # image_feature_idx: pre-zigzag position->feature map for
+            # context parallelism (see mllava.merge_image_features)
             embeds = merge_image_features(
-                embeds, input_ids, feats, cfg.image_token_id)
+                embeds, input_ids, feats, cfg.image_token_id,
+                feature_idx=image_feature_idx)
 
     logits, new_cache = decoder_forward(
         params, cfg, embeds, positions=positions,

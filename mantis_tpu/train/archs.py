@@ -106,7 +106,7 @@ def _mllava_debug_config(tokenizer):
     )
 
 
-def _mllava_loss(params, cfg, batch, tcfg):
+def _mllava_loss(params, cfg, batch, tcfg, **kw):
     from mantis_tpu.models.mllava import model as M
 
     _, loss, _ = M.forward(
@@ -115,7 +115,7 @@ def _mllava_loss(params, cfg, batch, tcfg):
         positions=batch.get("positions"),
         segment_ids=batch.get("segment_ids"), labels=batch["labels"],
         use_remat=tcfg.use_remat,
-        image_feature_idx=batch.get("image_feature_idx"))
+        image_feature_idx=batch.get("image_feature_idx"), **kw)
     return loss
 
 
@@ -183,7 +183,10 @@ def _idefics2_debug_config(tokenizer):
     )
 
 
-def _idefics2_loss(params, cfg, batch, tcfg):
+def _idefics2_loss(params, cfg, batch, tcfg, **kw):
+    assert not kw, (
+        "idefics2: context parallelism / ring vision DP not wired for "
+        "this architecture (supported: mllava, internvl)")
     from mantis_tpu.models.idefics2 import model as M
 
     logits, loss, _ = M.forward(
@@ -255,7 +258,10 @@ def _idefics3_debug_config(tokenizer):
     )
 
 
-def _idefics3_loss(params, cfg, batch, tcfg):
+def _idefics3_loss(params, cfg, batch, tcfg, **kw):
+    assert not kw, (
+        "idefics3: context parallelism / ring vision DP not wired for "
+        "this architecture (supported: mllava, internvl)")
     from mantis_tpu.models.idefics3 import model as M
 
     _, loss, _ = M.forward(
@@ -316,15 +322,17 @@ def _internvl_debug_config(tokenizer):
     )
 
 
-def _internvl_loss(params, cfg, batch, tcfg):
+def _internvl_loss(params, cfg, batch, tcfg, **kw):
     from mantis_tpu.models.intern_vl import model as M
 
+    if batch.get("image_feature_idx") is not None:
+        kw = dict(kw, image_feature_idx=batch["image_feature_idx"])
     _, loss, _ = M.forward(
         params, cfg, input_ids=batch["input_ids"],
         pixel_values=batch.get("pixel_values"),
         positions=batch.get("positions"),
         segment_ids=batch.get("segment_ids"), labels=batch["labels"],
-        use_remat=tcfg.use_remat)
+        use_remat=tcfg.use_remat, **kw)
     return loss
 
 
@@ -407,7 +415,10 @@ def _qwen2_debug_config(tokenizer):
     )
 
 
-def _qwen2_loss(params, cfg, batch, tcfg):
+def _qwen2_loss(params, cfg, batch, tcfg, **kw):
+    assert not kw, (
+        "qwen2_vl: context parallelism / ring vision DP not wired for "
+        "this architecture (supported: mllava, internvl)")
     from mantis_tpu.models.qwen2_vl import model as M
 
     _, loss, _ = M.forward(
@@ -508,7 +519,10 @@ def _mfuyu_debug_config(tokenizer):
     )
 
 
-def _mfuyu_loss(params, cfg, batch, tcfg):
+def _mfuyu_loss(params, cfg, batch, tcfg, **kw):
+    assert not kw, (
+        "mfuyu: context parallelism / ring vision DP not wired for "
+        "this architecture (supported: mllava, internvl)")
     from mantis_tpu.models.mfuyu import model as M
 
     _, loss, _ = M.forward(
@@ -575,7 +589,10 @@ def _flamingo_debug_config(tokenizer):
     )
 
 
-def _flamingo_loss(params, cfg, batch, tcfg):
+def _flamingo_loss(params, cfg, batch, tcfg, **kw):
+    assert not kw, (
+        "openflamingo: context parallelism / ring vision DP not wired for "
+        "this architecture (supported: mllava, internvl)")
     from mantis_tpu.models.openflamingo import model as M
 
     num_media = batch["pixel_values"].shape[0] \
@@ -679,7 +696,10 @@ def _siglip_debug_config(tokenizer):
         num_latents=4, perceiver_depth=1, max_temporal_clip_size=4)
 
 
-def _siglip_loss(params, cfg, batch, tcfg):
+def _siglip_loss(params, cfg, batch, tcfg, **kw):
+    assert not kw, (
+        "siglip_video: context parallelism / ring vision DP not wired for "
+        "this architecture (supported: mllava, internvl)")
     from mantis_tpu.models.siglip_video import model as M
 
     loss, _, _ = M.forward(params, cfg, input_ids=batch["input_ids"],

@@ -79,6 +79,13 @@ def parse_args(argv=None, default_arch=None):
     # mesh
     p.add_argument("--mesh_data", type=int, default=-1)
     p.add_argument("--mesh_fsdp", type=int, default=1)
+    p.add_argument("--mesh_context", type=int, default=1,
+                   help="ring-attention context parallelism "
+                        "(mllava/internvl; the reference recipe is "
+                        "train_intern_vl_25.sh)")
+    p.add_argument("--ring_vision_dp", action="store_true",
+                   help="shard image encoding over the ring group "
+                        "(reference modeling_internvl_chat.py:200-228)")
     # io
     p.add_argument("--output_dir", type=str, required=True)
     p.add_argument("--save_steps", type=int, default=500)
@@ -142,10 +149,14 @@ def build_model_and_data(args, spec):
             for p in paths]
     ds = (datasets[0] if len(datasets) == 1
           else data_lib.DatasetCollection(datasets))
+    cp = args.mesh_context
+    buckets = tuple(
+        b for b in (256, 512, 1024, 2048, 4096, 8192)
+        if b <= args.max_seq_len
+        and (cp <= 1 or b % (2 * cp * 128) == 0))
     collator = spec.make_collator(processor, cfg, {
-        "seq_buckets": tuple(
-            b for b in (256, 512, 1024, 2048, 4096, 8192)
-            if b <= args.max_seq_len) or (args.max_seq_len,),
+        "seq_buckets": buckets or (args.max_seq_len,),
+        "context_parallel_size": cp,
     })
     return cfg, params, processor, ds, collator
 
@@ -155,12 +166,16 @@ def main(argv=None, default_arch=None):
     spec = archs_lib.get_arch(args.arch)
     os.makedirs(args.output_dir, exist_ok=True)
     devices = None
+    cp = args.mesh_context
+    if cp > 1 and args.arch not in ("mllava", "internvl"):
+        raise SystemExit(
+            f"--mesh_context: {args.arch} has no ring-attention wiring")
     if args.mesh_data > 0:
-        n = args.mesh_data * args.mesh_fsdp
+        n = args.mesh_data * args.mesh_fsdp * cp
         if n < len(jax.devices()):  # explicit sub-mesh
             devices = jax.devices()[:n]
     mesh = create_mesh(data=args.mesh_data, fsdp=args.mesh_fsdp,
-                       devices=devices)
+                       context=cp, devices=devices)
 
     cfg, params, processor, ds, collator = build_model_and_data(
         args, spec)
@@ -186,6 +201,11 @@ def main(argv=None, default_arch=None):
         compute_dtype=args.compute_dtype, use_remat=not args.no_remat,
         lora=lora_cfg)
 
+    ctx_attn = None
+    if cp > 1:
+        from mantis_tpu.ops.ring_attention import make_context_attention
+
+        ctx_attn = make_context_attention(mesh, "context")
     opt, sched = trainer_lib.make_optimizer(tcfg)
     if lora_cfg is not None:
         if args.use_qlora:
@@ -202,7 +222,9 @@ def main(argv=None, default_arch=None):
         trainable = shard_params(trainable, mesh)
         step_fn = trainer_lib.make_train_step(
             None, cfg, tcfg, opt, None, base_params_for_lora=base,
-            compute_loss=spec.compute_loss)
+            compute_loss=spec.compute_loss,
+            context_attention=ctx_attn, labels_preshifted=cp > 1,
+            vision_dp_mesh=mesh if args.ring_vision_dp else None)
     else:
         if args.xattn_pretrain:
             # train only the cross-attn branch (+ gates)
@@ -216,7 +238,9 @@ def main(argv=None, default_arch=None):
         frozen = shard_params(frozen, mesh)
         step_fn = trainer_lib.make_train_step(
             None, cfg, tcfg, opt, frozen,
-            compute_loss=spec.compute_loss)
+            compute_loss=spec.compute_loss,
+            context_attention=ctx_attn, labels_preshifted=cp > 1,
+            vision_dp_mesh=mesh if args.ring_vision_dp else None)
 
     state = trainer_lib.create_train_state(trainable, opt)
     mgr = CheckpointManager(args.output_dir, args.save_total_limit)
@@ -226,17 +250,22 @@ def main(argv=None, default_arch=None):
             state = restored
             print(f"resumed from checkpoint-{start_step}")
 
-    bs = batch_sharding(mesh)
+    bs = batch_sharding(mesh)  # rows over (data,fsdp), seq over context
     from jax.sharding import NamedSharding, PartitionSpec
 
     def put_batch(batch):
         out = {}
         for k, v in batch.items():
-            # [B, ...] rows shard over (data, fsdp); per-image tensors
-            # and qwen2's [3, B, S] M-RoPE positions replicate
+            # [B, ...] rows shard over (data, fsdp) (+seq over context);
+            # per-image tensors and qwen2's [3, B, S] M-RoPE positions
+            # replicate — except ring vision DP, which shards the image
+            # batch over the context axis
             if v.ndim >= 2 and v.shape[0] == args.batch_size \
                     and not (k == "positions" and v.ndim == 3):
                 out[k] = jax.device_put(v, bs)
+            elif k == "pixel_values" and args.ring_vision_dp:
+                out[k] = jax.device_put(
+                    v, NamedSharding(mesh, PartitionSpec("context")))
             else:
                 out[k] = jax.device_put(
                     v, NamedSharding(mesh, PartitionSpec()))

@@ -179,7 +179,14 @@ def make_train_step(
     def loss_fn(trainable, batch):
         params = cast(build_full_params(trainable))
         if compute_loss is not None:
-            return compute_loss(params, model_cfg, batch, train_cfg)
+            kw = {}
+            if context_attention is not None:
+                kw.update(context_attention=context_attention,
+                          labels_preshifted=labels_preshifted)
+            if vision_dp_mesh is not None:
+                kw.update(vision_dp_mesh=vision_dp_mesh)
+            return compute_loss(params, model_cfg, batch, train_cfg,
+                                **kw)
         kwargs = {}
         if context_attention is not None:
             kwargs.update(context_attention=context_attention,

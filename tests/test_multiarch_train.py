@@ -61,3 +61,16 @@ def test_lora_smoke_qwen2_vl(tmp_path):
                           "5e-3"))
     losses = [m["loss"] for m in metrics]
     assert losses[-1] < losses[0], losses
+
+
+def test_internvl_context_parallel_smoke(tmp_path):
+    """The reference's core long-context recipe (train_intern_vl_25.sh):
+    internvl trained with ring-attention context parallelism + ring
+    vision DP through the generic CLI."""
+    out = str(tmp_path / "internvl_cp")
+    metrics = _run("internvl", out,
+                   extra=("--mesh_data", "1", "--mesh_fsdp", "2",
+                          "--mesh_context", "2", "--ring_vision_dp",
+                          "--max_seq_len", "1024"))
+    losses = [m["loss"] for m in metrics]
+    assert losses[-1] < losses[0], losses
