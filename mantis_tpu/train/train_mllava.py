@@ -85,6 +85,10 @@ def parse_args(argv=None):
     p.add_argument("--mesh_data", type=int, default=-1)
     p.add_argument("--mesh_fsdp", type=int, default=1)
     p.add_argument("--mesh_context", type=int, default=1)
+    p.add_argument("--ring_vision_dp", action="store_true",
+                   help="shard image encoding over the context/ring "
+                        "group (reference "
+                        "modeling_internvl_chat.py:200-228)")
     p.add_argument("--mesh_tensor", type=int, default=1)
     # io
     p.add_argument("--output_dir", type=str, required=True)
@@ -238,7 +242,8 @@ def main(argv=None):
         step_fn = trainer_lib.make_train_step(
             mllava_model.forward, cfg, tcfg, opt, frozen,
             base_params_for_lora=base, context_attention=ctx_attn,
-            labels_preshifted=cp > 1)
+            labels_preshifted=cp > 1,
+            vision_dp_mesh=mesh if args.ring_vision_dp else None)
     else:
         pred = lambda p: trainer_lib.default_trainable_pred(  # noqa: E731
             p, freeze_vision=tcfg.freeze_vision,
@@ -248,7 +253,8 @@ def main(argv=None):
         frozen = shard_params(frozen, mesh)
         step_fn = trainer_lib.make_train_step(
             mllava_model.forward, cfg, tcfg, opt, frozen,
-            context_attention=ctx_attn, labels_preshifted=cp > 1)
+            context_attention=ctx_attn, labels_preshifted=cp > 1,
+            vision_dp_mesh=mesh if args.ring_vision_dp else None)
 
     state = trainer_lib.create_train_state(trainable, opt)
     mgr = CheckpointManager(args.output_dir, args.save_total_limit)
@@ -266,6 +272,9 @@ def main(argv=None):
         for k, v in batch.items():
             if v.ndim >= 2 and v.shape[0] == args.batch_size:
                 out[k] = jax.device_put(v, bs)
+            elif k == "pixel_values" and args.ring_vision_dp:
+                out[k] = jax.device_put(
+                    v, NamedSharding(mesh, PartitionSpec("context")))
             else:
                 out[k] = jax.device_put(
                     v, NamedSharding(mesh, PartitionSpec()))
