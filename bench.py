@@ -191,13 +191,20 @@ def bench_decode():
             scale = jnp.full((L, din // g, 1, dout), 1e-3, jnp.float32)
             return QuantTensor(q=q, scale=scale, bits=8)
 
+        def qt1(k, din, dout):  # unstacked (lm_head)
+            q = jax.random.randint(
+                k, (din // g, g, dout), -127, 128, jnp.int8)
+            scale = jnp.full((din // g, 1, dout), 1e-3, jnp.float32)
+            return QuantTensor(q=q, scale=scale, bits=8)
+
         def bf(k, *shape):
             return (jax.random.normal(k, shape, jnp.bfloat16) * 0.02)
 
         return {
             "embed_tokens": bf(ks[0], cfg.vocab_size, d),
             "norm": jnp.ones((d,), jnp.bfloat16),
-            "lm_head": bf(ks[1], d, cfg.vocab_size),
+            # int8 head too: 1.05 GB bf16 read/token otherwise
+            "lm_head": qt1(ks[1], d, cfg.vocab_size),
             "layers": {
                 "input_layernorm": jnp.ones((L, d), jnp.bfloat16),
                 "post_attention_layernorm": jnp.ones((L, d),
