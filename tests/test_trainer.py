@@ -368,3 +368,37 @@ def test_mantis_instruct_recipe_arithmetic():
 
     mix = yaml.safe_load(open("configs/mantis_instruct.yaml"))
     assert len(mix["data"]) >= 10  # the converted source datasets
+
+
+def test_tensor_parallel_forward_parity():
+    """TP (megatron-layout PartitionSpec rules, a bonus over the
+    reference which has no TP): logits on a (data=2, tensor=4) mesh
+    match the single-device forward."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = tiny_cfg()
+    params = mllava_model.init_params(cfg, jax.random.PRNGKey(6))
+    batch = make_batch(cfg, b=4, s=32)
+
+    ref, _, _ = mllava_model.forward(
+        params, cfg, input_ids=batch["input_ids"],
+        pixel_values=batch["pixel_values"],
+        segment_ids=batch["segment_ids"])
+
+    mesh = create_mesh(data=2, tensor=4)
+    sh = shard_params(params, mesh)
+    bspec = NamedSharding(mesh, P("data"))
+    rspec = NamedSharding(mesh, P())
+
+    @jax.jit
+    def fwd(p, ids, pix, seg):
+        logits, _, _ = mllava_model.forward(
+            p, cfg, input_ids=ids, pixel_values=pix, segment_ids=seg)
+        return logits
+
+    out = fwd(sh,
+              jax.device_put(batch["input_ids"], bspec),
+              jax.device_put(batch["pixel_values"], rspec),
+              jax.device_put(batch["segment_ids"], bspec))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
