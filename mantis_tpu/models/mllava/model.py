@@ -189,7 +189,8 @@ def forward(
     image_feature_idx: Optional[jax.Array] = None,
     vision_dp_mesh=None,
     vision_dp_axis: str = "context",
-) -> Tuple[jax.Array, Optional[jax.Array], Optional[KVCache]]:
+    loss_chunk_size: Optional[int] = None,
+) -> Tuple[Optional[jax.Array], Optional[jax.Array], Optional[KVCache]]:
     """Full forward.  Returns (logits, loss or None, new_cache or None).
 
     For decode steps pass pixel_values=None (images live in the cache).
@@ -212,6 +213,34 @@ def forward(
         embeds = merge_image_features(
             embeds, input_ids, image_features, cfg.image_token_index,
             feature_idx=image_feature_idx)
+
+    if labels is not None and loss_chunk_size:
+        # liger-equivalent chunked CE: skip materializing [B, S, V]
+        # logits entirely (ops/chunked_ce.py); logits return is None.
+        from mantis_tpu.ops.chunked_ce import chunked_cross_entropy
+
+        hidden, new_cache = llama.forward(
+            params["language_model"], cfg.text_config,
+            inputs_embeds=embeds, positions=positions,
+            segment_ids=segment_ids, kv_cache=kv_cache,
+            attn_impl=attn_impl, use_remat=use_remat,
+            context_attention=context_attention, return_hidden=True)
+        lm = params["language_model"]
+        w = (lm["lm_head"] if "lm_head" in lm
+             else lm["embed_tokens"].T)
+        if labels_preshifted:
+            aligned = labels
+        else:
+            aligned = jnp.concatenate(
+                [labels[:, 1:],
+                 jnp.full((labels.shape[0], 1), cfg.ignore_index,
+                          labels.dtype)], axis=1)
+        valid = aligned != cfg.ignore_index
+        if segment_ids is not None:
+            valid = valid & (segment_ids != 0)
+        loss = chunked_cross_entropy(hidden, w, aligned, valid,
+                                     loss_chunk_size)
+        return None, loss, new_cache
 
     logits, new_cache = llama.forward(
         params["language_model"], cfg.text_config,

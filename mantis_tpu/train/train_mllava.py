@@ -81,6 +81,10 @@ def parse_args(argv=None):
     p.add_argument("--grad_clip", type=float, default=1.0)
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--no_remat", action="store_true")
+    p.add_argument("--loss_chunk_size", type=int, default=0,
+                   help="chunked cross-entropy (liger equivalent): "
+                   "never materialize [B,S,vocab] logits; needed for "
+                   "vocab-128k SFT at seq 8192 on 16 GB chips")
     # mesh
     p.add_argument("--mesh_data", type=int, default=-1)
     p.add_argument("--mesh_fsdp", type=int, default=1)
@@ -214,6 +218,7 @@ def main(argv=None):
         gradient_accumulation_steps=accum,
         grad_clip=args.grad_clip, compute_dtype=args.compute_dtype,
         use_remat=not args.no_remat,
+        loss_chunk_size=args.loss_chunk_size,
         tune_projector_only=args.do_pretrain,
         freeze_vision=not args.train_vision, lora=lora_cfg)
 

@@ -96,6 +96,8 @@ class TrainConfig:
     tune_projector_only: bool = False
     compute_dtype: str = "bfloat16"
     use_remat: bool = True
+    # chunked CE (ops/chunked_ce.py); 0 = standard logits+CE
+    loss_chunk_size: int = 0
     lora: Optional[LoraConfig] = None
 
 
@@ -195,6 +197,8 @@ def make_train_step(
             kwargs.update(image_feature_idx=batch["image_feature_idx"])
         if vision_dp_mesh is not None:
             kwargs.update(vision_dp_mesh=vision_dp_mesh)
+        if train_cfg.loss_chunk_size:
+            kwargs.update(loss_chunk_size=train_cfg.loss_chunk_size)
         _, loss, _ = model_forward(
             params, model_cfg,
             input_ids=batch["input_ids"],

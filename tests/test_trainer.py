@@ -402,3 +402,52 @@ def test_tensor_parallel_forward_parity():
               jax.device_put(batch["segment_ids"], bspec))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_chunked_ce_matches_standard_loss():
+    """Chunked CE (liger equivalent, ops/chunked_ce.py) matches the
+    standard masked-shift loss, values and gradients."""
+    cfg = tiny_cfg()
+    params = mllava_model.init_params(cfg, jax.random.PRNGKey(7))
+    batch = make_batch(cfg, b=2, s=48)
+
+    def loss_std(p):
+        _, loss, _ = mllava_model.forward(
+            p, cfg, input_ids=batch["input_ids"],
+            pixel_values=batch["pixel_values"],
+            segment_ids=batch["segment_ids"], labels=batch["labels"])
+        return loss
+
+    def loss_chunked(p):
+        logits, loss, _ = mllava_model.forward(
+            p, cfg, input_ids=batch["input_ids"],
+            pixel_values=batch["pixel_values"],
+            segment_ids=batch["segment_ids"], labels=batch["labels"],
+            loss_chunk_size=16)  # 48 -> 3 chunks
+        assert logits is None  # never materialized
+        return loss
+
+    l1, g1 = jax.value_and_grad(loss_std)(params)
+    l2, g2 = jax.value_and_grad(loss_chunked)(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_chunked_ce_with_uneven_chunks():
+    from mantis_tpu.ops.chunked_ce import chunked_cross_entropy
+
+    rng = np.random.RandomState(0)
+    h = jnp.asarray(rng.randn(2, 37, 16), jnp.float32)
+    w = jnp.asarray(rng.randn(16, 50), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 50, (2, 37)))
+    labels = labels.at[:, :5].set(-100)
+    ref_logits = (h @ w).astype(jnp.float32)
+    logp = jax.nn.log_softmax(ref_logits, -1)
+    valid = labels != -100
+    safe = jnp.where(valid, labels, 0)
+    tok = jnp.take_along_axis(logp, safe[..., None], -1)[..., 0]
+    ref = -jnp.sum(jnp.where(valid, tok, 0)) / jnp.sum(valid)
+    out = chunked_cross_entropy(h, w, labels, chunk_size=16)
+    np.testing.assert_allclose(float(out), float(ref), rtol=1e-6)
