@@ -189,3 +189,68 @@ def test_write_dataset_roundtrip(tmp_path):
                         {"from": "gpt", "value": "cap"}]}])
     path = schema.write_dataset(exs, str(tmp_path))
     assert json.load(open(path))[0]["id"] == "x"
+
+
+def test_imagecode():
+    from mantis_tpu.data_prep.prepare_imagecode import convert
+
+    rows = [{"image_set": "s1", "images": [f"im{i}.jpg" for i in range(10)],
+             "description": "the dog jumps", "image_index": 3}
+            for _ in range(4)]
+    exs = _check(convert(rows), min_n=4)
+    for ex in exs:
+        ans = ex["conversations"][1]["value"]
+        assert ans in ("Answer: Image 4", "Answer: D")
+        assert len(ex["images"]) == 10
+
+
+def test_lrv_llm(tmp_path):
+    from mantis_tpu.data_prep.prepare_lrv import convert
+
+    def fake(messages, model_name, **kw):
+        return {"text": '[{"question": "Which image has more trees?", '
+                        '"answer": "the first"}]',
+                "prompt_tokens": 0, "completion_tokens": 0}
+
+    pairs = [{"img1": "a.jpg", "qa1": [("q", "a")],
+              "img2": "b.jpg", "qa2": [("q2", "a2")]}]
+    exs = _check(convert(pairs, completion_fn=fake,
+                         cache_dir=str(tmp_path)))
+    assert exs[0]["conversations"][0]["value"].startswith(
+        "<image> <image> ")
+
+
+def test_obelics():
+    from mantis_tpu.data_prep.prepare_obelics import convert
+
+    docs = [{"images": [None, "i1.jpg", None, "i2.jpg"],
+             "texts": ["intro text", None, "middle text", None]},
+            {"images": ["only.jpg"], "texts": [None]}]  # <2 imgs: drop
+    exs = _check(convert(docs))
+    assert len(exs) == 1
+    assert exs[0]["conversations"][1]["value"].count("<image>") == 2
+
+
+def test_msrvtt():
+    from mantis_tpu.data_prep.prepare_msrvtt import (
+        convert_chat, convert_contrastive)
+
+    data = {"videos": [{"video_id": "video1"}],
+            "sentences": [{"video_id": "video1", "caption": "a cat"},
+                          {"video_id": "video1", "caption": "a pet"}]}
+    c = convert_contrastive(data)
+    assert c[0]["video"].endswith("video1.mp4") and c[0]["text"] == "a cat"
+    chat = convert_chat(data)
+    assert chat[0]["conversations"][0]["value"].startswith("<video>")
+
+
+def test_single_image_vqa():
+    from mantis_tpu.data_prep.prepare_single_image_vqa import convert
+
+    rows = [{"image": "c.png", "question": "What is the max value?",
+             "answer": "42"},
+            {"image": "d.png", "question": "Which label?",
+             "answer": "dogs", "options": ["cats", "dogs"]}]
+    exs = _check(convert(rows, "chartqa"), min_n=2)
+    assert exs[0]["conversations"][1]["value"] == "42"
+    assert exs[1]["conversations"][1]["value"] == "B"
