@@ -25,7 +25,7 @@ python -m mantis_tpu.train.train_mllava \
   --output_dir "$OUTPUT_DIR" \
   --conv_template llama_3 \
   --max_seq_len 8192 \
-  --packing \
+  ${NOPACK:+ } ${NOPACK:---packing} \
   --batch_size "$BATCH_SIZE" \
   --gradient_accumulation_steps "$GRAD_ACCUM" \
   --learning_rate 1e-5 \
