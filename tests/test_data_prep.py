@@ -254,3 +254,34 @@ def test_single_image_vqa():
     exs = _check(convert(rows, "chartqa"), min_n=2)
     assert exs[0]["conversations"][1]["value"] == "42"
     assert exs[1]["conversations"][1]["value"] == "B"
+
+
+def test_cauldron_docmatrix():
+    from mantis_tpu.data_prep.prepare_cauldron import convert
+
+    rows = [{"images": ["a.png"],
+             "texts": [{"user": "What does the chart show?",
+                        "assistant": "Sales rise."},
+                       {"user": "By how much?",
+                        "assistant": "Twenty percent."}]}]
+    exs = _check(convert(rows, "docmatrix"))
+    assert len(exs[0]["conversations"]) == 4
+    assert exs[0]["conversations"][0]["value"].startswith("<image>")
+
+
+def test_visual_web_instruct():
+    from mantis_tpu.data_prep.prepare_visual_web_instruct import convert
+
+    exs = _check(convert([{"question": "Solve x+1=2",
+                           "answer": "x=1"}]))
+    assert exs[0]["conversations"][1]["value"] == "x=1"
+    assert exs[0]["images"][0].startswith("image/")
+
+
+def test_llava_video():
+    from mantis_tpu.data_prep.prepare_llava_video import convert
+
+    exs = convert([{"id": "v1", "video": "v1.mp4",
+                    "caption": "a dog runs"}])
+    assert exs[0]["video"].endswith("v1.mp4")
+    assert exs[0]["conversations"][0]["value"].startswith("<video>")
