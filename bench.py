@@ -285,22 +285,48 @@ def bench_decode():
     return ttft_ms, tok_s
 
 
+def _bounded(fn, seconds=300):
+    """Run a bench section under a SIGALRM budget: a cold compile cache
+    or a stalled tunnel must not take down the headline metric."""
+    import signal
+
+    def _raise(signum, frame):
+        raise TimeoutError(f"section exceeded {seconds}s")
+
+    old_h = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(seconds)
+    try:
+        return fn()
+    except Exception as e:
+        print(f"# bench section skipped: {type(e).__name__}: {e}",
+              flush=True)
+        return None
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old_h)
+
+
 def main():
     imgs_per_sec, imgs_per_sec_int8 = bench_encode()
-    mfu, train_tok_s = bench_train_mfu()
-    ttft_ms, decode_tok_s = bench_decode()
+    mfu_res = _bounded(bench_train_mfu, 480)
+    dec_res = _bounded(bench_decode, 480)
+    extras = {
+        "encode_img_s_int8_w8a8": round(imgs_per_sec_int8, 2),
+    }
+    if mfu_res:
+        extras["train_step_mfu"] = round(mfu_res[0], 4)
+        extras["train_tokens_per_sec"] = round(mfu_res[1], 1)
+    if dec_res:
+        extras["prefill_ttft_ms_6016tok_fulldepth_int8"] = round(
+            dec_res[0], 1)
+        extras["decode_tok_per_sec_fulldepth_int8"] = round(
+            dec_res[1], 1)
     print(json.dumps({
         "metric": "siglip_so400m_encode_images_per_sec_per_chip",
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(imgs_per_sec / 400.0, 3),
-        "extra_metrics": {
-            "encode_img_s_int8_w8a8": round(imgs_per_sec_int8, 2),
-            "train_step_mfu": round(mfu, 4),
-            "train_tokens_per_sec": round(train_tok_s, 1),
-            "prefill_ttft_ms_6016tok_fulldepth_int8": round(ttft_ms, 1),
-            "decode_tok_per_sec_fulldepth_int8": round(decode_tok_s, 1),
-        },
+        "extra_metrics": extras,
     }))
 
 
