@@ -685,9 +685,14 @@ def _flash_attention_core(q, k, v, qseg, kseg, scale, causal, has_segments,
 def _core_fwd(q, k, v, qseg, kseg, scale, causal, has_segments,
               block_q, block_k, interpret, kv_len, window,
               causal_offset=0):
+    # residual-saving forward holds lse blocks too: clamp like the
+    # backward (1024x1024 spills VMEM in this mode; inference-only
+    # forward keeps the big blocks)
+    bq = 512 if block_q % 512 == 0 else block_q
+    bk = 1024 if block_k % 1024 == 0 else block_k
     out, lse = _fwd_call(
         q, k, v, qseg, kseg, scale=scale, causal=causal,
-        has_segments=has_segments, block_q=block_q, block_k=block_k,
+        has_segments=has_segments, block_q=bq, block_k=bk,
         interpret=interpret, save_residuals=True, kv_len=kv_len,
         window=window, causal_offset=causal_offset,
     )
@@ -696,9 +701,14 @@ def _core_fwd(q, k, v, qseg, kseg, scale, causal, has_segments,
 
 def _core_bwd(scale, causal, has_segments, block_q, block_k, interpret,
               kv_len, window, causal_offset, res, g):
+    # The backward kernels hold s/p/dp/ds blocks simultaneously:
+    # smaller blocks avoid VMEM spills.  Clamp whenever the smaller
+    # block divides the padded dims.
+    bq = 512 if block_q % 512 == 0 else block_q
+    bk = 1024 if block_k % 1024 == 0 else block_k
     dq, dk, dv = _bwd_call(
         res, g, scale=scale, causal=causal, has_segments=has_segments,
-        block_q=block_q, block_k=block_k, interpret=interpret,
+        block_q=bq, block_k=bk, interpret=interpret,
         kv_len=kv_len, window=window, causal_offset=causal_offset,
     )
     return dq, dk, dv, None, None
@@ -719,7 +729,12 @@ def flash_attention(
     window_size: Optional[int] = None,
     kv_valid_len: Optional[int] = None,
     causal_offset: int = 0,
-    block_q: int = 512,
+    # 1024x1024 is ~13% faster than 512x1024 on inference forward
+    # (repeated A/B at causal [4,8192,16,128]: 15.2 vs 17.4 ms); the
+    # residual-saving forward and the backward clamp themselves back to
+    # 512x1024 (bigger blocks spill VMEM there).  2048 blocks fail to
+    # compile.  Short sequences still collapse to a single block.
+    block_q: int = 1024,
     block_k: int = 1024,
     implementation: Optional[str] = None,
     interpret: Optional[bool] = None,
