@@ -285,3 +285,24 @@ def test_llava_video():
                     "caption": "a dog runs"}])
     assert exs[0]["video"].endswith("v1.mp4")
     assert exs[0]["conversations"][0]["value"].startswith("<video>")
+
+
+def test_mimicit_merges_related():
+    from mantis_tpu.data_prep.prepare_mimicit import convert
+
+    id_to_image = {"im1": "images/im1.jpg", "im2": "images/im2.jpg"}
+    rows = [
+        {"id": "a", "images": ["im1", "im2"],
+         "instruction": "What differs?", "answer": "The colors.",
+         "related instructions": []},
+        {"id": "b", "images": ["im1", "im2"],
+         "instruction": "Which is brighter?", "answer": "The first.",
+         "related instructions": ["a"]},
+        {"id": "c", "images": ["missing"],
+         "instruction": "x", "answer": "y",
+         "related instructions": []},
+    ]
+    exs = _check(convert(rows, id_to_image))
+    assert len(exs) == 1  # b merged into a; c dropped (missing image)
+    assert len(exs[0]["conversations"]) == 4
+    assert exs[0]["conversations"][0]["value"].count("<image>") == 2
