@@ -310,7 +310,90 @@ class OpenFlamingoChat(GenericChat):
         return tok.decode(out_ids, skip_special_tokens=True).strip()
 
 
+class VideoLlavaChat(GenericChat):
+    """Video-LLaVA adapter (reference protocol:
+    mllm_tools/videollava_eval wrappers).  Handles ``image`` messages
+    through the image tower and ``video`` messages (a path or a frame
+    list) through the video tower via ``pixel_values_videos``."""
+
+    arch = "videollava"
+    conv_template = "idefics_2"
+
+    def build_prompt(self, messages: List[dict]):
+        parts, images, videos = [], [], []
+        for m in messages:
+            if m["type"] == "image":
+                im = m["content"]
+                if isinstance(im, str):
+                    im = Image.open(im).convert("RGB")
+                images.append(im)
+                parts.append("<image>")
+            elif m["type"] == "video":
+                videos.append(self._load_frames(m["content"]))
+                parts.append("<video>")
+            else:
+                parts.append(m["content"])
+        text = "".join(parts)
+        conv = conv_templates[self.conv_template].copy()
+        conv.messages = []
+        conv.append_message(conv.roles[0], text)
+        conv.append_message(conv.roles[1], "")
+        self._videos = videos
+        return conv.get_prompt(), images
+
+    def _load_frames(self, video):
+        if not isinstance(video, str):
+            return [im if isinstance(im, Image.Image)
+                    else Image.fromarray(np.asarray(im))
+                    for im in video]
+        import cv2
+
+        cap = cv2.VideoCapture(video)
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        n = self.cfg.num_frames
+        idxs = np.linspace(0, max(total - 1, 0), n).astype(int)
+        frames = []
+        for i in idxs:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, int(i))
+            ok, frame = cap.read()
+            if ok:
+                frames.append(Image.fromarray(
+                    cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)))
+        cap.release()
+        # pad short clips by repeating the last frame (token count is
+        # static: num_frames * (patches + 1))
+        while frames and len(frames) < n:
+            frames.append(frames[-1])
+        return frames
+
+    def prepare_inputs(self, prompt, images):
+        videos = getattr(self, "_videos", [])
+        enc = self.processor(prompt, images or None,
+                             videos=videos or None, truncation=True,
+                             add_image_ids=False)
+        extra = {}
+        if "pixel_values_videos" in enc:
+            extra["pixel_values_videos"] = enc["pixel_values_videos"]
+        return (enc["input_ids"], enc.get("attention_mask"),
+                enc.get("pixel_values"), extra)
+
+    def gen_forward(self, params, cfg, *, input_ids, pixel_values,
+                    positions, segment_ids, kv_cache,
+                    pixel_values_videos=None):
+        from mantis_tpu.models.videollava import model as M
+
+        decode = input_ids.shape[1] == 1
+        return M.forward(
+            params, cfg, input_ids=input_ids,
+            pixel_values=None if decode else pixel_values,
+            pixel_values_videos=(None if decode
+                                 else pixel_values_videos),
+            positions=positions, segment_ids=segment_ids,
+            kv_cache=kv_cache)
+
+
 ARCH_CHAT_CLASSES = {
     c.arch: c for c in (Idefics2Chat, Idefics3Chat, InternVLChat,
-                        MFuyuChat, Qwen2VLChat, OpenFlamingoChat)
+                        MFuyuChat, Qwen2VLChat, OpenFlamingoChat,
+                        VideoLlavaChat)
 }

@@ -582,8 +582,68 @@ def internvl_hf_config(cfg):
     }
 
 
+def videollava_state_dict(params, cfg) -> Dict:
+    """Inverse of hf_loader.videollava_params_from_hf (legacy layout,
+    which transformers' checkpoint-conversion mapping auto-renames)."""
+    sd = {}
+    sd.update(vit_state_dict(params["image_tower"], cfg.vision_config,
+                             prefix="image_tower.vision_model."))
+    sd.update(vit_state_dict(params["video_tower"], cfg.vision_config,
+                             prefix="video_tower.vision_model."))
+    mp = params["multi_modal_projector"]
+    sd["multi_modal_projector.linear_1.weight"] = _t(mp["linear_1"])
+    sd["multi_modal_projector.linear_1.bias"] = _n(mp["linear_1_b"])
+    sd["multi_modal_projector.linear_2.weight"] = _t(mp["linear_2"])
+    sd["multi_modal_projector.linear_2.bias"] = _n(mp["linear_2_b"])
+    sd.update(llama_state_dict(
+        params["language_model"], prefix="language_model.model.",
+        lm_head_key="language_model.lm_head.weight"))
+    return sd
+
+
+def videollava_hf_config(cfg) -> Dict:
+    v, t = cfg.vision_config, cfg.text_config
+    return {
+        "architectures": ["VideoLlavaForConditionalGeneration"],
+        "model_type": "video_llava",
+        "image_token_index": cfg.image_token_index,
+        "video_token_index": cfg.video_token_index,
+        "ignore_index": cfg.ignore_index,
+        "vision_feature_layer": cfg.vision_feature_layer,
+        "vision_feature_select_strategy":
+            cfg.vision_feature_select_strategy,
+        "num_frames": cfg.num_frames,
+        "pad_token_id": cfg.pad_token_id,
+        "vision_config": {
+            "model_type": "clip_vision_model",
+            "hidden_size": v.hidden_size,
+            "intermediate_size": v.intermediate_size,
+            "num_hidden_layers": v.num_hidden_layers,
+            "num_attention_heads": v.num_attention_heads,
+            "image_size": v.image_size,
+            "patch_size": v.patch_size,
+            "layer_norm_eps": v.layer_norm_eps,
+            "num_channels": v.num_channels,
+        },
+        "text_config": {
+            "model_type": "llama",
+            "vocab_size": t.vocab_size,
+            "hidden_size": t.hidden_size,
+            "intermediate_size": t.intermediate_size,
+            "num_hidden_layers": t.num_hidden_layers,
+            "num_attention_heads": t.num_attention_heads,
+            "num_key_value_heads": t.num_key_value_heads,
+            "rms_norm_eps": t.rms_norm_eps,
+            "rope_theta": t.rope_theta,
+            "max_position_embeddings": t.max_position_embeddings,
+            "tie_word_embeddings": t.tie_word_embeddings,
+        },
+    }
+
+
 _EXPORTERS = {
     "mllava": (llava_state_dict, llava_hf_config),
+    "videollava": (videollava_state_dict, videollava_hf_config),
     "idefics2": (idefics2_state_dict, idefics2_hf_config),
     "idefics3": (idefics3_state_dict, idefics3_hf_config),
     "qwen2_vl": (qwen2_vl_state_dict, qwen2_vl_hf_config),

@@ -604,6 +604,47 @@ def idefics3_params_from_hf(src: TensorSource, cfg, dtype=jnp.float32):
     }
 
 
+def videollava_params_from_hf(src: TensorSource, cfg,
+                              dtype=jnp.float32):
+    """Map an HF Video-LLaVA checkpoint onto our param tree.
+
+    Handles both the legacy layout (``image_tower.*``,
+    ``language_model.model.*``) and the post-4.52 flattened layout
+    (``model.image_tower.*``, ``lm_head.weight``).
+    """
+    if any(k.startswith("language_model.model.") for k in src.keys):
+        lm_prefix, lm_head = ("language_model.model.",
+                              "language_model.lm_head.weight")
+        it_prefix = "image_tower.vision_model."
+        vt_prefix = "video_tower.vision_model."
+        mp_prefix = "multi_modal_projector."
+    else:
+        lm_prefix, lm_head = "model.language_model.", "lm_head.weight"
+        it_prefix = "model.image_tower.vision_model."
+        vt_prefix = "model.video_tower.vision_model."
+        mp_prefix = "model.multi_modal_projector."
+
+    def get(k, transpose=False):
+        a = src.get(k)
+        return jnp.asarray(a.T if transpose else a, dtype=dtype)
+
+    return {
+        "image_tower": vit_params_from_hf(
+            src, cfg.vision_config, prefix=it_prefix, dtype=dtype),
+        "video_tower": vit_params_from_hf(
+            src, cfg.vision_config, prefix=vt_prefix, dtype=dtype),
+        "multi_modal_projector": {
+            "linear_1": get(mp_prefix + "linear_1.weight", True),
+            "linear_1_b": get(mp_prefix + "linear_1.bias"),
+            "linear_2": get(mp_prefix + "linear_2.weight", True),
+            "linear_2_b": get(mp_prefix + "linear_2.bias"),
+        },
+        "language_model": llama_params_from_hf(
+            src, cfg.text_config, prefix=lm_prefix,
+            lm_head_key=lm_head, dtype=dtype),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Generic directory loader (dispatch on config.json model_type)
 # ---------------------------------------------------------------------------
@@ -649,6 +690,12 @@ def load_checkpoint(checkpoint_dir: str, dtype=jnp.bfloat16):
 
         cfg = InternVLConfig.from_hf_config(hf_cfg)
         return "internvl", cfg, internvl_params_from_hf(src, cfg, dtype)
+    if is_("video_llava", "videollava"):
+        from mantis_tpu.models.videollava.model import VideoLlavaConfig
+
+        cfg = VideoLlavaConfig.from_hf_config(hf_cfg)
+        return ("videollava", cfg,
+                videollava_params_from_hf(src, cfg, dtype))
     if is_("llava"):
         cfg = LlavaConfig.from_hf_config(hf_cfg)
         return "mllava", cfg, llava_params_from_hf(src, cfg, dtype)

@@ -47,6 +47,9 @@ class ArchSpec:
         "vision_tower", "multi_modal_projector", "projector")
     prepare_params: Optional[Callable[[Any, Any], Any]] = None
     dataset_format: str = "chat"
+    # archs with a <video>-token encoder path: cfg -> tokens per <video>
+    # (reference data.py:763-799 use_video_encoder)
+    num_video_tokens_fn: Optional[Callable[[Any], int]] = None
 
 
 ARCHS: Dict[str, ArchSpec] = {}
@@ -749,3 +752,112 @@ register(ArchSpec(
     trainable_pred=lambda p: True,
     make_collator=_siglip_collator,
     dataset_format="siglip_video"))
+
+
+# ---------------------------------------------------------------------------
+# videollava (reference: mantis/train/train_videollava.py — trains HF
+# VideoLlavaForConditionalGeneration with use_video_encoder=True)
+# ---------------------------------------------------------------------------
+
+def _videollava_debug_config(tokenizer):
+    from mantis_tpu.models.videollava.model import VideoLlavaConfig
+
+    _ensure_tokens(tokenizer, ["<image>", "<video>"])
+    return VideoLlavaConfig(
+        vision_config=VisionConfig(
+            tower_type="clip", hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, image_size=28,
+            patch_size=14),
+        text_config=LlamaConfig(
+            vocab_size=_vocab(tokenizer), hidden_size=128,
+            intermediate_size=256, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            rope_theta=10000.0),
+        image_token_index=tokenizer.convert_tokens_to_ids("<image>"),
+        video_token_index=tokenizer.convert_tokens_to_ids("<video>"),
+        num_frames=2)
+
+
+def _videollava_loss(params, cfg, batch, tcfg, **kw):
+    assert not kw, (
+        "videollava: context parallelism / ring vision DP not wired for "
+        "this architecture (supported: mllava, internvl)")
+    from mantis_tpu.models.videollava import model as M
+
+    _, loss, _ = M.forward(
+        params, cfg, input_ids=batch["input_ids"],
+        pixel_values=batch.get("pixel_values"),
+        pixel_values_videos=batch.get("pixel_values_videos"),
+        positions=batch.get("positions"),
+        segment_ids=batch.get("segment_ids"), labels=batch["labels"],
+        use_remat=tcfg.use_remat,
+        image_feature_idx=batch.get("image_feature_idx"))
+    return loss
+
+
+def _videollava_processor(tokenizer, cfg):
+    from mantis_tpu.models.mllava.processor import (
+        ImageProcessorConfig, MantisImageProcessor)
+    from mantis_tpu.models.videollava.processor import (
+        VideoLlavaProcessor)
+
+    _ensure_tokens(tokenizer, ["<image>", "<video>"])
+    vc = cfg.vision_config
+    ip = MantisImageProcessor(
+        ImageProcessorConfig.for_tower(vc.tower_type, vc.image_size))
+    return VideoLlavaProcessor(tokenizer, ip, cfg.num_image_tokens,
+                               cfg.num_video_tokens)
+
+
+class VideoLlavaCollator:
+    """Base collation + regroup concatenated video frames
+    [sum_F, C, H, W] into clips [Nv, F, C, H, W] (fixed frames/video,
+    matching the <video> expansion arithmetic)."""
+
+    def __init__(self, base, cfg):
+        self.base = base
+        self.cfg = cfg
+
+    def __call__(self, examples):
+        batch = self.base(examples)
+        vf = batch.pop("video_frames", None)
+        if vf is not None and len(vf):
+            f = self.cfg.num_frames
+            assert vf.shape[0] % f == 0, (
+                f"got {vf.shape[0]} frames, not a multiple of "
+                f"num_frames={f}")
+            batch["pixel_values_videos"] = vf.reshape(
+                (-1, f) + vf.shape[1:])
+        return batch
+
+
+def _videollava_collator(processor, cfg, args):
+    from mantis_tpu.train.data import Collator
+
+    base = Collator(
+        pad_token_id=processor.tokenizer.pad_token_id or 0,
+        image_token_id=cfg.image_token_index,
+        num_image_tokens=cfg.num_image_tokens,
+        image_size=cfg.vision_config.image_size,
+        **_std_collator_kwargs(args))
+    return VideoLlavaCollator(base, cfg)
+
+
+def _videollava_init(cfg, key, dtype):
+    from mantis_tpu.models.videollava import model as M
+
+    return M.init_params(cfg, key, dtype)
+
+
+register(ArchSpec(
+    name="videollava", conv_template="idefics_2",
+    debug_config=_videollava_debug_config,
+    init_params=_videollava_init,
+    make_processor=_videollava_processor,
+    compute_loss=_videollava_loss,
+    trainable_pred=lambda p: not p.startswith(
+        ("image_tower", "video_tower")),
+    make_collator=_videollava_collator,
+    lora_exclude=("image_tower", "video_tower",
+                  "multi_modal_projector"),
+    num_video_tokens_fn=lambda cfg: cfg.num_video_tokens))

@@ -66,6 +66,10 @@ def parse_args(argv=None, default_arch=None):
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--num_frames", type=int, default=4)
+    p.add_argument("--use_video_encoder", action="store_true",
+                   help="chat_video data through the arch's video "
+                        "encoder (<video> token path, reference "
+                        "data.py:763-799) instead of frames-as-images")
     # optimization
     p.add_argument("--learning_rate", type=float, default=1e-5)
     p.add_argument("--lr_schedule", default="cosine")
@@ -142,6 +146,14 @@ def build_model_and_data(args, spec):
         datasets = [data_lib.SiglipVideoDataset(
             p, processor.tokenizer, processor.image_processor,
             num_frames=args.num_frames) for p in paths]
+    elif args.use_video_encoder:
+        data_lib.set_default_image_token_id(processor.image_token_index)
+        nvt = (spec.num_video_tokens_fn(cfg)
+               if spec.num_video_tokens_fn else 64)
+        datasets = [data_lib.ChatVideoDataset(
+            p, processor, conv, max_seq_len=args.max_seq_len,
+            num_frames=args.num_frames, use_video_encoder=True,
+            num_video_tokens=nvt) for p in paths]
     else:
         data_lib.set_default_image_token_id(processor.image_token_index)
         datasets = [data_lib.ChatDataset(

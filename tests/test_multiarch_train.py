@@ -14,7 +14,7 @@ SV = os.path.join(REPO, "examples", "data", "siglip_video",
                   "train.json")
 
 ARCHS = ["mllava", "idefics2", "idefics3", "internvl", "qwen2_vl",
-         "mfuyu", "openflamingo", "siglip_video"]
+         "mfuyu", "openflamingo", "siglip_video", "videollava"]
 
 
 def _read_metrics(out_dir):
@@ -74,3 +74,54 @@ def test_internvl_context_parallel_smoke(tmp_path):
                           "--max_seq_len", "1024"))
     losses = [m["loss"] for m in metrics]
     assert losses[-1] < losses[0], losses
+
+
+def _write_tiny_videos(d, n=4, frames=6, size=32):
+    """Synthesize tiny .avi clips + a chat_video train.json."""
+    import cv2
+    import numpy as np
+
+    os.makedirs(d, exist_ok=True)
+    items = []
+    for i in range(n):
+        path = os.path.join(d, f"clip{i}.avi")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"),
+                            5.0, (size, size))
+        rng = np.random.RandomState(i)
+        for _ in range(frames):
+            w.write(rng.randint(0, 255, (size, size, 3), np.uint8))
+        w.release()
+        items.append({
+            "id": f"v{i}",
+            "video": f"clip{i}.avi",
+            "conversations": [
+                {"from": "human",
+                 "value": f"<video> what happens in clip {i}?"},
+                {"from": "gpt", "value": f"noise pattern {i} flickers"},
+            ]})
+    train = os.path.join(d, "train.json")
+    with open(train, "w") as f:
+        json.dump(items, f)
+    return train
+
+
+def test_videollava_video_encoder_smoke(tmp_path):
+    """The reference recipe (train_videollava.py: use_video_encoder=True):
+    frames go through the video tower; <video> expands to
+    num_frames * (patches + 1) placeholder tokens."""
+    data = _write_tiny_videos(str(tmp_path / "vids"))
+    out = str(tmp_path / "videollava_enc")
+    from mantis_tpu.train.train import main
+
+    main([
+        "--arch", "videollava", "--init_random", "--data_path", data,
+        "--use_video_encoder", "--num_frames", "2",
+        "--output_dir", out, "--max_steps", "8", "--batch_size", "2",
+        "--learning_rate", "3e-3", "--lr_schedule", "constant",
+        "--compute_dtype", "float32", "--max_seq_len", "512",
+        "--no_remat", "--save_steps", "8", "--mesh_data", "2",
+        "--mesh_fsdp", "1",
+    ])
+    metrics = _read_metrics(out)
+    losses = [m["loss"] for m in metrics]
+    assert len(losses) == 8 and losses[-1] < losses[0], losses
