@@ -31,10 +31,24 @@ class Qwen2VLVAEConfig:
             attention_bias=True, mrope_section=(16, 24, 24)))
     image_token_id: int = 151655
     ignore_index: int = -100
+    image_size: int = 336  # static frame size fed to the VAE encoder
 
     @property
     def patch_dim(self) -> int:
         return self.latent_channels * self.latent_patch_size ** 2
+
+    @property
+    def vae_downsample(self) -> int:
+        return 2 ** (len(self.vae_channel_mults) - 1)
+
+    @property
+    def tokens_per_image(self) -> int:
+        """Merged visual tokens per frame: VAE downsample -> latent
+        patchify -> spatial merge (reference
+        modeling_qwen2_vl_vae.py:169-196 grid arithmetic)."""
+        side = (self.image_size // self.vae_downsample
+                // self.latent_patch_size // self.spatial_merge_size)
+        return side * side
 
 
 def latent_grid_thw(h_lat: int, w_lat: int, cfg: Qwen2VLVAEConfig):

@@ -861,3 +861,79 @@ register(ArchSpec(
     lora_exclude=("image_tower", "video_tower",
                   "multi_modal_projector"),
     num_video_tokens_fn=lambda cfg: cfg.num_video_tokens))
+
+
+# ---------------------------------------------------------------------------
+# qwen2_vl_vae (reference: mantis/train/train_qwen2_vl_vae.py — Qwen2-VL
+# with the ViT replaced by a frozen VAE encoder + latent patchify
+# adapter; vae backbone frozen always, train_qwen2_vl_vae.py:259-262)
+# ---------------------------------------------------------------------------
+
+def _qwen2_vae_debug_config(tokenizer):
+    from mantis_tpu.models.qwen2_vl.processor import (
+        IMAGE_PAD, VIDEO_PAD, VISION_END, VISION_START)
+    from mantis_tpu.models.qwen2_vl_vae.model import Qwen2VLVAEConfig
+
+    _ensure_tokens(tokenizer,
+                   [VISION_START, VISION_END, IMAGE_PAD, VIDEO_PAD])
+    return Qwen2VLVAEConfig(
+        latent_channels=4, latent_patch_size=2, spatial_merge_size=2,
+        vision_hidden=32, vae_base_channels=8, vae_channel_mults=(1, 2),
+        image_size=32,  # 32/2/2/2 -> 4x4 = 16 tokens per frame
+        text_config=LlamaConfig(
+            vocab_size=_vocab(tokenizer), hidden_size=128,
+            intermediate_size=256, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            rope_theta=1e6, mrope_section=None),
+        image_token_id=tokenizer.convert_tokens_to_ids(IMAGE_PAD))
+
+
+def _qwen2_vae_loss(params, cfg, batch, tcfg, **kw):
+    assert not kw, (
+        "qwen2_vl_vae: context parallelism / ring vision DP not wired "
+        "for this architecture (supported: mllava, internvl)")
+    from mantis_tpu.models.qwen2_vl_vae import model as M
+
+    _, loss, _ = M.forward(
+        params, cfg, input_ids=batch["input_ids"],
+        pixel_values=batch.get("pixel_values"),
+        positions=batch.get("positions"),
+        segment_ids=batch.get("segment_ids"), labels=batch["labels"],
+        use_remat=tcfg.use_remat)
+    return loss
+
+
+def _qwen2_vae_processor(tokenizer, cfg):
+    from mantis_tpu.models.qwen2_vl_vae.processor import (
+        Qwen2VLVAEProcessor)
+
+    return Qwen2VLVAEProcessor(tokenizer, cfg.image_size,
+                               cfg.tokens_per_image)
+
+
+def _qwen2_vae_collator(processor, cfg, args):
+    from mantis_tpu.train.data import Collator
+
+    return Collator(
+        pad_token_id=processor.tokenizer.pad_token_id or 0,
+        image_token_id=cfg.image_token_id,
+        num_image_tokens=cfg.tokens_per_image,
+        image_size=cfg.image_size,
+        **_std_collator_kwargs(args))
+
+
+def _qwen2_vae_init(cfg, key, dtype):
+    from mantis_tpu.models.qwen2_vl_vae import model as M
+
+    return M.init_params(cfg, key, dtype, with_vae=True)
+
+
+register(ArchSpec(
+    name="qwen2_vl_vae", conv_template="qwen2_vl",
+    debug_config=_qwen2_vae_debug_config, init_params=_qwen2_vae_init,
+    make_processor=_qwen2_vae_processor, compute_loss=_qwen2_vae_loss,
+    # the VAE backbone stays frozen all the time
+    # (reference train_qwen2_vl_vae.py:259-262)
+    trainable_pred=lambda p: not p.startswith("vae"),
+    make_collator=_qwen2_vae_collator,
+    lora_exclude=("vae", "latent_patch_embed", "mlp_fc")))

@@ -14,7 +14,8 @@ SV = os.path.join(REPO, "examples", "data", "siglip_video",
                   "train.json")
 
 ARCHS = ["mllava", "idefics2", "idefics3", "internvl", "qwen2_vl",
-         "mfuyu", "openflamingo", "siglip_video", "videollava"]
+         "mfuyu", "openflamingo", "siglip_video", "videollava",
+         "qwen2_vl_vae"]
 
 
 def _read_metrics(out_dir):
