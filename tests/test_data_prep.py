@@ -306,3 +306,148 @@ def test_mimicit_merges_related():
     assert len(exs) == 1  # b merged into a; c dropped (missing image)
     assert len(exs[0]["conversations"]) == 4
     assert exs[0]["conversations"][0]["value"].count("<image>") == 2
+
+
+def test_mmmu_multi_image_filter(tmp_path):
+    from PIL import Image as PILImage
+
+    from mantis_tpu.data_prep.prepare_mmmu import convert
+
+    def img():
+        return PILImage.new("RGB", (8, 8), (10, 20, 30))
+
+    rows = [
+        {"id": "dev_1", "question": "Compare <image 1> and <image 2>.",
+         "options": "['left', 'right']", "answer": "A",
+         "image_1": img(), "image_2": img()},
+        {"id": "dev_2", "question": "Single <image 1> only.",
+         "options": "['x', 'y']", "answer": "B", "image_1": img()},
+        {"id": "dev_3", "question": "Open <image 1> vs <image 2>?",
+         "options": "[]", "answer": "42",
+         "image_1": img(), "image_2": img()},
+    ]
+    items = convert(rows, str(tmp_path / "images"), str(tmp_path))
+    assert [i["id"] for i in items] == ["MMMU_dev_1", "MMMU_dev_3"]
+    assert items[0]["question_type"] == "multi-choice"
+    assert items[1]["question_type"] == "short-answer"
+    assert "<image 1>" not in items[0]["question"]
+    assert items[0]["question"].count("<image>") == 2
+    import os
+
+    for it in items:
+        for p in it["images"]:
+            assert os.path.exists(tmp_path / p)
+
+
+def test_flipped_vqa_nextqa_star_merge():
+    from mantis_tpu.data_prep.prepare_flipped_vqa import (convert_nextqa,
+                                                          convert_star)
+
+    csv_rows = [
+        {"video": "101", "question": "what is the man doing",
+         "a0": "run", "a1": "walk", "a2": "sit", "a3": "eat",
+         "a4": "jump", "answer": "1"},
+        {"video": "101", "question": "where is he?",
+         "a0": "park", "a1": "home", "a2": "car", "a3": "gym",
+         "a4": "sea", "answer": "0"},
+        {"video": "202", "question": "who appears",
+         "a0": "dog", "a1": "cat", "a2": "man", "a3": "kid",
+         "a4": "bird", "answer": "2"},
+    ]
+    exs = _check(convert_nextqa(csv_rows), min_n=2)
+    assert len(exs) == 2  # merged by video id
+    v101 = next(e for e in exs if e["id"] == "nextqa_101")
+    assert len(v101["conversations"]) == 4  # two QAs merged
+    assert len(v101["images"]) == 8
+    assert v101["conversations"][1]["value"] == "B: walk"
+    assert v101["conversations"][0]["value"].startswith(
+        "What is the man doing?\n")
+
+    star = [{"video_id": "S1", "question": "what did he take",
+             "choices": [{"choice": c} for c in
+                         ["cup", "bag", "book", "pen"]],
+             "answer": "book"}]
+    exs = _check(convert_star(star))
+    assert exs[0]["conversations"][1]["value"] == "C: book"
+
+
+def test_lrv_graph_segments_and_llm(tmp_path):
+    from mantis_tpu.data_prep.prepare_lrv_graph import convert
+
+    def fake(messages, model_name, **kw):
+        return {"text": '[{"question": "Which has more trees?", '
+                        '"answer": "the first"}]',
+                "prompt_tokens": 0, "completion_tokens": 0}
+
+    rows = [
+        {"image_id": "11", "question": "q11a", "answer": "a11a"},
+        {"image_id": "11", "question": "q11b", "answer": "a11b"},
+        {"image_id": "22", "question": "q22a", "answer": "a22a"},
+    ]
+    exs = _check(convert(rows, completion_fn=fake,
+                         cache_dir=str(tmp_path)))
+    conv = exs[0]["conversations"]
+    # segment 1 (2 QAs) + segment 2 (1 QA) + 1 LLM comparison QA
+    assert len(conv) == (2 + 1 + 1) * 2
+    assert conv[0]["value"].startswith("<image> q11a")
+    assert conv[4]["value"].startswith(
+        "<image> we now look at another image. ")
+    assert conv[-2]["value"] == "Which has more trees?"
+    assert exs[0]["images"] == ["image/11.jpg", "image/22.jpg"]
+
+
+def test_synthetic_injectable_generator(tmp_path):
+    from PIL import Image as PILImage
+
+    from mantis_tpu.data_prep.prepare_synthetic import convert
+
+    calls = []
+
+    def synth(text):
+        calls.append(text)
+        return PILImage.new("RGB", (16, 16), (5, 5, 5))
+
+    examples = [
+        {"image_prompts": ["a cat", "a dog"],
+         "conversation": [
+             {"from": "human", "value": "<image> <image> compare"},
+             {"from": "gpt", "value": "cat vs dog"}]},
+    ]
+    exs = convert(examples, synth, str(tmp_path / "img"),
+                  str(tmp_path), mode="conv", resolution=(16, 16))
+    _check(exs)
+    assert calls == ["a cat", "a dog"]
+    # eval mode
+    ev = convert(
+        [{"image_prompts": ["x"], "question": "q?",
+          "options": ["a", "b"], "answer": "A",
+          "knowledge_aspect": "color"}],
+        synth, str(tmp_path / "img2"), str(tmp_path), mode="eval")
+    assert ev[0]["question_type"] == "multi-choice"
+    assert ev[0]["category"] == "color"
+
+
+def test_video_eval_reroot_and_drop(tmp_path):
+    import os
+
+    from mantis_tpu.data_prep.prepare_video_eval import convert
+
+    rows = [
+        {"id": "p1", "images": ["p110367_0.jpg", "p110367_1.jpg"],
+         "conversations": [
+             {"from": "human", "value": "<image> <image> rate this"},
+             {"from": "gpt", "value": "score 3"}]},
+        {"id": "p2", "images": ["p2_0.jpg"],
+         "conversations": [
+             {"from": "human", "value": "<image> rate"},
+             {"from": "gpt", "value": "4"}]},
+    ]
+    exs = _check(convert(rows), min_n=2)
+    assert exs[0]["images"] == ["images/p110367/p110367_0.jpg",
+                                "images/p110367/p110367_1.jpg"]
+    # drop_missing against a root with only p1's frames
+    os.makedirs(tmp_path / "images" / "p110367")
+    for im in exs[0]["images"]:
+        (tmp_path / im).write_bytes(b"x")
+    kept = convert(rows, root=str(tmp_path), drop_missing=True)
+    assert [e["id"] for e in kept] == ["p1"]
