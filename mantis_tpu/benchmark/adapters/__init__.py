@@ -47,6 +47,13 @@ def MLLM_Models(model_name: str):
         if arch in TORCH_BASELINES:
             bcls = TORCH_BASELINES[arch]
             return lambda: bcls(path)
+    if model_name == "gpt4v" or model_name.startswith("gpt4v:"):
+        # reference: mllm_tools/gpt4v_eval.py (egress-gated OpenAI API)
+        from mantis_tpu.benchmark.adapters.torch_baselines import GPT4V
+
+        gpt_model = (model_name.split(":", 1)[1]
+                     if ":" in model_name else "gpt-4o")
+        return lambda: GPT4V(model_name=gpt_model)
     if model_name in _REGISTRY:
         return _REGISTRY[model_name]
     from mantis_tpu.benchmark.adapters.chat_models import (

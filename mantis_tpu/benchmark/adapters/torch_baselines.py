@@ -156,9 +156,201 @@ class LlavaHF(TorchBaseline):
             out[0][plen:], skip_special_tokens=True).strip()
 
 
+class LlavaNextHF(LlavaHF):
+    """reference: mllm_tools/llava_eval.py (llava-next variant) —
+    upstream HF LLaVA-NeXT anyres baseline."""
+
+    model_cls = "LlavaNextForConditionalGeneration"
+
+
+class VideoLlavaHF(LlavaHF):
+    """reference: mllm_tools/videollava_eval.py — upstream HF
+    Video-LLaVA baseline (frames arrive as image messages through the
+    eval protocol; same USER/ASSISTANT prompt shape)."""
+
+    model_cls = "VideoLlavaForConditionalGeneration"
+
+
+class FuyuHF(TorchBaseline):
+    """reference: mllm_tools/fuyu_eval.py — single-image Fuyu with the
+    question + newline prompt."""
+
+    model_cls = "FuyuForCausalLM"
+
+    def build_inputs(self, image, text):
+        return self.processor(images=image, text=text + "\n",
+                              return_tensors="pt")
+
+
+class IdeficsHF(TorchBaseline):
+    """reference: mllm_tools/idefics_eval.py — Idefics-1 interleaved
+    prompts (list of strings and PIL images)."""
+
+    model_cls = "IdeficsForVisionText2Text"
+    support_multi_image = True
+
+    def __call__(self, messages):
+        import torch
+
+        prompt = ["User:"]
+        for m in messages:
+            if m["type"] == "image":
+                im = m["content"]
+                if isinstance(im, str):
+                    im = Image.open(im).convert("RGB")
+                prompt.append(im)
+            else:
+                prompt.append(m["content"])
+        prompt.append("<end_of_utterance>\nAssistant:")
+        inputs = self.processor(text=[prompt], return_tensors="pt")
+        bad = self.processor.tokenizer(
+            ["<image>", "<fake_token_around_image>"],
+            add_special_tokens=False).input_ids
+        with torch.no_grad():
+            out = self.model.generate(
+                **inputs, max_new_tokens=self.max_new_tokens,
+                num_beams=1, do_sample=False, bad_words_ids=bad)
+        plen = inputs["input_ids"].shape[1]
+        return self.processor.tokenizer.decode(
+            out[0][plen:], skip_special_tokens=True).strip()
+
+
+class Idefics2HF(TorchBaseline):
+    """reference: mllm_tools/idefics2_eval.py — the torch counterpart
+    of our TPU-native idefics2 adapter; User/Assistant turns with
+    inline <image> markers."""
+
+    model_cls = "Idefics2ForConditionalGeneration"
+    support_multi_image = True
+    user_prefix = "User:"
+    assistant_prefix = "\nAssistant:"
+    eou = "<end_of_utterance>"
+
+    def __call__(self, messages):
+        import torch
+
+        images, texts = [], []
+        for m in messages:
+            if m["type"] == "image":
+                im = m["content"]
+                if isinstance(im, str):
+                    im = Image.open(im).convert("RGB")
+                images.append(im)
+                texts.append("<image>")
+            else:
+                texts.append(m["content"])
+        prompt = (self.user_prefix + "".join(texts) + self.eou
+                  + self.assistant_prefix)
+        inputs = self.processor(images=images or None, text=prompt,
+                                return_tensors="pt")
+        inputs.pop("token_type_ids", None)
+        with torch.no_grad():
+            out = self.model.generate(
+                **inputs, max_new_tokens=self.max_new_tokens,
+                num_beams=1, do_sample=False)
+        plen = inputs["input_ids"].shape[1]
+        tok = getattr(self.processor, "tokenizer", self.processor)
+        return tok.decode(out[0][plen:],
+                          skip_special_tokens=True).strip()
+
+
+class Idefics3HF(Idefics2HF):
+    """reference: mllm_tools/idefics3_eval.py."""
+
+    model_cls = "Idefics3ForConditionalGeneration"
+
+
+class Qwen2VLHF(TorchBaseline):
+    """reference: mllm_tools/qwen2_vl_eval.py — chatml turns with the
+    vision_start/image_pad/vision_end placeholder run."""
+
+    model_cls = "Qwen2VLForConditionalGeneration"
+    support_multi_image = True
+
+    def __call__(self, messages):
+        import torch
+
+        images, texts = [], []
+        for m in messages:
+            if m["type"] == "image":
+                im = m["content"]
+                if isinstance(im, str):
+                    im = Image.open(im).convert("RGB")
+                images.append(im)
+                texts.append(
+                    "<|vision_start|><|image_pad|><|vision_end|>")
+            else:
+                texts.append(m["content"])
+        prompt = ("<|im_start|>user\n" + "".join(texts)
+                  + "<|im_end|>\n<|im_start|>assistant\n")
+        inputs = self.processor(images=images or None, text=prompt,
+                                return_tensors="pt")
+        with torch.no_grad():
+            out = self.model.generate(
+                **inputs, max_new_tokens=self.max_new_tokens,
+                num_beams=1, do_sample=False)
+        plen = inputs["input_ids"].shape[1]
+        tok = getattr(self.processor, "tokenizer", self.processor)
+        return tok.decode(out[0][plen:],
+                          skip_special_tokens=True).strip()
+
+
+class GPT4V:
+    """reference: mllm_tools/gpt4v_eval.py — OpenAI multimodal API
+    through the judge client (base64 image URLs).  Egress-gated; tests
+    inject completion_fn."""
+
+    support_multi_image = True
+
+    def __init__(self, model_name: str = "gpt-4o",
+                 completion_fn=None, max_new_tokens: int = 4096,
+                 cache_dir=None):
+        self.model_name = model_name
+        self.completion_fn = completion_fn
+        self.max_new_tokens = max_new_tokens
+        self.cache_dir = cache_dir
+
+    @staticmethod
+    def _b64(image) -> str:
+        import base64
+        import io
+
+        if isinstance(image, str):
+            image = Image.open(image).convert("RGB")
+        buf = io.BytesIO()
+        image.save(buf, format="PNG")
+        return ("data:image/png;base64,"
+                + base64.b64encode(buf.getvalue()).decode())
+
+    def __call__(self, messages: List[dict]) -> str:
+        from mantis_tpu.judge.openai_utils import openai_completions
+
+        content = []
+        for m in messages:
+            if m["type"] == "image":
+                content.append({"type": "image_url",
+                                "image_url": {
+                                    "url": self._b64(m["content"])}})
+            else:
+                content.append({"type": "text", "text": m["content"]})
+        chat = [{"role": "user", "content": content}]
+        res = openai_completions(
+            [chat], model_name=self.model_name,
+            completion_fn=self.completion_fn,
+            max_tokens=self.max_new_tokens, cache_dir=self.cache_dir)
+        return (res["completions"][0] or "").strip()
+
+
 TORCH_BASELINES = {
     "blip2": Blip2,
     "instructblip": InstructBlip,
     "kosmos2": Kosmos2,
     "llava-hf": LlavaHF,
+    "llava-next-hf": LlavaNextHF,
+    "videollava-hf": VideoLlavaHF,
+    "fuyu-hf": FuyuHF,
+    "idefics1-hf": IdeficsHF,
+    "idefics2-hf": Idefics2HF,
+    "idefics3-hf": Idefics3HF,
+    "qwen2-vl-hf": Qwen2VLHF,
 }

@@ -94,3 +94,113 @@ def test_registry_resolves_baseline_names():
     assert callable(factory)
     with pytest.raises(Exception):
         factory()  # no checkpoint there — resolution itself worked
+
+
+def _stub_pair(capture):
+    import torch
+
+    class StubTok:
+        def decode(self, ids, skip_special_tokens=True):
+            return "stub answer"
+
+        def __call__(self, texts, add_special_tokens=True):
+            class R:
+                input_ids = [[7], [8]]
+            return R()
+
+    class StubProc:
+        tokenizer = StubTok()
+
+        def __call__(self, images=None, text=None, return_tensors=None):
+            capture["text"] = text
+            if isinstance(text, list):  # idefics1 interleaved prompts
+                capture["n_images"] = sum(
+                    not isinstance(x, str) for x in text[0])
+            else:
+                capture["n_images"] = len(images) if images else 0
+            return {"input_ids": torch.ones((1, 5), dtype=torch.long)}
+
+    class StubModel:
+        def generate(self, **kw):
+            return torch.ones((1, 8), dtype=torch.long)
+
+    return StubModel(), StubProc()
+
+
+def test_idefics2_hf_prompt_protocol():
+    from mantis_tpu.benchmark.adapters.torch_baselines import Idefics2HF
+
+    cap = {}
+    model, proc = _stub_pair(cap)
+    adapter = Idefics2HF(model=model, processor=proc, max_new_tokens=2)
+    out = adapter([
+        {"type": "image", "content": _imgs(1)[0]},
+        {"type": "text", "content": "what?"},
+    ])
+    assert out == "stub answer"
+    assert cap["text"] == ("User:<image>what?<end_of_utterance>"
+                           "\nAssistant:")
+    assert cap["n_images"] == 1
+
+
+def test_qwen2_vl_hf_prompt_protocol():
+    from mantis_tpu.benchmark.adapters.torch_baselines import Qwen2VLHF
+
+    cap = {}
+    model, proc = _stub_pair(cap)
+    adapter = Qwen2VLHF(model=model, processor=proc, max_new_tokens=2)
+    adapter([
+        {"type": "image", "content": _imgs(1)[0]},
+        {"type": "text", "content": "hi"},
+    ])
+    assert cap["text"] == (
+        "<|im_start|>user\n<|vision_start|><|image_pad|>"
+        "<|vision_end|>hi<|im_end|>\n<|im_start|>assistant\n")
+
+
+def test_idefics1_hf_interleaved_prompt():
+    from mantis_tpu.benchmark.adapters.torch_baselines import IdeficsHF
+
+    cap = {}
+    model, proc = _stub_pair(cap)
+    adapter = IdeficsHF(model=model, processor=proc, max_new_tokens=2)
+    adapter([
+        {"type": "image", "content": _imgs(2)[0]},
+        {"type": "text", "content": "a"},
+        {"type": "image", "content": _imgs(2)[1]},
+    ])
+    assert cap["n_images"] == 2
+    assert cap["text"][0][0] == "User:"
+    assert cap["text"][0][-1] == "<end_of_utterance>\nAssistant:"
+
+
+def test_gpt4v_offline_with_injected_completion():
+    from mantis_tpu.benchmark.adapters.torch_baselines import GPT4V
+
+    seen = {}
+
+    def fake(messages, model_name, **kw):
+        seen["content"] = messages[0]["content"]
+        return {"text": " the answer ", "prompt_tokens": 0,
+                "completion_tokens": 0}
+
+    adapter = GPT4V(model_name="gpt-4o", completion_fn=fake)
+    out = adapter([
+        {"type": "image", "content": _imgs(1)[0]},
+        {"type": "text", "content": "describe"},
+    ])
+    assert out == "the answer"
+    kinds = [c["type"] for c in seen["content"]]
+    assert kinds == ["image_url", "text"]
+    assert seen["content"][0]["image_url"]["url"].startswith(
+        "data:image/png;base64,")
+
+
+def test_registry_resolves_new_names():
+    from mantis_tpu.benchmark.adapters import MLLM_Models
+
+    for name in ("fuyu-hf", "idefics1-hf", "idefics2-hf", "idefics3-hf",
+                 "llava-next-hf", "videollava-hf", "qwen2-vl-hf"):
+        assert callable(MLLM_Models(f"{name}:/nonexistent"))
+    assert callable(MLLM_Models("gpt4v"))
+    assert callable(MLLM_Models("gpt4v:gpt-4o-mini"))
