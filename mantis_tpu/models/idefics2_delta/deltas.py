@@ -1,4 +1,15 @@
-"""Host-side delta-image computation (see package docstring)."""
+"""Host-side delta-image computation (see package docstring).
+
+Flow backend note: the reference imports NeuFlow for this
+(``from ..NeuFlow import load_neuflow, get_flow_image``,
+reference: modeling_idefics2.py:1211) — but ``mantis/models/NeuFlow``
+does NOT exist anywhere in the reference repo, so that import is a
+dead path (same class of quirk as SURVEY.md §2.8's
+``mllava_type="mllava_next"`` ImportError).  cv2 Farneback here is a
+*runnable* functional replacement producing the same HSV-coded flow
+visualizations the delta model consumes; swap ``delta_frames`` for a
+learned estimator if NeuFlow weights ever materialize.
+"""
 
 from __future__ import annotations
 
