@@ -78,6 +78,55 @@ def main():
     } for i in range(8)]
     with open(os.path.join(sv_dir, "train.json"), "w") as f:
         json.dump(sv_items, f, indent=1)
+
+    # classification debug set (reference: data/examples/classification
+    # + cls_training_example.json): images + float label dicts
+    cls_dir = os.path.join(HERE, "classification")
+    os.makedirs(cls_dir, exist_ok=True)
+    cls_items = [{
+        "id": f"cls-{i}",
+        "images": [f"../chat/images/img{i % 8}.png"],
+        "conversations": [
+            {"from": "human", "value": "<image> rate this frame"},
+            {"from": "gpt", "value": "rated"},
+        ],
+        "labels": {"visual_quality": 0.25 * (i % 4) / 3 + 0.5,
+                   "dynamic_degree": 0.25},
+    } for i in range(8)]
+    with open(os.path.join(cls_dir, "train.json"), "w") as f:
+        json.dump(cls_items, f, indent=1)
+
+    # chat_video debug set (reference: data/examples/chat_video):
+    # tiny synthesized clips + <video> conversations
+    try:
+        import cv2
+
+        cv_dir = os.path.join(HERE, "chat_video")
+        os.makedirs(cv_dir, exist_ok=True)
+        cv_items = []
+        for i in range(4):
+            clip = os.path.join(cv_dir, f"clip{i}.avi")
+            w = cv2.VideoWriter(clip, cv2.VideoWriter_fourcc(*"MJPG"),
+                                5.0, (64, 64))
+            for t in range(6):
+                w.write(np.asarray(make_image(i + t, (64, 64)))[..., ::-1]
+                        .copy())
+            w.release()
+            cv_items.append({
+                "id": f"vid-{i}",
+                "video": f"clip{i}.avi",
+                "conversations": [
+                    {"from": "human",
+                     "value": f"<video> What changes across clip {i}?"},
+                    {"from": "gpt",
+                     "value": f"The {COLORS[i % 4]} {SHAPES[i % 4]} "
+                              "shifts between frames ."},
+                ],
+            })
+        with open(os.path.join(cv_dir, "train.json"), "w") as f:
+            json.dump(cv_items, f, indent=1)
+    except ImportError:
+        print("cv2 unavailable; skipped chat_video examples")
     print("example data written under", HERE)
 
 

@@ -50,6 +50,12 @@ class ArchSpec:
     # archs with a <video>-token encoder path: cfg -> tokens per <video>
     # (reference data.py:763-799 use_video_encoder)
     num_video_tokens_fn: Optional[Callable[[Any], int]] = None
+    # archs with a sequence-classification head (reference
+    # Idefics2/Qwen2VLForSequenceClassification + --problem_type,
+    # train_qwen2_vl.py:136): (cfg, key, dtype) -> params incl. score
+    init_cls_params: Optional[Callable[[Any, Any, Any], Any]] = None
+    # (params, cfg, batch, tcfg, problem_type=...) -> scalar loss
+    compute_cls_loss: Optional[Callable] = None
 
 
 ARCHS: Dict[str, ArchSpec] = {}
@@ -80,6 +86,30 @@ def _ensure_tokens(tokenizer, toks):
 
 def _freeze_vision(path: str) -> bool:
     return not path.startswith(("vision_tower", "visual"))
+
+
+def classification_loss(logits, class_labels, problem_type: str):
+    """HF problem_type semantics (reference train_qwen2_vl_vae.py:136,
+    modeling_qwen2_vl.py Qwen2VLForSequenceClassification loss switch):
+    regression -> MSE; single_label -> softmax CE on the argmax target;
+    multi_label -> sigmoid BCE on float targets."""
+    logits = logits.astype(jnp.float32)
+    y = class_labels.astype(jnp.float32)
+    if problem_type == "regression":
+        return jnp.mean((logits - y) ** 2)
+    if problem_type == "single_label_classification":
+        import jax
+
+        tgt = jnp.argmax(y, axis=-1)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(
+            logp, tgt[:, None], axis=-1))
+    # multi_label_classification
+    import jax
+
+    z = jax.nn.log_sigmoid(logits)
+    zn = jax.nn.log_sigmoid(-logits)
+    return -jnp.mean(y * z + (1.0 - y) * zn)
 
 
 def _std_collator_kwargs(args: Dict) -> Dict:
@@ -230,12 +260,37 @@ def _idefics2_init(cfg, key, dtype):
     return M.init_params(cfg, key, dtype)
 
 
+def _idefics2_cls_init(cfg, key, dtype):
+    from mantis_tpu.models.idefics2 import model as M
+
+    return M.init_classification_params(cfg, key, dtype)
+
+
+def _idefics2_cls_loss(params, cfg, batch, tcfg,
+                       problem_type="multi_label_classification",
+                       **kw):
+    assert not kw, "idefics2 classification: CP/ring-DP not wired"
+    from mantis_tpu.models.idefics2 import model as M
+
+    logits = M.forward_classification(
+        params, cfg, input_ids=batch["input_ids"],
+        pixel_values=batch.get("pixel_values"),
+        patch_mask=batch.get("patch_mask"),
+        patch_position_ids=batch.get("patch_position_ids"),
+        segment_ids=batch.get("segment_ids"),
+        use_remat=tcfg.use_remat)
+    return classification_loss(logits, batch["class_labels"],
+                               problem_type)
+
+
 register(ArchSpec(
     name="idefics2", conv_template="idefics_2",
     debug_config=_idefics2_debug_config, init_params=_idefics2_init,
     make_processor=_idefics2_processor, compute_loss=_idefics2_loss,
     trainable_pred=_freeze_vision, make_collator=_idefics2_collator,
-    lora_exclude=("vision_tower", "connector", "perceiver")))
+    lora_exclude=("vision_tower", "connector", "perceiver"),
+    init_cls_params=_idefics2_cls_init,
+    compute_cls_loss=_idefics2_cls_loss))
 
 
 def _idefics3_debug_config(tokenizer):
@@ -492,12 +547,37 @@ def _qwen2_init(cfg, key, dtype):
     return M.init_params(cfg, key, dtype)
 
 
+def _qwen2_cls_init(cfg, key, dtype):
+    from mantis_tpu.models.qwen2_vl import model as M
+
+    return M.init_classification_params(cfg, key, dtype)
+
+
+def _qwen2_cls_loss(params, cfg, batch, tcfg,
+                    problem_type="multi_label_classification", **kw):
+    assert not kw, "qwen2_vl classification: CP/ring-DP not wired"
+    from mantis_tpu.models.qwen2_vl import model as M
+
+    logits = M.forward_classification(
+        params, cfg, input_ids=batch["input_ids"],
+        pixel_values=batch.get("pixel_values"),
+        rot_pos_ids=batch.get("rot_pos_ids"),
+        vision_segment_ids_arr=batch.get("vision_segment_ids_arr"),
+        positions=batch.get("positions"),
+        segment_ids=batch.get("segment_ids"),
+        use_remat=tcfg.use_remat)
+    return classification_loss(logits, batch["class_labels"],
+                               problem_type)
+
+
 register(ArchSpec(
     name="qwen2_vl", conv_template="qwen2_vl",
     debug_config=_qwen2_debug_config, init_params=_qwen2_init,
     make_processor=_qwen2_processor, compute_loss=_qwen2_loss,
     trainable_pred=_freeze_vision, make_collator=_qwen2_collator,
-    lora_exclude=("visual",)))
+    lora_exclude=("visual",),
+    init_cls_params=_qwen2_cls_init,
+    compute_cls_loss=_qwen2_cls_loss))
 
 
 # ---------------------------------------------------------------------------

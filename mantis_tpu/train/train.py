@@ -66,6 +66,13 @@ def parse_args(argv=None, default_arch=None):
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--num_frames", type=int, default=4)
+    p.add_argument("--problem_type", default="generation",
+                   choices=["generation", "regression",
+                            "single_label_classification",
+                            "multi_label_classification"],
+                   help="non-generation trains the arch's sequence-"
+                        "classification head on item 'labels' dicts "
+                        "(reference train_qwen2_vl.py:136)")
     p.add_argument("--use_video_encoder", action="store_true",
                    help="chat_video data through the arch's video "
                         "encoder (<video> token path, reference "
@@ -135,8 +142,28 @@ def build_model_and_data(args, spec):
     else:
         tok = build_tokenizer_from_json_data(paths)
     cfg = spec.debug_config(tok)
-    params = spec.init_params(cfg, jax.random.PRNGKey(args.seed),
-                              jnp.dtype(args.param_dtype))
+    label_names = None
+    if args.problem_type != "generation":
+        if spec.init_cls_params is None:
+            raise SystemExit(
+                f"--problem_type: {spec.name} has no classification "
+                "head (supported: qwen2_vl, idefics2)")
+        import dataclasses as dc
+        import json
+
+        names = set()
+        for p in paths:
+            with open(p) as f:
+                for item in json.load(f):
+                    names.update((item.get("labels") or {}).keys())
+        label_names = sorted(names)
+        cfg = dc.replace(cfg, num_labels=max(len(label_names), 1))
+        params = spec.init_cls_params(
+            cfg, jax.random.PRNGKey(args.seed),
+            jnp.dtype(args.param_dtype))
+    else:
+        params = spec.init_params(cfg, jax.random.PRNGKey(args.seed),
+                                  jnp.dtype(args.param_dtype))
     if spec.prepare_params is not None and args.xattn_pretrain:
         params = spec.prepare_params(params, cfg)
     processor = spec.make_processor(tok, cfg)
@@ -146,6 +173,14 @@ def build_model_and_data(args, spec):
         datasets = [data_lib.SiglipVideoDataset(
             p, processor.tokenizer, processor.image_processor,
             num_frames=args.num_frames) for p in paths]
+    elif args.problem_type != "generation":
+        # classification: LM labels masked, float targets from item
+        # 'labels' dicts (reference ClassificationDataset,
+        # data.py:1138-1349)
+        data_lib.set_default_image_token_id(processor.image_token_index)
+        datasets = [data_lib.ClassificationDataset(
+            p, processor, conv, max_seq_len=args.max_seq_len,
+            label_names=label_names) for p in paths]
     elif args.use_video_encoder:
         data_lib.set_default_image_token_id(processor.image_token_index)
         nvt = (spec.num_video_tokens_fn(cfg)
@@ -213,6 +248,17 @@ def main(argv=None, default_arch=None):
         compute_dtype=args.compute_dtype, use_remat=not args.no_remat,
         lora=lora_cfg)
 
+    compute_loss = spec.compute_loss
+    if args.problem_type != "generation":
+        if cp > 1 or args.ring_vision_dp:
+            raise SystemExit(
+                "--problem_type: classification is not wired for "
+                "context parallelism / ring vision DP")
+        import functools
+
+        compute_loss = functools.partial(
+            spec.compute_cls_loss, problem_type=args.problem_type)
+
     ctx_attn = None
     if cp > 1:
         from mantis_tpu.ops.ring_attention import make_context_attention
@@ -234,7 +280,7 @@ def main(argv=None, default_arch=None):
         trainable = shard_params(trainable, mesh)
         step_fn = trainer_lib.make_train_step(
             None, cfg, tcfg, opt, None, base_params_for_lora=base,
-            compute_loss=spec.compute_loss,
+            compute_loss=compute_loss,
             context_attention=ctx_attn, labels_preshifted=cp > 1,
             vision_dp_mesh=mesh if args.ring_vision_dp else None)
     else:
@@ -250,7 +296,7 @@ def main(argv=None, default_arch=None):
         frozen = shard_params(frozen, mesh)
         step_fn = trainer_lib.make_train_step(
             None, cfg, tcfg, opt, frozen,
-            compute_loss=spec.compute_loss,
+            compute_loss=compute_loss,
             context_attention=ctx_attn, labels_preshifted=cp > 1,
             vision_dp_mesh=mesh if args.ring_vision_dp else None)
 

@@ -126,3 +126,62 @@ def test_videollava_video_encoder_smoke(tmp_path):
     metrics = _read_metrics(out)
     losses = [m["loss"] for m in metrics]
     assert len(losses) == 8 and losses[-1] < losses[0], losses
+
+
+def _write_cls_data(d, n=8):
+    """Items with images + float 'labels' dicts (the reference
+    ClassificationDataset contract, data.py:1138-1349)."""
+    from PIL import Image
+    import numpy as np
+
+    os.makedirs(os.path.join(d, "imgs"), exist_ok=True)
+    items = []
+    for i in range(n):
+        rng = np.random.RandomState(i)
+        img = Image.fromarray(
+            rng.randint(0, 255, (32, 32, 3), np.uint8))
+        rel = f"imgs/c{i}.png"
+        img.save(os.path.join(d, rel))
+        items.append({
+            "id": f"c{i}",
+            "images": [rel],
+            "conversations": [
+                {"from": "human", "value": "<image> rate this clip"},
+                {"from": "gpt", "value": "ok"},
+            ],
+            # constant targets: the prompt text is identical across
+            # items, so the (bias-free) score head can fit them and the
+            # smoke loss decreases deterministically
+            "labels": {"visual_quality": 0.7,
+                       "temporal_consistency": 0.2},
+        })
+    train = os.path.join(d, "train.json")
+    with open(train, "w") as f:
+        json.dump(items, f)
+    return train
+
+
+@pytest.mark.parametrize("arch,ptype", [
+    ("qwen2_vl", "regression"),
+    ("idefics2", "multi_label_classification"),
+])
+def test_classification_training(arch, ptype, tmp_path):
+    """--problem_type trains the sequence-classification head
+    (reference: Idefics2/Qwen2VLForSequenceClassification +
+    ClassificationDataset)."""
+    data = _write_cls_data(str(tmp_path / "cls"))
+    out = str(tmp_path / f"{arch}_{ptype}")
+    from mantis_tpu.train.train import main
+
+    main([
+        "--arch", arch, "--init_random", "--data_path", data,
+        "--problem_type", ptype,
+        "--output_dir", out, "--max_steps", "8", "--batch_size", "2",
+        "--learning_rate", "3e-3", "--lr_schedule", "constant",
+        "--compute_dtype", "float32", "--max_seq_len", "512",
+        "--no_remat", "--save_steps", "8", "--mesh_data", "2",
+        "--mesh_fsdp", "1",
+    ])
+    metrics = _read_metrics(out)
+    losses = [m["loss"] for m in metrics]
+    assert len(losses) == 8 and losses[-1] < losses[0], losses
