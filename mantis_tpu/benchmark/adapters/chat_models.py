@@ -392,8 +392,40 @@ class VideoLlavaChat(GenericChat):
             kv_cache=kv_cache)
 
 
+class MLlavaNextChat(GenericChat):
+    """LLaVA-NeXT (anyres) adapter (reference:
+    mllm_tools/llava_eval.py llava-next branch)."""
+
+    arch = "mllava_next"
+    conv_template = "llama_3"
+
+    def prepare_inputs(self, prompt, images):
+        enc = self.processor(prompt, images or None, truncation=True,
+                             add_image_ids=True)
+        extra = {}
+        if "pixel_values" in enc:
+            counts = enc["tiles_per_image"]
+            extra["first_tile_idx"] = np.concatenate(
+                [[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+        return (enc["input_ids"], enc.get("attention_mask"),
+                enc.get("pixel_values"), extra)
+
+    def gen_forward(self, params, cfg, *, input_ids, pixel_values,
+                    positions, segment_ids, kv_cache,
+                    first_tile_idx=None):
+        from mantis_tpu.models.mllava_next import model as M
+
+        decode = input_ids.shape[1] == 1
+        return M.forward(
+            params, cfg, input_ids=input_ids,
+            pixel_values=None if decode else pixel_values,
+            first_tile_idx=None if decode else first_tile_idx,
+            positions=positions, segment_ids=segment_ids,
+            kv_cache=kv_cache)
+
+
 ARCH_CHAT_CLASSES = {
     c.arch: c for c in (Idefics2Chat, Idefics3Chat, InternVLChat,
                         MFuyuChat, Qwen2VLChat, OpenFlamingoChat,
-                        VideoLlavaChat)
+                        VideoLlavaChat, MLlavaNextChat)
 }

@@ -582,6 +582,21 @@ def internvl_hf_config(cfg):
     }
 
 
+def llava_next_state_dict(params, cfg) -> Dict:
+    sd = llava_state_dict(params, cfg)
+    sd["image_newline"] = _n(params["image_newline"])
+    return sd
+
+
+def llava_next_hf_config(cfg) -> Dict:
+    d = llava_hf_config(cfg)
+    d["architectures"] = ["LlavaNextForConditionalGeneration"]
+    d["model_type"] = "llava_next"
+    d["image_grid_pinpoints"] = [list(p)
+                                 for p in cfg.image_grid_pinpoints]
+    return d
+
+
 def videollava_state_dict(params, cfg) -> Dict:
     """Inverse of hf_loader.videollava_params_from_hf (legacy layout,
     which transformers' checkpoint-conversion mapping auto-renames)."""
@@ -643,6 +658,7 @@ def videollava_hf_config(cfg) -> Dict:
 
 _EXPORTERS = {
     "mllava": (llava_state_dict, llava_hf_config),
+    "mllava_next": (llava_next_state_dict, llava_next_hf_config),
     "videollava": (videollava_state_dict, videollava_hf_config),
     "idefics2": (idefics2_state_dict, idefics2_hf_config),
     "idefics3": (idefics3_state_dict, idefics3_hf_config),

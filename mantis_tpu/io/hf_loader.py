@@ -690,6 +690,17 @@ def load_checkpoint(checkpoint_dir: str, dtype=jnp.bfloat16):
 
         cfg = InternVLConfig.from_hf_config(hf_cfg)
         return "internvl", cfg, internvl_params_from_hf(src, cfg, dtype)
+    if is_("llava_next", "llavanext", "llava-next"):
+        from mantis_tpu.models.mllava_next.model import LlavaNextConfig
+
+        cfg = LlavaNextConfig.from_hf_config(hf_cfg)
+        params = llava_params_from_hf(src, cfg, dtype)
+        nl_key = ("image_newline"
+                  if "image_newline" in src.keys
+                  else "model.image_newline")
+        params["image_newline"] = jnp.asarray(src.get(nl_key),
+                                              dtype=dtype)
+        return "mllava_next", cfg, params
     if is_("video_llava", "videollava"):
         from mantis_tpu.models.videollava.model import VideoLlavaConfig
 

@@ -38,6 +38,18 @@ class LlavaNextConfig(LlavaConfig):
         (observed reference behavior, modeling_llava_next.py:592)."""
         return self.num_image_tokens + 1
 
+    @classmethod
+    def from_hf_config(cls, cfg):
+        get = (cfg.get if isinstance(cfg, dict)
+               else lambda k, d=None: getattr(cfg, k, d))
+        base = LlavaConfig.from_hf_config(cfg)
+        pin = get("image_grid_pinpoints") or DEFAULT_PINPOINTS
+        return cls(**{**dataclasses.asdict(base),
+                      "vision_config": base.vision_config,
+                      "text_config": base.text_config,
+                      "image_grid_pinpoints": tuple(
+                          tuple(p) for p in pin)})
+
 
 # ---------------------------------------------------------------------------
 # anyres geometry (reference: modeling_llava_next.py:26-106)

@@ -86,7 +86,9 @@ class MLlavaNextProcessor:
     def __call__(self, text: Union[str, List[str]], images=None,
                  truncation: bool = True,
                  max_length: Optional[int] = None,
-                 add_image_ids: bool = True) -> Dict[str, np.ndarray]:
+                 add_image_ids: bool = True,
+                 expand_image_tokens: bool = True
+                 ) -> Dict[str, np.ndarray]:
         texts = [text] if isinstance(text, str) else list(text)
         image_sizes: List[Tuple[int, int]] = []
         first_tile_idx: List[int] = []
@@ -110,15 +112,20 @@ class MLlavaNextProcessor:
                              max_length=max_length,
                              add_special_tokens=True)
         all_ids = enc["input_ids"]
-        expanded = []
-        for ids in all_ids:
-            row = []
-            for t in ids:
-                if t == self.image_token_index:
-                    row.extend([t] * self.num_image_tokens)
-                else:
-                    row.append(t)
-            expanded.append(row)
+        if expand_image_tokens:
+            expanded = []
+            for ids in all_ids:
+                row = []
+                for t in ids:
+                    if t == self.image_token_index:
+                        row.extend([t] * self.num_image_tokens)
+                    else:
+                        row.append(t)
+                expanded.append(row)
+        else:
+            # the training dataset expands dataset-side via
+            # num_image_tokens (ChatDataset.expand_ids_and_labels)
+            expanded = [list(ids) for ids in all_ids]
         max_len = max(len(r) for r in expanded)
         pad_id = self.tokenizer.pad_token_id or 0
         input_ids = np.full((len(expanded), max_len), pad_id, np.int64)
@@ -131,6 +138,12 @@ class MLlavaNextProcessor:
             out["pixel_values"] = self._normalize_tiles(all_tiles)
             out["first_tile_idx"] = np.asarray(first_tile_idx, np.int64)
             out["image_sizes"] = np.asarray(image_sizes, np.int64)
+            # per-image tile counts, batch-concatenable (the dataset
+            # forwards IMAGE_BATCH_KEYS; the collator rebuilds
+            # batch-flat first_tile_idx by cumsum)
+            bounds = first_tile_idx + [len(all_tiles)]
+            out["tiles_per_image"] = np.diff(
+                np.asarray(bounds, np.int64))
         return out
 
     def decode(self, ids, **kw):

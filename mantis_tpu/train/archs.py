@@ -1017,3 +1017,123 @@ register(ArchSpec(
     trainable_pred=lambda p: not p.startswith("vae"),
     make_collator=_qwen2_vae_collator,
     lora_exclude=("vae", "latent_patch_embed", "mlp_fc")))
+
+
+# ---------------------------------------------------------------------------
+# mllava_next (anyres).  NOTE: the reference *intends* this to be
+# trainable via train_mllava.py --mllava_type mllava_next but that path
+# is a dead ImportError upstream (SURVEY.md §2.8; train_mllava.py:219
+# imports a class the package never defines) — registering it here
+# fixes the reference's bug rather than replicating it.
+# ---------------------------------------------------------------------------
+
+def _mllava_next_debug_config(tokenizer):
+    from mantis_tpu.models.mllava_next.model import LlavaNextConfig
+
+    _ensure_tokens(tokenizer, ["<image>"])
+    return LlavaNextConfig(
+        vision_config=VisionConfig(
+            tower_type="clip", hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, image_size=28,
+            patch_size=14),
+        text_config=LlamaConfig(
+            vocab_size=_vocab(tokenizer), hidden_size=128,
+            intermediate_size=256, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            rope_theta=10000.0),
+        image_token_index=tokenizer.convert_tokens_to_ids("<image>"),
+        image_grid_pinpoints=((28, 56), (56, 28), (56, 56)))
+
+
+def _mllava_next_loss(params, cfg, batch, tcfg, **kw):
+    assert not kw, (
+        "mllava_next: context parallelism / ring vision DP not wired "
+        "for this architecture (supported: mllava, internvl)")
+    from mantis_tpu.models.mllava_next import model as M
+
+    _, loss, _ = M.forward(
+        params, cfg, input_ids=batch["input_ids"],
+        pixel_values=batch.get("pixel_values"),
+        first_tile_idx=batch.get("first_tile_idx"),
+        positions=batch.get("positions"),
+        segment_ids=batch.get("segment_ids"), labels=batch["labels"],
+        use_remat=tcfg.use_remat)
+    return loss
+
+
+def _mllava_next_processor(tokenizer, cfg):
+    from mantis_tpu.models.mllava.processor import (
+        ImageProcessorConfig, MantisImageProcessor)
+    from mantis_tpu.models.mllava_next.processor import (
+        MLlavaNextProcessor)
+
+    vc = cfg.vision_config
+    ip = MantisImageProcessor(
+        ImageProcessorConfig.for_tower(vc.tower_type, vc.image_size))
+    return MLlavaNextProcessor(tokenizer, ip, cfg.num_image_tokens,
+                               grid_pinpoints=cfg.image_grid_pinpoints)
+
+
+class MLlavaNextCollator:
+    """Anyres collation: tiles != images, so the standard Collator's
+    image-count padding does not apply — right-pad sequences into
+    buckets, concatenate tile stacks, and offset each example's
+    first_tile_idx into the batch-flat tile axis."""
+
+    def __init__(self, pad_token_id, seq_buckets):
+        self.pad_token_id = pad_token_id
+        self.seq_buckets = sorted(seq_buckets)
+
+    def __call__(self, examples):
+        from mantis_tpu.train.data import IGNORE_INDEX, _bucket_len
+
+        b = len(examples)
+        max_len = max(len(e["input_ids"]) for e in examples)
+        tgt = _bucket_len(max_len, self.seq_buckets)
+        input_ids = np.full((b, tgt), self.pad_token_id, np.int64)
+        labels = np.full((b, tgt), IGNORE_INDEX, np.int64)
+        segment_ids = np.zeros((b, tgt), np.int32)
+        positions = np.zeros((b, tgt), np.int32)
+        tiles, counts = [], []
+        for i, e in enumerate(examples):
+            ids = np.asarray(e["input_ids"][:tgt])
+            n = len(ids)
+            input_ids[i, :n] = ids
+            labels[i, :n] = np.asarray(e["labels"][:n])
+            segment_ids[i, :n] = 1
+            positions[i, :n] = np.arange(n)
+            pv = e.get("pixel_values")
+            if pv is not None and len(pv):
+                tiles.append(pv)
+                counts.extend(int(c) for c in e["tiles_per_image"])
+        out = {"input_ids": input_ids, "labels": labels,
+               "segment_ids": segment_ids, "positions": positions}
+        if tiles:
+            out["pixel_values"] = np.concatenate(tiles)
+            c = np.asarray(counts, np.int64)
+            out["first_tile_idx"] = np.concatenate(
+                [[0], np.cumsum(c)[:-1]])
+        return out
+
+
+def _mllava_next_collator(processor, cfg, args):
+    kw = _std_collator_kwargs(args)
+    return MLlavaNextCollator(
+        pad_token_id=processor.tokenizer.pad_token_id or 0,
+        seq_buckets=kw["seq_buckets"])
+
+
+def _mllava_next_init(cfg, key, dtype):
+    from mantis_tpu.models.mllava_next import model as M
+
+    return M.init_params(cfg, key, dtype)
+
+
+register(ArchSpec(
+    name="mllava_next", conv_template="llama_3",
+    debug_config=_mllava_next_debug_config,
+    init_params=_mllava_next_init,
+    make_processor=_mllava_next_processor,
+    compute_loss=_mllava_next_loss,
+    trainable_pred=_freeze_vision,
+    make_collator=_mllava_next_collator))

@@ -18,7 +18,7 @@ from mantis_tpu.train.archs import get_arch
 from mantis_tpu.utils.debug_tokenizer import build_tokenizer_from_texts
 
 ARCHS = ["mllava", "idefics2", "idefics3", "qwen2_vl", "mfuyu",
-         "internvl", "videollava"]
+         "internvl", "videollava", "mllava_next"]
 
 HF_CLASSES = {
     "mllava": "LlavaForConditionalGeneration",
@@ -28,6 +28,7 @@ HF_CLASSES = {
     "mfuyu": "FuyuForCausalLM",
     "internvl": "InternVLForConditionalGeneration",
     "videollava": "VideoLlavaForConditionalGeneration",
+    "mllava_next": "LlavaNextForConditionalGeneration",
 }
 
 
@@ -60,6 +61,8 @@ def our_text_logits(arch, params, cfg, ids):
         from mantis_tpu.models.mfuyu import model as M
     elif arch == "videollava":
         from mantis_tpu.models.videollava import model as M
+    elif arch == "mllava_next":
+        from mantis_tpu.models.mllava_next import model as M
     else:
         from mantis_tpu.models.intern_vl import model as M
     logits, _, _ = M.forward(params, cfg, input_ids=jnp.asarray(ids))

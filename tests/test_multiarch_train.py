@@ -15,7 +15,7 @@ SV = os.path.join(REPO, "examples", "data", "siglip_video",
 
 ARCHS = ["mllava", "idefics2", "idefics3", "internvl", "qwen2_vl",
          "mfuyu", "openflamingo", "siglip_video", "videollava",
-         "qwen2_vl_vae"]
+         "qwen2_vl_vae", "mllava_next"]
 
 
 def _read_metrics(out_dir):
