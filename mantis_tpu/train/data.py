@@ -833,6 +833,9 @@ FORMAT_CLASSES = {
     "chat": ChatDataset,
     "chat_video": ChatVideoDataset,
     "classification": ClassificationDataset,
+    # resolved lazily below (classes defined later in this module):
+    "qwen2_video_classification": None,
+    "siglip_video": None,
 }
 
 
@@ -847,7 +850,24 @@ def load_data_from_config(config_path: str, processor, conv: Conversation,
     splits: Dict[str, List] = {"train": [], "val": [], "test": []}
     for entry in cfg.get("data", []):
         fmt = entry.get("format", "chat")
-        cls = FORMAT_CLASSES[fmt]
+        if fmt not in FORMAT_CLASSES:
+            raise KeyError(
+                f"unknown data format {fmt!r}; expected one of "
+                f"{sorted(FORMAT_CLASSES)}")
+        if fmt == "siglip_video":
+            # different contract: (text, frames) contrastive pairs
+            # (reference data.py:903-1136)
+            ds = SiglipVideoDataset(
+                entry["path"], processor.tokenizer,
+                getattr(processor, "image_processor", processor),
+                num_frames=entry.get("num_frames", 8))
+            splits[entry.get("use_split", "train")
+                   if entry.get("use_split") in splits
+                   else "train"].append(ds)
+            continue
+        cls = (Qwen2VideoClassificationDataset
+               if fmt == "qwen2_video_classification"
+               else FORMAT_CLASSES[fmt])
         kwargs = dict(
             data_path=entry["path"],
             name=entry.get("name"),
@@ -868,6 +888,15 @@ def load_data_from_config(config_path: str, processor, conv: Conversation,
             kwargs.update(num_frames=entry.get("num_frames", 8),
                           fps=entry.get("fps"),
                           max_num_frames=entry.get("max_num_frames", 16),
+                          video_dir=entry.get("video_dir"),
+                          use_video_encoder=entry.get(
+                              "use_video_encoder", False),
+                          num_video_tokens=entry.get(
+                              "num_video_tokens", 64))
+        elif fmt == "qwen2_video_classification":
+            kwargs.update(num_frames=entry.get("num_frames", 8),
+                          use_label_special_tokens=entry.get(
+                              "use_label_special_tokens", False),
                           video_dir=entry.get("video_dir"))
         ds = cls(**kwargs)
         splits[entry.get("use_split", "train")

@@ -385,3 +385,54 @@ def test_distributed_loader_shards_disjoint_and_complete():
             seen[p].update(batch["input_ids"][:, 0].tolist())
     assert seen[0] & seen[1] == set()
     assert seen[0] | seen[1] == set(range(32))
+
+
+def test_load_data_from_config_all_formats(chat_fixture, tmp_path):
+    """All five reference formats resolve through the YAML loader
+    (reference data.py:1901-1979: chat | chat_video | classification |
+    qwen2_video_classification | siglip_video)."""
+    import yaml
+
+    # classification items: chat items + labels dicts
+    with open(chat_fixture) as f:
+        items = json.load(f)
+    for it in items:
+        it["labels"] = {"quality": 0.5}
+    cls_path = tmp_path / "cls.json"
+    cls_path.write_text(json.dumps(items))
+    # siglip_video items: (text, frame-images) pairs
+    sv_items = [{"id": "s0", "text": "a red square",
+                 "images": items[0]["images"]}]
+    sv_path = tmp_path / "sv.json"
+    sv_path.write_text(json.dumps(sv_items))
+
+    cfg = {"data": [
+        {"path": chat_fixture, "format": "chat"},
+        {"path": str(cls_path), "format": "classification"},
+        {"path": str(cls_path), "format": "qwen2_video_classification",
+         "use_label_special_tokens": True},
+        {"path": str(sv_path), "format": "siglip_video",
+         "num_frames": 2},
+    ]}
+    cfg_path = tmp_path / "data.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    proc = make_processor()
+    conv = conv_templates["mllava_v1"].copy()
+    train, _, _, _ = D.load_data_from_config(
+        str(cfg_path), proc, conv,
+        {"max_seq_len": 128, "image_size": 28,
+         "seq_buckets": (64, 128), "image_buckets": (0, 2, 4)})
+    assert len(train.datasets) == 4
+    # classification entries emit class_labels
+    assert "class_labels" in train.datasets[1][0]
+    # qwen2 variant appends <|LABEL_i|> ids + their positions
+    q = train.datasets[2][0]
+    assert "label_token_positions" in q
+    # unknown format is a loud error (the reference silently KeyErrors)
+    bad = {"data": [{"path": chat_fixture, "format": "nope"}]}
+    bad_path = tmp_path / "bad.yaml"
+    bad_path.write_text(yaml.safe_dump(bad))
+    import pytest as _pt
+
+    with _pt.raises(KeyError):
+        D.load_data_from_config(str(bad_path), proc, conv, {})
