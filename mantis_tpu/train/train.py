@@ -99,6 +99,11 @@ def parse_args(argv=None, default_arch=None):
                         "(reference modeling_internvl_chat.py:200-228)")
     # io
     p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--export_hf", action="store_true",
+                   help="also write the final model as an HF-layout "
+                        "checkpoint under <output_dir>/hf (what the "
+                        "reference's trainer.save_model emits); LoRA "
+                        "adapters are merged into the base first")
     p.add_argument("--save_steps", type=int, default=500)
     p.add_argument("--save_total_limit", type=int, default=1)
     p.add_argument("--logging_steps", type=int, default=1)
@@ -364,6 +369,34 @@ def main(argv=None, default_arch=None):
     mgr.save(step, state)
     print(f"done at step {step}; final checkpoint saved to "
           f"{args.output_dir}")
+
+    if args.export_hf:
+        # final save in HF layout (the reference's trainer.save_model
+        # emits HF checkpoints, train_mllava.py:330-345) so the eval
+        # adapters consume the run's output directly
+        from mantis_tpu.io.hf_export import _EXPORTERS, save_checkpoint
+
+        if spec.name not in _EXPORTERS:
+            print(f"--export_hf: no HF exporter for {spec.name}; "
+                  "kept Orbax checkpoint only")
+        else:
+            trained = jax.device_get(state.params)
+            if args.use_qlora:
+                print("--export_hf: QLoRA base is quantized; merge-"
+                      "export unsupported — kept Orbax checkpoint only")
+                return
+            if lora_cfg is not None:
+                from mantis_tpu.train.lora import merge_lora_into_params
+
+                full = merge_lora_into_params(
+                    jax.device_get(base), trained, lora_cfg)
+            else:
+                full = trainer_lib.combine_params(
+                    trained, jax.device_get(frozen))
+            hf_dir = os.path.join(args.output_dir, "hf")
+            save_checkpoint(spec.name, full, cfg, hf_dir,
+                            processor=processor)
+            print(f"HF checkpoint exported to {hf_dir}")
 
 
 if __name__ == "__main__":

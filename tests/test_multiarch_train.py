@@ -185,3 +185,19 @@ def test_classification_training(arch, ptype, tmp_path):
     metrics = _read_metrics(out)
     losses = [m["loss"] for m in metrics]
     assert len(losses) == 8 and losses[-1] < losses[0], losses
+
+
+def test_export_hf_then_eval_adapter(tmp_path):
+    """Train -> --export_hf -> the eval adapter consumes the run's own
+    output (the reference loop: trainer.save_model -> mllm_tools
+    from_pretrained)."""
+    out = str(tmp_path / "idefics2_hf")
+    _run("idefics2", out, extra=("--export_hf",))
+    hf_dir = os.path.join(out, "hf")
+    assert os.path.exists(os.path.join(hf_dir, "model.safetensors"))
+    from mantis_tpu.benchmark.adapters import MLLM_Models
+
+    adapter = MLLM_Models(f"idefics2:{hf_dir}")()
+    adapter.max_new_tokens = 4
+    ans = adapter([{"type": "text", "content": "hello there"}])
+    assert isinstance(ans, str)
