@@ -513,6 +513,11 @@ class Qwen2VLCollator:
             get_rope_index, vision_rot_pos_ids, vision_segment_ids)
 
         batch = self.base(examples)
+        if "label_token_positions" in examples[0]:
+            # special-token pooling positions (right-padding keeps
+            # per-row indices valid)
+            batch["label_token_positions"] = np.stack(
+                [e["label_token_positions"] for e in examples])
         grids = batch.pop("image_grid_thw", None)
         mask = (batch["segment_ids"] != 0).astype(np.int64)
         if grids is not None and len(grids):
@@ -565,6 +570,7 @@ def _qwen2_cls_loss(params, cfg, batch, tcfg,
         vision_segment_ids_arr=batch.get("vision_segment_ids_arr"),
         positions=batch.get("positions"),
         segment_ids=batch.get("segment_ids"),
+        label_token_positions=batch.get("label_token_positions"),
         use_remat=tcfg.use_remat)
     return classification_loss(logits, batch["class_labels"],
                                problem_type)

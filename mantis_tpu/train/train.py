@@ -73,6 +73,11 @@ def parse_args(argv=None, default_arch=None):
                    help="non-generation trains the arch's sequence-"
                         "classification head on item 'labels' dicts "
                         "(reference train_qwen2_vl.py:136)")
+    p.add_argument("--use_label_special_tokens", action="store_true",
+                   help="qwen2_vl classification: append one <|LABEL_i|>"
+                        " token per label and pool at those positions "
+                        "(reference data.py:1328-1332, score_type="
+                        "special_token)")
     p.add_argument("--use_video_encoder", action="store_true",
                    help="chat_video data through the arch's video "
                         "encoder (<video> token path, reference "
@@ -162,6 +167,13 @@ def build_model_and_data(args, spec):
                 for item in json.load(f):
                     names.update((item.get("labels") or {}).keys())
         label_names = sorted(names)
+        if args.use_label_special_tokens:
+            # grow the vocab BEFORE sizing the embedding (the dataset
+            # re-adds them later, a no-op)
+            tok.add_special_tokens({"additional_special_tokens": [
+                f"<|LABEL_{i}|>" for i in range(len(label_names))]})
+            cfg = dc.replace(spec.debug_config(tok),
+                             score_type="special_token")
         cfg = dc.replace(cfg, num_labels=max(len(label_names), 1))
         params = spec.init_cls_params(
             cfg, jax.random.PRNGKey(args.seed),
@@ -183,9 +195,15 @@ def build_model_and_data(args, spec):
         # 'labels' dicts (reference ClassificationDataset,
         # data.py:1138-1349)
         data_lib.set_default_image_token_id(processor.image_token_index)
-        datasets = [data_lib.ClassificationDataset(
-            p, processor, conv, max_seq_len=args.max_seq_len,
-            label_names=label_names) for p in paths]
+        if args.use_label_special_tokens:
+            datasets = [data_lib.Qwen2VideoClassificationDataset(
+                p, processor, conv, max_seq_len=args.max_seq_len,
+                label_names=label_names, num_frames=args.num_frames,
+                use_label_special_tokens=True) for p in paths]
+        else:
+            datasets = [data_lib.ClassificationDataset(
+                p, processor, conv, max_seq_len=args.max_seq_len,
+                label_names=label_names) for p in paths]
     elif args.use_video_encoder:
         data_lib.set_default_image_token_id(processor.image_token_index)
         nvt = (spec.num_video_tokens_fn(cfg)

@@ -201,3 +201,26 @@ def test_export_hf_then_eval_adapter(tmp_path):
     adapter.max_new_tokens = 4
     ans = adapter([{"type": "text", "content": "hello there"}])
     assert isinstance(ans, str)
+
+
+def test_qwen2_label_special_token_classification(tmp_path):
+    """score_type=special_token: one <|LABEL_i|> token per label
+    appended, logits pooled at those positions (reference
+    data.py:1328-1332 + Qwen2VLForSequenceClassification)."""
+    data = _write_cls_data(str(tmp_path / "cls"))
+    out = str(tmp_path / "qwen2_special")
+    from mantis_tpu.train.train import main
+
+    main([
+        "--arch", "qwen2_vl", "--init_random", "--data_path", data,
+        "--problem_type", "multi_label_classification",
+        "--use_label_special_tokens",
+        "--output_dir", out, "--max_steps", "8", "--batch_size", "2",
+        "--learning_rate", "3e-3", "--lr_schedule", "constant",
+        "--compute_dtype", "float32", "--max_seq_len", "512",
+        "--no_remat", "--save_steps", "8", "--mesh_data", "2",
+        "--mesh_fsdp", "1",
+    ])
+    metrics = _read_metrics(out)
+    losses = [m["loss"] for m in metrics]
+    assert len(losses) == 8 and losses[-1] < losses[0], losses
