@@ -174,7 +174,7 @@ def test_idefics1_hf_interleaved_prompt():
     assert cap["text"][0][-1] == "<end_of_utterance>\nAssistant:"
 
 
-def test_gpt4v_offline_with_injected_completion():
+def test_gpt4v_offline_with_injected_completion(tmp_path):
     from mantis_tpu.benchmark.adapters.torch_baselines import GPT4V
 
     seen = {}
@@ -184,7 +184,10 @@ def test_gpt4v_offline_with_injected_completion():
         return {"text": " the answer ", "prompt_tokens": 0,
                 "completion_tokens": 0}
 
-    adapter = GPT4V(model_name="gpt-4o", completion_fn=fake)
+    # unique cache dir: the judge client caches by prompt uid, and a
+    # stale hit would skip the injected completion_fn entirely
+    adapter = GPT4V(model_name="gpt-4o", completion_fn=fake,
+                    cache_dir=str(tmp_path))
     out = adapter([
         {"type": "image", "content": _imgs(1)[0]},
         {"type": "text", "content": "describe"},
