@@ -21,28 +21,24 @@ pix = [jnp.asarray(rng.randn(BATCH, 3, 384, 384) * 0.1, jnp.bfloat16)
 
 def run(name, fn):
     f = jax.jit(fn)
-    float(jnp.sum(f(pix[-1]).astype(jnp.float32)))  # compile
-    vals = []
+    float(jnp.sum(f(q8, params, pix[-1]).astype(jnp.float32)))  # compile
     t0 = time.perf_counter()
     acc = 0.0
     for i in range(N):
-        acc += float(jnp.sum(f(pix[i]).astype(jnp.float32)))
+        acc += float(jnp.sum(f(q8, params, pix[i]).astype(jnp.float32)))
     dt = (time.perf_counter() - t0) / N
     print(f"{name:28s} {dt*1000:8.1f} ms/batch  "
           f"{BATCH/dt:7.1f} img/s   (acc {acc:.2f})")
     return dt
 
-def embed(x):
-    e = vit.embed(params, CFG, x)
-    return e
-
-full = run("int8 full", lambda x: vit.encoder_int8(q8, CFG, embed(x),
-                                                   num_layers=26))
+full = run("int8 full",
+           lambda q8_, p_, x: vit.encoder_int8(
+               q8_, CFG, vit.embed(p_, CFG, x), num_layers=26))
 
 # attention replaced by v passthrough (cost of everything else)
 import mantis_tpu.models.vit as V
-def encoder_noattn(x):
-    xx = embed(x)
+def encoder_noattn(q8, params, x):
+    xx = vit.embed(params, CFG, x)
     n, s_in, d = xx.shape
     hh, dh = CFG.num_attention_heads, CFG.head_dim
     act = V.gelu_tanh
