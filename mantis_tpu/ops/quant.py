@@ -107,11 +107,28 @@ def quant_matmul(x: jax.Array, qt: QuantTensor) -> jax.Array:
         return x @ dequantize(qt, x.dtype)
     q = qt.q
     if qt.bits == 4:
+        *lead, g, gs2, dout = q.shape
+        assert not lead, "use vmap/scan for stacked-layer QuantTensors"
+        # Two half-group dots with pure-elementwise shift producers:
+        # 45.6 tok/s full-depth decode vs 8.6 for the previous
+        # stack/reshape unpack (which materialized the unpacked tensor
+        # every token).  A Pallas in-register-unpack matvec
+        # (ops/int4_matmul.py) and XLA-native jnp.int4 were both
+        # measured SLOWER (36.8 tok/s / 17x traffic) — the VPU nibble
+        # unpack at full weight volume costs more than the halved HBM
+        # reads save on this chip; int8 (57.7 tok/s) remains the
+        # serving configuration (docs/PERF.md).
         low = jnp.right_shift(jnp.left_shift(q, 4), 4)
         high = jnp.right_shift(q, 4)
-        *lead4, g4, gs2, out4 = q.shape
-        q = jnp.stack([low, high], axis=-2).reshape(
-            *lead4, g4, gs2 * 2, out4)
+        xg = x.reshape(*x.shape[:-1], g, gs2 * 2)
+        part = jnp.einsum(
+            "...gk,gko->...go", xg[..., 0::2], low.astype(x.dtype),
+            preferred_element_type=jnp.float32)
+        part = part + jnp.einsum(
+            "...gk,gko->...go", xg[..., 1::2], high.astype(x.dtype),
+            preferred_element_type=jnp.float32)
+        scale = qt.scale.reshape(g, dout)
+        return jnp.sum(part * scale, axis=-2).astype(x.dtype)
     *lead, g, gs, dout = q.shape
     assert not lead, "use vmap/scan for stacked-layer QuantTensors"
     xg = x.reshape(*x.shape[:-1], g, gs)
