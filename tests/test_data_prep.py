@@ -451,3 +451,31 @@ def test_video_eval_reroot_and_drop(tmp_path):
         (tmp_path / im).write_bytes(b"x")
     kept = convert(rows, root=str(tmp_path), drop_missing=True)
     assert [e["id"] for e in kept] == ["p1"]
+
+
+def test_upload_dataset_offline_build(tmp_path):
+    """Everything before the hub push: suffix-probing image resolution
+    + HF Dataset construction in the Mantis-Instruct column layout."""
+    from PIL import Image as PILImage
+
+    from mantis_tpu.data_prep.upload_dataset import (build_hf_dataset,
+                                                     resolve_image_path)
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    PILImage.new("RGB", (8, 8)).save(img_dir / "a.png")
+    # bare stem resolves by suffix probing
+    assert resolve_image_path("a", str(img_dir)).endswith("a.png")
+
+    examples = [{
+        "id": "x0", "images": ["a"],
+        "conversations": [
+            {"from": "human", "value": "<image> what"},
+            {"from": "gpt", "value": "thing"}],
+    }]
+    ds = build_hf_dataset(examples, str(img_dir), inline_bytes=True)
+    assert len(ds) == 1
+    row = ds[0]
+    assert row["images"][0]["path"] == "a.png"
+    assert row["images"][0]["bytes"]
+    assert row["conversation"][1]["value"] == "thing"
