@@ -5,7 +5,7 @@ Uses the eval adapters' checkpoint loading + greedy generation
 richer multi-turn CLI (chat_mantis_cli.py).
 
   python examples/chat_any_cli.py --model idefics2:/ckpts/my-idefics2
-Commands: /image <path>, /quit
+Commands: /image <path>, /video <path>, /quit
 """
 
 import os
@@ -31,7 +31,7 @@ def main():
         adapter.max_new_tokens = args.max_new_tokens
 
     pending = []
-    print("ready. /image <path> to attach, /quit to exit.")
+    print("ready. /image|/video <path> to attach, /quit to exit.")
     for line in sys.stdin:
         line = line.strip()
         if not line:
@@ -39,10 +39,16 @@ def main():
         if line == "/quit":
             break
         if line.startswith("/image "):
-            pending.append(line.split(" ", 1)[1])
-            print(f"[{len(pending)} image(s) attached]")
+            pending.append(("image", line.split(" ", 1)[1]))
+            print(f"[{len(pending)} attachment(s)]")
             continue
-        messages = [{"type": "image", "content": p_} for p_ in pending]
+        if line.startswith("/video "):
+            # video-encoder archs (videollava) take the clip whole;
+            # others receive sampled frames as images via the adapter
+            pending.append(("video", line.split(" ", 1)[1]))
+            print(f"[{len(pending)} attachment(s)]")
+            continue
+        messages = [{"type": t_, "content": p_} for t_, p_ in pending]
         messages.append({"type": "text", "content": line})
         pending = []
         print(adapter(messages), flush=True)

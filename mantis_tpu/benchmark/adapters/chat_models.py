@@ -26,8 +26,40 @@ from mantis_tpu.generation.sampler import GenerationConfig, generate
 from mantis_tpu.models.conversation import conv_templates
 
 
+def load_video_frames(video, num_frames: int):
+    """Uniform frame sampling (the MVBench protocol); accepts a path
+    or a pre-decoded frame list, pads short clips by repeating the
+    last frame so token counts stay static."""
+    if not isinstance(video, str):
+        frames = [im if isinstance(im, Image.Image)
+                  else Image.fromarray(np.asarray(im)) for im in video]
+    else:
+        import cv2
+
+        cap = cv2.VideoCapture(video)
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        idxs = np.linspace(0, max(total - 1, 0), num_frames).astype(int)
+        frames = []
+        for i in idxs:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, int(i))
+            ok, frame = cap.read()
+            if ok:
+                frames.append(Image.fromarray(
+                    cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)))
+        cap.release()
+    while frames and len(frames) < num_frames:
+        frames.append(frames[-1])
+    return frames[:num_frames]
+
+
 class GenericChat:
-    """messages -> prompt -> processor -> generate -> decoded text."""
+    """messages -> prompt -> processor -> generate -> decoded text.
+
+    ``video`` messages become uniformly sampled frames-as-images (the
+    MVBench protocol); archs with a real video tower override this
+    (VideoLlavaChat)."""
+
+    video_num_frames = 8
 
     support_multi_image = True
     arch: str = ""
@@ -68,6 +100,11 @@ class GenericChat:
                     im = Image.open(im).convert("RGB")
                 images.append(im)
                 parts.append("<image>")
+            elif m["type"] == "video":
+                frames = load_video_frames(m["content"],
+                                           self.video_num_frames)
+                images.extend(frames)
+                parts.append("<image>" * len(frames))
             else:
                 parts.append(m["content"])
         text = "".join(parts)
@@ -342,29 +379,8 @@ class VideoLlavaChat(GenericChat):
         return conv.get_prompt(), images
 
     def _load_frames(self, video):
-        if not isinstance(video, str):
-            return [im if isinstance(im, Image.Image)
-                    else Image.fromarray(np.asarray(im))
-                    for im in video]
-        import cv2
-
-        cap = cv2.VideoCapture(video)
-        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
-        n = self.cfg.num_frames
-        idxs = np.linspace(0, max(total - 1, 0), n).astype(int)
-        frames = []
-        for i in idxs:
-            cap.set(cv2.CAP_PROP_POS_FRAMES, int(i))
-            ok, frame = cap.read()
-            if ok:
-                frames.append(Image.fromarray(
-                    cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)))
-        cap.release()
-        # pad short clips by repeating the last frame (token count is
-        # static: num_frames * (patches + 1))
-        while frames and len(frames) < n:
-            frames.append(frames[-1])
-        return frames
+        # token count is static: num_frames * (patches + 1)
+        return load_video_frames(video, self.cfg.num_frames)
 
     def prepare_inputs(self, prompt, images):
         videos = getattr(self, "_videos", [])

@@ -70,3 +70,35 @@ def test_adapter_scored_jsonl(arch, bench_fixture, tmp_path):
     # the scored JSONL is on disk and resumable
     out = list((tmp_path / "res" / f"toy-{arch}").glob("*.jsonl"))
     assert out and len(out[0].read_text().strip().splitlines()) == 2
+
+
+def test_load_video_frames_pads_short_clips():
+    from mantis_tpu.benchmark.adapters.chat_models import (
+        load_video_frames)
+
+    rng = np.random.RandomState(0)
+    clip = [Image.fromarray(rng.randint(0, 255, (16, 16, 3), np.uint8))
+            for _ in range(3)]
+    frames = load_video_frames(clip, 5)
+    assert len(frames) == 5
+    assert frames[3] is frames[2] and frames[4] is frames[2]
+    assert len(load_video_frames(clip, 2)) == 2
+
+
+def test_generic_adapter_video_message_as_frames():
+    """A ``video`` message on a frames-as-images arch becomes uniformly
+    sampled frames (the MVBench protocol, reference
+    mantis/mllm_tools/mllava_eval.py frames path)."""
+    adapter = make_adapter("idefics3")
+    adapter.video_num_frames = 2
+    rng = np.random.RandomState(1)
+    clip = [Image.fromarray(rng.randint(0, 255, (32, 32, 3), np.uint8))
+            for _ in range(4)]
+    out = adapter([{"type": "video", "content": clip},
+                   {"type": "text", "content": "What happens ?"}])
+    assert isinstance(out, str)
+    # the prompt carries one <image> per sampled frame
+    prompt, images = adapter.build_prompt(
+        [{"type": "video", "content": clip},
+         {"type": "text", "content": "x"}])
+    assert len(images) == 2 and prompt.count("<image>") == 2
