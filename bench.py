@@ -118,7 +118,7 @@ def bench_train_mfu():
                                       dtype=jnp.bfloat16)
     tcfg = T.TrainConfig(learning_rate=1e-5, lr_schedule="constant",
                          max_steps=100, compute_dtype="bfloat16",
-                         use_remat=True, freeze_vision=True)
+                         use_remat="dots", freeze_vision=True)
     trainable, frozen = T.partition_params(
         params, lambda p: T.default_trainable_pred(p, freeze_vision=True))
     opt, _ = T.make_optimizer(tcfg)

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from mantis_tpu.models import llama
 from mantis_tpu.models.configs import LlamaConfig
+from mantis_tpu.ops.remat import remat
 from mantis_tpu.models.llama import KVCache, apply_rope, rms_norm, rope_cos_sin
 from mantis_tpu.models.mllava.model import (
     cross_entropy_loss,
@@ -199,8 +200,7 @@ def vision_forward(params, cfg: InternViTConfig, pixel_values,
                           approximate=False) @ lp["fc2"] + lp["fc2_b"]
         return h + lp["lambda_2"] * mlp, None
 
-    if use_remat:
-        layer = jax.checkpoint(layer)
+    layer = remat(layer, use_remat)
     x, _ = jax.lax.scan(layer, x, params["layers"])
     return x
 
@@ -428,9 +428,7 @@ def decoder_forward(
         h = residual + gated @ lp["down_proj"]
         return h, new_kv
 
-    if use_remat:
-        layer_fn = jax.checkpoint(
-            layer_fn, policy=jax.checkpoint_policies.nothing_saveable)
+    layer_fn = remat(layer_fn, use_remat)
 
     scan_args = [lm["layers"]]
     if xattn is not None:

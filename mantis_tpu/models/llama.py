@@ -26,6 +26,7 @@ from flax import struct
 
 from mantis_tpu.models.configs import LlamaConfig
 from mantis_tpu.ops.flash_attention import flash_attention, mha_reference
+from mantis_tpu.ops.remat import remat
 
 
 # ---------------------------------------------------------------------------
@@ -300,9 +301,7 @@ def forward(
         h = residual + _mm(gated, lp["down_proj"])
         return h, new_kv
 
-    if use_remat:
-        layer_fn = jax.checkpoint(
-            layer_fn, policy=jax.checkpoint_policies.nothing_saveable)
+    layer_fn = remat(layer_fn, use_remat)
 
     if kv_cache is not None:
         h, kvs = jax.lax.scan(

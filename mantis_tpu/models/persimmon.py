@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from mantis_tpu.models.llama import KVCache
 from mantis_tpu.models.vit import layer_norm
+from mantis_tpu.ops.remat import remat
 from mantis_tpu.ops.flash_attention import flash_attention, mha_reference
 
 
@@ -226,9 +227,7 @@ def forward(
         h = residual + (x @ lp["4h_to_h"] + lp["4h_to_h_b"])
         return h, new_kv
 
-    if use_remat:
-        layer_fn = jax.checkpoint(
-            layer_fn, policy=jax.checkpoint_policies.nothing_saveable)
+    layer_fn = remat(layer_fn, use_remat)
 
     if kv_cache is not None:
         h, kvs = jax.lax.scan(

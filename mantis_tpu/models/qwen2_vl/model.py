@@ -26,6 +26,7 @@ import numpy as np
 
 from mantis_tpu.models import llama
 from mantis_tpu.models.configs import LlamaConfig
+from mantis_tpu.ops.remat import remat
 from mantis_tpu.models.llama import KVCache
 from mantis_tpu.models.mllava.model import cross_entropy_loss
 from mantis_tpu.models.vit import layer_norm, quick_gelu
@@ -292,9 +293,7 @@ def vision_forward(params, cfg: Qwen2VLVisionConfig, patches,
                         @ lp["fc2"] + lp["fc2_b"])
         return h, None
 
-    blk = block
-    if use_remat:
-        blk = jax.checkpoint(blk)
+    blk = remat(block, use_remat)
     x, _ = jax.lax.scan(blk, x[None], params["blocks"])
     x = x[0]
 

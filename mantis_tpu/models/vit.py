@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from mantis_tpu.models.configs import VisionConfig
 from mantis_tpu.ops.flash_attention import flash_attention, mha_reference
+from mantis_tpu.ops.remat import remat
 
 
 def quick_gelu(x):
@@ -178,9 +179,7 @@ def encoder(
         x = act(x @ lp["fc1"] + lp["fc1_b"]) @ lp["fc2"] + lp["fc2_b"]
         return residual + x, None
 
-    if use_remat:
-        layer_fn = jax.checkpoint(
-            layer_fn, policy=jax.checkpoint_policies.nothing_saveable)
+    layer_fn = remat(layer_fn, use_remat)
     x, _ = jax.lax.scan(layer_fn, x, layers)
     if s != s_in:
         x = x[:, :s_in]

@@ -92,6 +92,11 @@ def parse_args(argv=None, default_arch=None):
     p.add_argument("--grad_clip", type=float, default=1.0)
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--no_remat", action="store_true")
+    p.add_argument("--remat_policy", default="nothing",
+                   choices=["nothing", "dots"],
+                   help="remat save policy (ops/remat.py): nothing = "
+                        "min memory; dots = save matmul outputs "
+                        "(faster, more activation memory)")
     # mesh
     p.add_argument("--mesh_data", type=int, default=-1)
     p.add_argument("--mesh_fsdp", type=int, default=1)
@@ -268,7 +273,8 @@ def main(argv=None, default_arch=None):
         warmup_ratio=args.warmup_ratio, max_steps=max_steps,
         weight_decay=args.weight_decay,
         gradient_accumulation_steps=accum, grad_clip=args.grad_clip,
-        compute_dtype=args.compute_dtype, use_remat=not args.no_remat,
+        compute_dtype=args.compute_dtype,
+        use_remat=False if args.no_remat else args.remat_policy,
         lora=lora_cfg)
 
     compute_loss = spec.compute_loss

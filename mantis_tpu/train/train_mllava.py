@@ -81,6 +81,8 @@ def parse_args(argv=None):
     p.add_argument("--grad_clip", type=float, default=1.0)
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--no_remat", action="store_true")
+    p.add_argument("--remat_policy", default="nothing",
+                   choices=["nothing", "dots"])
     p.add_argument("--loss_chunk_size", type=int, default=0,
                    help="chunked cross-entropy (liger equivalent): "
                    "never materialize [B,S,vocab] logits; needed for "
@@ -217,7 +219,7 @@ def main(argv=None):
         max_steps=max_steps, weight_decay=args.weight_decay,
         gradient_accumulation_steps=accum,
         grad_clip=args.grad_clip, compute_dtype=args.compute_dtype,
-        use_remat=not args.no_remat,
+        use_remat=False if args.no_remat else args.remat_policy,
         loss_chunk_size=args.loss_chunk_size,
         tune_projector_only=args.do_pretrain,
         freeze_vision=not args.train_vision, lora=lora_cfg)

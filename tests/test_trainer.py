@@ -451,3 +451,41 @@ def test_chunked_ce_with_uneven_chunks():
     ref = -jnp.sum(jnp.where(valid, tok, 0)) / jnp.sum(valid)
     out = chunked_cross_entropy(h, w, labels, chunk_size=16)
     np.testing.assert_allclose(float(out), float(ref), rtol=1e-6)
+
+
+def test_remat_policies_are_numerically_equivalent():
+    """'dots' saves matmul outputs instead of recomputing (ops/remat.py,
+    MFU 0.510 -> 0.547 measured on the flagship step); the policy must
+    not change step numerics."""
+    cfg = tiny_cfg()
+    params = mllava_model.init_params(cfg, jax.random.PRNGKey(0))
+    batch = make_batch(cfg)
+    metrics = {}
+    for pol in (False, True, "dots"):
+        tcfg = T.TrainConfig(learning_rate=1e-3, lr_schedule="constant",
+                             max_steps=20, compute_dtype="float32",
+                             use_remat=pol)
+        trainable, frozen = T.partition_params(
+            params, lambda p: T.default_trainable_pred(p,
+                                                       freeze_vision=True))
+        opt, _ = T.make_optimizer(tcfg)
+        step_fn = T.make_train_step(
+            mllava_model.forward, cfg, tcfg, opt, frozen)
+        # the step donates state buffers; keep the originals alive
+        state = T.create_train_state(
+            jax.tree.map(jnp.copy, trainable), opt)
+        state, m = step_fn(state, batch)
+        state, m = step_fn(state, batch)
+        metrics[str(pol)] = (float(m["loss"]), float(m["grad_norm"]))
+    base = metrics["False"]
+    for pol, (loss, gn) in metrics.items():
+        assert np.isfinite(loss)
+        np.testing.assert_allclose(loss, base[0], rtol=1e-5)
+        np.testing.assert_allclose(gn, base[1], rtol=1e-4)
+
+
+def test_remat_policy_unknown_name_raises():
+    from mantis_tpu.ops.remat import remat
+
+    with pytest.raises(KeyError):
+        remat(lambda c, x: (c, None), "no_such_policy")
