@@ -6,6 +6,9 @@
 #   FSDP sharding (ZeRO-3 equivalent).
 # Global-batch arithmetic mirrors the reference launcher:
 #   gradient_accumulation_steps = GLOBAL_BATCH / (PER_DEVICE * N_CHIPS)
+# remat 'dots' saves matmul outputs (+7% MFU, docs/PERF.md "Remat
+# policy"); ~38 GB activations/chip at these widths fits v5p (95 GB) —
+# set REMAT_POLICY=nothing on smaller-HBM chips.
 set -e
 
 MODEL_PATH=${MODEL_PATH:-"checkpoints/mantis-8b-siglip-llama3-pretrain"}
@@ -34,5 +37,6 @@ python -m mantis_tpu.train.train_mllava \
   --weight_decay 0.0 \
   --num_epochs 1 \
   --compute_dtype bfloat16 \
+  --remat_policy "${REMAT_POLICY:-dots}" \
   --mesh_fsdp "$N_CHIPS" --mesh_data 1 \
   "$@"

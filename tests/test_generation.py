@@ -117,3 +117,34 @@ def test_streaming_matches_batch_greedy():
                                   batch_out[:n])
     rest = batch_out[n:]
     assert all(t in (0, 2) for t in rest.tolist())
+
+
+def test_tensor_parallel_generation_matches_single_device():
+    """Distributed serving: the whole jitted prefill+decode loop runs
+    with TP/DP-sharded params (megatron PartitionSpec rules) on a
+    (data=2, tensor=4) mesh and emits exactly the single-device greedy
+    tokens — GSPMD propagates the shardings through the KV cache and
+    the while_loop, so scale-out serving needs no sampler changes."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mantis_tpu.parallel.mesh import create_mesh
+    from mantis_tpu.parallel.sharding import shard_params
+
+    hf, cfg, params = _tiny_llava()
+    Pn = cfg.num_image_tokens
+    ids = np.array(
+        [[1, 5, 6] + [127] * Pn + [7, 8, 9],
+         [1, 9, 8] + [127] * Pn + [6, 5, 4]])
+    pix = np.random.RandomState(3).randn(2, 3, 28, 28).astype(np.float32)
+    gen_cfg = GenerationConfig(max_new_tokens=8, do_sample=False,
+                               eos_token_ids=(2,), pad_token_id=0)
+
+    ref = generate(params, cfg, mllava_model.forward, ids, pix,
+                   gen_cfg=gen_cfg, cache_dtype=jnp.float32)
+
+    mesh = create_mesh(data=2, tensor=4)
+    sharded = shard_params(params, mesh)
+    out = generate(sharded, cfg, mllava_model.forward, ids, pix,
+                   gen_cfg=gen_cfg, cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(out, ref)
