@@ -489,3 +489,30 @@ def test_remat_policy_unknown_name_raises():
 
     with pytest.raises(KeyError):
         remat(lambda c, x: (c, None), "no_such_policy")
+
+
+def test_data_parallel_encode_matches_single_device():
+    """The vision tower is embarrassingly data-parallel over the `data`
+    axis (docs/PERF.md: 'a second chip doubles' the img/s number);
+    encode on an 8-way batch-sharded mesh must match single-device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mantis_tpu.models import vit
+    from mantis_tpu.models.configs import VisionConfig
+
+    cfg = VisionConfig(tower_type="siglip", hidden_size=32,
+                       intermediate_size=64, num_hidden_layers=2,
+                       num_attention_heads=2, image_size=28,
+                       patch_size=14)
+    params = vit.init_params(cfg, jax.random.PRNGKey(0))
+    pix = jnp.asarray(
+        np.random.RandomState(0).randn(16, 3, 28, 28), jnp.float32)
+    ref = vit.encode_images(params, cfg, pix)
+
+    mesh = create_mesh(data=8)
+    rspec = NamedSharding(mesh, P())
+    out = jax.jit(lambda p, x: vit.encode_images(p, cfg, x))(
+        jax.device_put(params, rspec),
+        jax.device_put(pix, NamedSharding(mesh, P("data"))))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
