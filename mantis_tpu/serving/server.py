@@ -1,0 +1,183 @@
+"""OpenAI-compatible chat serving endpoint over the eval adapters.
+
+The reference ships its demo as an external HF Space (an empty git
+submodule, reference .gitmodules:1-3); here serving is first-party:
+any `<arch>:<checkpoint>` the adapter registry resolves
+(benchmark/adapters) is servable as `POST /v1/chat/completions`.
+
+    python -m mantis_tpu.serving.server --model mllava:/ckpts/m8b
+
+Protocol subset (stdlib only, no external server deps):
+  - POST /v1/chat/completions
+      {"model": ..., "messages": [{"role": "user", "content":
+        "text" | [{"type": "text", "text": ...} |
+                  {"type": "image_url", "image_url": {"url":
+                   "data:image/png;base64,..." | "file:///path" |
+                   "/path"}} |
+                  {"type": "video_url", "video_url": {"url": ...}}]}],
+       "max_tokens": N}
+    -> {"choices": [{"message": {"role": "assistant", "content": ...},
+                     "finish_reason": "stop"}], "usage": {...}}
+  - GET /v1/models -> the loaded model id.
+
+Multi-turn chats are flattened turn-by-turn into the adapter's
+interleaved message list (the adapter renders its own conversation
+template); `video_url` is an extension the OpenAI schema lacks —
+frames-as-images archs sample uniformly, videollava feeds its video
+tower.  One request runs at a time (the chip executes one program);
+concurrent requests queue on a lock.
+"""
+import argparse
+import base64
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+
+
+def _decode_image(url: str):
+    from PIL import Image
+
+    if url.startswith("data:"):
+        b64 = url.split(",", 1)[1]
+        return Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+    if url.startswith("file://"):
+        url = url[len("file://"):]
+    return Image.open(url).convert("RGB")
+
+
+def messages_to_adapter(messages: List[dict]) -> List[dict]:
+    """OpenAI chat messages -> the adapter's interleaved message list.
+
+    Roles other than user are prefixed inline (the adapter template
+    supplies the real role markers for the final user turn)."""
+    out = []
+    for m in messages:
+        role = m.get("role", "user")
+        content = m.get("content", "")
+        parts = ([{"type": "text", "text": content}]
+                 if isinstance(content, str) else content)
+        for p in parts:
+            t = p.get("type")
+            if t == "text":
+                text = p["text"]
+                if role != "user" and text:
+                    text = f"{role}: {text}"
+                out.append({"type": "text", "content": text})
+            elif t == "image_url":
+                out.append({"type": "image",
+                            "content": _decode_image(
+                                p["image_url"]["url"])})
+            elif t == "video_url":
+                url = p["video_url"]["url"]
+                if url.startswith("file://"):
+                    url = url[len("file://"):]
+                out.append({"type": "video", "content": url})
+            else:
+                raise ValueError(f"unsupported content type: {t!r}")
+    return out
+
+
+class ChatAPIServer:
+    """Wraps one adapter instance behind the HTTP protocol above."""
+
+    def __init__(self, adapter, model_id: str = "mantis-tpu"):
+        self.adapter = adapter
+        self.model_id = model_id
+        self._lock = threading.Lock()
+
+    # ------------------------------------------------------------------
+    def handle_chat(self, body: dict) -> dict:
+        msgs = messages_to_adapter(body.get("messages", []))
+        max_tokens = body.get("max_tokens") or body.get(
+            "max_completion_tokens")
+        with self._lock:
+            saved = getattr(self.adapter, "max_new_tokens", None)
+            if max_tokens and saved is not None:
+                self.adapter.max_new_tokens = int(max_tokens)
+            try:
+                text = self.adapter(msgs)
+            finally:
+                if max_tokens and saved is not None:
+                    self.adapter.max_new_tokens = saved
+        return {
+            "id": f"chatcmpl-{int(time.time() * 1000)}",
+            "object": "chat.completion",
+            "created": int(time.time()),
+            "model": body.get("model", self.model_id),
+            "choices": [{
+                "index": 0,
+                "message": {"role": "assistant", "content": text},
+                "finish_reason": "stop",
+            }],
+            "usage": {"prompt_tokens": None, "completion_tokens": None,
+                      "total_tokens": None},
+        }
+
+    def handle_models(self) -> dict:
+        return {"object": "list",
+                "data": [{"id": self.model_id, "object": "model",
+                          "owned_by": "mantis-tpu"}]}
+
+
+def make_server(adapter, host: str = "127.0.0.1", port: int = 8000,
+                model_id: str = "mantis-tpu") -> ThreadingHTTPServer:
+    api = ChatAPIServer(adapter, model_id=model_id)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _send(self, code: int, payload: dict):
+            data = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path.rstrip("/") == "/v1/models":
+                self._send(200, api.handle_models())
+            else:
+                self._send(404, {"error": {"message": "not found"}})
+
+        def do_POST(self):
+            if self.path.rstrip("/") != "/v1/chat/completions":
+                self._send(404, {"error": {"message": "not found"}})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                self._send(200, api.handle_chat(body))
+            except Exception as e:  # surfaced to the client, not fatal
+                self._send(400, {"error": {
+                    "message": f"{type(e).__name__}: {e}"}})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", required=True,
+                   help="<arch>:<checkpoint_dir> (adapter registry name)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max_new_tokens", type=int, default=512)
+    args = p.parse_args()
+
+    from mantis_tpu.benchmark.adapters import MLLM_Models
+
+    adapter = MLLM_Models(args.model)()
+    if hasattr(adapter, "max_new_tokens"):
+        adapter.max_new_tokens = args.max_new_tokens
+    srv = make_server(adapter, args.host, args.port, model_id=args.model)
+    print(f"serving {args.model} on http://{args.host}:{args.port}/v1",
+          flush=True)
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
