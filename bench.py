@@ -246,7 +246,7 @@ def bench_decode():
             tok, cache, acc = state
             logits, cache = llama.forward(
                 params, cfg, input_ids=tok[:, None],
-                positions=(s_prompt + 1 + i)[None, None],
+                positions=(s_prompt + i)[None, None],
                 segment_ids=jnp.ones((1, 1), jnp.int32), kv_cache=cache)
             nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
             return nxt, cache, acc + nxt

@@ -30,7 +30,7 @@ def MLLM_Models(model_name: str):
       through the TPU-native MantisLlava stack.
     - registered names resolve from the registry.
     """
-    if model_name.startswith("mantis-tpu:"):
+    if model_name.startswith(("mantis-tpu:", "mllava:")):
         path = model_name.split(":", 1)[1]
         return lambda: MantisTPUAdapter(path)
     if ":" in model_name:
@@ -105,6 +105,10 @@ class MantisTPUAdapter:
         self.max_new_tokens = max_new_tokens
 
     def __call__(self, messages: List[dict]) -> str:
+        from mantis_tpu.benchmark.adapters.chat_models import (
+            expand_video_messages)
+
+        messages = expand_video_messages(messages)
         text_parts = []
         images = []
         for m in messages:

@@ -29,10 +29,15 @@ from mantis_tpu.models.conversation import conv_templates
 def load_video_frames(video, num_frames: int):
     """Uniform frame sampling (the MVBench protocol); accepts a path
     or a pre-decoded frame list, pads short clips by repeating the
-    last frame so token counts stay static."""
+    last frame so token counts stay static.  Raises on clips that
+    yield no frames — a silently dropped video would let the model
+    answer without ever seeing it."""
     if not isinstance(video, str):
         frames = [im if isinstance(im, Image.Image)
                   else Image.fromarray(np.asarray(im)) for im in video]
+        if len(frames) > num_frames:
+            idxs = np.linspace(0, len(frames) - 1, num_frames).astype(int)
+            frames = [frames[i] for i in idxs]
     else:
         import cv2
 
@@ -47,9 +52,25 @@ def load_video_frames(video, num_frames: int):
                 frames.append(Image.fromarray(
                     cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)))
         cap.release()
-    while frames and len(frames) < num_frames:
+    if not frames:
+        raise ValueError(f"no frames decoded from video {video!r}")
+    while len(frames) < num_frames:
         frames.append(frames[-1])
     return frames[:num_frames]
+
+
+def expand_video_messages(messages, num_frames: int = 8):
+    """``video`` messages -> uniformly sampled frames-as-images (the
+    protocol every reference wrapper without a video tower uses);
+    adapters with a real video path override before this runs."""
+    out = []
+    for m in messages:
+        if m.get("type") == "video":
+            out.extend({"type": "image", "content": f}
+                       for f in load_video_frames(m["content"], num_frames))
+        else:
+            out.append(m)
+    return out
 
 
 class GenericChat:

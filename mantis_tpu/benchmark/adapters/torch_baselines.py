@@ -18,6 +18,8 @@ from typing import List
 from PIL import Image
 
 from mantis_tpu.benchmark.adapters import merge_images
+from mantis_tpu.benchmark.adapters.chat_models import (
+    expand_video_messages)
 
 
 def _split_messages(messages: List[dict]):
@@ -62,6 +64,9 @@ class TorchBaseline:
     def __call__(self, messages: List[dict]) -> str:
         import torch
 
+        messages = expand_video_messages(
+            messages, getattr(self, "video_num_frames", 8))
+
         images, text = _split_messages(messages)
         image = merge_images(images) if images else None
         inputs = self.build_inputs(image, text)
@@ -104,6 +109,9 @@ class Kosmos2(TorchBaseline):
     def __call__(self, messages):
         import torch
 
+        messages = expand_video_messages(
+            messages, getattr(self, "video_num_frames", 8))
+
         images, text = _split_messages(messages)
         image = merge_images(images) if images else None
         inputs = self.build_inputs(image, text)
@@ -133,6 +141,9 @@ class LlavaHF(TorchBaseline):
 
     def __call__(self, messages):
         import torch
+
+        messages = expand_video_messages(
+            messages, getattr(self, "video_num_frames", 8))
 
         images, texts = [], []
         for m in messages:
@@ -192,6 +203,9 @@ class IdeficsHF(TorchBaseline):
     def __call__(self, messages):
         import torch
 
+        messages = expand_video_messages(
+            messages, getattr(self, "video_num_frames", 8))
+
         prompt = ["User:"]
         for m in messages:
             if m["type"] == "image":
@@ -228,6 +242,9 @@ class Idefics2HF(TorchBaseline):
 
     def __call__(self, messages):
         import torch
+
+        messages = expand_video_messages(
+            messages, getattr(self, "video_num_frames", 8))
 
         images, texts = [], []
         for m in messages:
@@ -269,6 +286,9 @@ class Qwen2VLHF(TorchBaseline):
 
     def __call__(self, messages):
         import torch
+
+        messages = expand_video_messages(
+            messages, getattr(self, "video_num_frames", 8))
 
         images, texts = [], []
         for m in messages:
@@ -324,6 +344,9 @@ class GPT4V:
 
     def __call__(self, messages: List[dict]) -> str:
         from mantis_tpu.judge.openai_utils import openai_completions
+
+        messages = expand_video_messages(
+            messages, getattr(self, "video_num_frames", 8))
 
         content = []
         for m in messages:

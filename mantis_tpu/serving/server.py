@@ -5,19 +5,19 @@ submodule, reference .gitmodules:1-3); here serving is first-party:
 any `<arch>:<checkpoint>` the adapter registry resolves
 (benchmark/adapters) is servable as `POST /v1/chat/completions`.
 
-    python -m mantis_tpu.serving.server --model mllava:/ckpts/m8b
+    python -m mantis_tpu.serving.server --model mantis-tpu:/ckpts/m8b
 
 Protocol subset (stdlib only, no external server deps):
   - POST /v1/chat/completions
       {"model": ..., "messages": [{"role": "user", "content":
         "text" | [{"type": "text", "text": ...} |
                   {"type": "image_url", "image_url": {"url":
-                   "data:image/png;base64,..." | "file:///path" |
-                   "/path"}} |
+                   "data:image/png;base64,..." or, with
+                   --allow_local_files, "file:///path" | "/path"}} |
                   {"type": "video_url", "video_url": {"url": ...}}]}],
        "max_tokens": N}
     -> {"choices": [{"message": {"role": "assistant", "content": ...},
-                     "finish_reason": "stop"}], "usage": {...}}
+                     "finish_reason": "stop"}]}
   - GET /v1/models -> the loaded model id.
 
 Multi-turn chats are flattened turn-by-turn into the adapter's
@@ -37,22 +37,49 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional
 
 
-def _decode_image(url: str):
+def _decode_image(url: str, allow_local_files: bool):
     from PIL import Image
 
     if url.startswith("data:"):
         b64 = url.split(",", 1)[1]
         return Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+    if not allow_local_files:
+        raise ValueError(
+            "local file paths are disabled; send a data: URL or start "
+            "the server with --allow_local_files")
     if url.startswith("file://"):
         url = url[len("file://"):]
     return Image.open(url).convert("RGB")
 
 
-def messages_to_adapter(messages: List[dict]) -> List[dict]:
+def _decode_video(url: str, allow_local_files: bool) -> str:
+    """-> a local path for the adapter (data: URLs land in a temp file)."""
+    if url.startswith("data:"):
+        import tempfile
+
+        b64 = url.split(",", 1)[1]
+        f = tempfile.NamedTemporaryFile(suffix=".mp4", delete=False)
+        f.write(base64.b64decode(b64))
+        f.close()
+        return f.name
+    if not allow_local_files:
+        raise ValueError(
+            "local file paths are disabled; send a data: URL or start "
+            "the server with --allow_local_files")
+    if url.startswith("file://"):
+        url = url[len("file://"):]
+    return url
+
+
+def messages_to_adapter(messages: List[dict],
+                        allow_local_files: bool = True) -> List[dict]:
     """OpenAI chat messages -> the adapter's interleaved message list.
 
     Roles other than user are prefixed inline (the adapter template
-    supplies the real role markers for the final user turn)."""
+    supplies the real role markers for the final user turn).
+    ``allow_local_files=False`` rejects path-based image_url/video_url
+    (the server default when exposed beyond localhost — a remote client
+    must not be able to read the server's filesystem)."""
     out = []
     for m in messages:
         role = m.get("role", "user")
@@ -69,12 +96,13 @@ def messages_to_adapter(messages: List[dict]) -> List[dict]:
             elif t == "image_url":
                 out.append({"type": "image",
                             "content": _decode_image(
-                                p["image_url"]["url"])})
+                                p["image_url"]["url"],
+                                allow_local_files)})
             elif t == "video_url":
-                url = p["video_url"]["url"]
-                if url.startswith("file://"):
-                    url = url[len("file://"):]
-                out.append({"type": "video", "content": url})
+                out.append({"type": "video",
+                            "content": _decode_video(
+                                p["video_url"]["url"],
+                                allow_local_files)})
             else:
                 raise ValueError(f"unsupported content type: {t!r}")
     return out
@@ -83,14 +111,18 @@ def messages_to_adapter(messages: List[dict]) -> List[dict]:
 class ChatAPIServer:
     """Wraps one adapter instance behind the HTTP protocol above."""
 
-    def __init__(self, adapter, model_id: str = "mantis-tpu"):
+    def __init__(self, adapter, model_id: str = "mantis-tpu",
+                 allow_local_files: bool = False):
         self.adapter = adapter
         self.model_id = model_id
+        self.allow_local_files = allow_local_files
         self._lock = threading.Lock()
 
     # ------------------------------------------------------------------
     def handle_chat(self, body: dict) -> dict:
-        msgs = messages_to_adapter(body.get("messages", []))
+        msgs = messages_to_adapter(
+            body.get("messages", []),
+            allow_local_files=self.allow_local_files)
         max_tokens = body.get("max_tokens") or body.get(
             "max_completion_tokens")
         with self._lock:
@@ -112,8 +144,8 @@ class ChatAPIServer:
                 "message": {"role": "assistant", "content": text},
                 "finish_reason": "stop",
             }],
-            "usage": {"prompt_tokens": None, "completion_tokens": None,
-                      "total_tokens": None},
+            # usage omitted: the spec makes it optional, and null token
+            # counts break typed clients (pydantic CompletionUsage)
         }
 
     def handle_models(self) -> dict:
@@ -123,8 +155,10 @@ class ChatAPIServer:
 
 
 def make_server(adapter, host: str = "127.0.0.1", port: int = 8000,
-                model_id: str = "mantis-tpu") -> ThreadingHTTPServer:
-    api = ChatAPIServer(adapter, model_id=model_id)
+                model_id: str = "mantis-tpu",
+                allow_local_files: bool = False) -> ThreadingHTTPServer:
+    api = ChatAPIServer(adapter, model_id=model_id,
+                        allow_local_files=allow_local_files)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
@@ -166,6 +200,9 @@ def main():
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max_new_tokens", type=int, default=512)
+    p.add_argument("--allow_local_files", action="store_true",
+                   help="let clients reference server-filesystem paths "
+                        "in image_url/video_url (trusted networks only)")
     args = p.parse_args()
 
     from mantis_tpu.benchmark.adapters import MLLM_Models
@@ -173,7 +210,9 @@ def main():
     adapter = MLLM_Models(args.model)()
     if hasattr(adapter, "max_new_tokens"):
         adapter.max_new_tokens = args.max_new_tokens
-    srv = make_server(adapter, args.host, args.port, model_id=args.model)
+    srv = make_server(adapter, args.host, args.port,
+                      model_id=args.model,
+                      allow_local_files=args.allow_local_files)
     print(f"serving {args.model} on http://{args.host}:{args.port}/v1",
           flush=True)
     srv.serve_forever()

@@ -88,7 +88,7 @@ def bench_batch(params, b):
             logits, cache = llama.forward(
                 params, CFG, input_ids=tok[:, None],
                 positions=jnp.broadcast_to(
-                    (S_PROMPT + 1 + i)[None, None], (tok.shape[0], 1)),
+                    (S_PROMPT + i)[None, None], (tok.shape[0], 1)),
                 segment_ids=jnp.ones((tok.shape[0], 1), jnp.int32),
                 kv_cache=cache)
             nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)

@@ -85,6 +85,23 @@ def test_load_video_frames_pads_short_clips():
     assert len(load_video_frames(clip, 2)) == 2
 
 
+def test_load_video_frames_uniform_sampling_and_errors():
+    from mantis_tpu.benchmark.adapters.chat_models import (
+        load_video_frames)
+
+    rng = np.random.RandomState(1)
+    clip = [Image.fromarray(rng.randint(0, 255, (8, 8, 3), np.uint8))
+            for _ in range(8)]
+    # long pre-decoded lists are sampled uniformly, not head-truncated
+    out = load_video_frames(clip, 4)
+    assert [clip.index(f) for f in out] == [0, 2, 4, 7]
+    # undecodable inputs raise instead of silently dropping the video
+    with pytest.raises(ValueError):
+        load_video_frames([], 4)
+    with pytest.raises(ValueError):
+        load_video_frames("/nonexistent/clip.mp4", 4)
+
+
 def test_generic_adapter_video_message_as_frames():
     """A ``video`` message on a frames-as-images arch becomes uniformly
     sampled frames (the MVBench protocol, reference

@@ -113,3 +113,21 @@ def test_messages_to_adapter_mapping(tmp_path):
     assert out[0]["content"] == "system: be brief"
     assert isinstance(out[1]["content"], Image.Image)
     assert out[2]["content"] == "/tmp/clip.mp4"
+
+
+def test_local_file_paths_rejected_by_default(server):
+    status, data = _post(server + "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": [
+            {"type": "image_url", "image_url": {"url": "/etc/hostname"}},
+            {"type": "text", "text": "what is this"}]}]})
+    assert status == 400
+    assert "local file paths are disabled" in data["error"]["message"]
+
+
+def test_mllava_alias_resolves():
+    from mantis_tpu.benchmark.adapters import MLLM_Models
+
+    # both spellings of the flagship adapter resolve (README uses
+    # mllava:<dir>); construction is lazy so no checkpoint is needed
+    assert callable(MLLM_Models("mllava:/nonexistent"))
+    assert callable(MLLM_Models("mantis-tpu:/nonexistent"))

@@ -207,3 +207,45 @@ def test_registry_resolves_new_names():
         assert callable(MLLM_Models(f"{name}:/nonexistent"))
     assert callable(MLLM_Models("gpt4v"))
     assert callable(MLLM_Models("gpt4v:gpt-4o-mini"))
+
+
+def test_video_messages_expand_on_torch_baselines():
+    """`video` messages become uniformly sampled frames-as-images on
+    every wrapper without a video tower (expand_video_messages at each
+    __call__; code-review finding: they previously fell through to the
+    text branch)."""
+    from mantis_tpu.benchmark.adapters.chat_models import (
+        expand_video_messages)
+
+    clip = _imgs(5)
+    out = expand_video_messages(
+        [{"type": "video", "content": clip},
+         {"type": "text", "content": "q"}], num_frames=3)
+    assert [m["type"] for m in out] == ["image"] * 3 + ["text"]
+
+    # end-to-end through a real wrapper
+    cfg = transformers.Blip2Config(
+        vision_config=dict(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           image_size=224, patch_size=16),
+        qformer_config=dict(hidden_size=32, intermediate_size=64,
+                            num_hidden_layers=2, num_attention_heads=2,
+                            encoder_hidden_size=32),
+        text_config=dict(model_type="opt", vocab_size=128,
+                         hidden_size=32, ffn_dim=64, num_hidden_layers=2,
+                         num_attention_heads=2, word_embed_proj_dim=32,
+                         max_position_embeddings=512),
+        num_query_tokens=4)
+    tok = _tiny_gpt2_tok()
+    tok.add_special_tokens({"additional_special_tokens": ["<image>"]})
+    cfg.image_token_id = tok.convert_tokens_to_ids("<image>")
+    cfg.text_config.vocab_size = max(len(tok), 128)
+    torch.manual_seed(0)
+    model = transformers.Blip2ForConditionalGeneration(cfg).eval()
+    ip = transformers.BlipImageProcessor(size={"height": 224,
+                                               "width": 224})
+    proc = transformers.Blip2Processor(ip, tok, num_query_tokens=4)
+    adapter = Blip2(model=model, processor=proc, max_new_tokens=2)
+    out = adapter([{"type": "video", "content": _imgs(4)},
+                   {"type": "text", "content": "what happens"}])
+    assert isinstance(out, str)
