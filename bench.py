@@ -231,7 +231,10 @@ def bench_decode():
         b, s = ids.shape
         seg = jnp.ones((b, s), jnp.int32)
         pos = jnp.broadcast_to(jnp.arange(s), (b, s))
-        cache = KVCache.create(cfg, b, s + max_new, dtype=jnp.bfloat16)
+        # int8 KV (per-token-head scales): decode 57 -> 65 tok/s and
+        # doubles batch capacity (docs/PERF.md); parity-tested in
+        # tests/test_int8_kv_cache.py
+        cache = KVCache.create(cfg, b, s + max_new, dtype=jnp.int8)
         logits, cache = llama.forward(
             params, cfg, input_ids=ids, positions=pos, segment_ids=seg,
             kv_cache=cache)

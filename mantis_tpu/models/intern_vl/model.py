@@ -340,13 +340,18 @@ def decoder_forward(
             1 + jnp.arange(shared_xattn_prefix, dtype=jnp.int32) // gsz,
             (b, shared_xattn_prefix))
 
+    quant_cache = kv_cache is not None and kv_cache.k.dtype == jnp.int8
+
     def layer_fn(carry, scanned):
         h = carry
+        ks_l = vs_l = None
         if kv_cache is not None:
             if xattn is not None:
-                lp, xp, kc, vc = scanned
+                lp, xp, kc, vc, *sc = scanned
             else:
-                lp, kc, vc = scanned
+                lp, kc, vc, *sc = scanned
+            if quant_cache:
+                ks_l, vs_l = sc
         elif xattn is not None:
             lp, xp = scanned
         else:
@@ -360,14 +365,15 @@ def decoder_forward(
         k = apply_rope(k, cos, sin)
         new_kv = None
         if kv_cache is not None:
-            kc = jax.lax.dynamic_update_slice(
-                kc, k.astype(kc.dtype), (0, offset, 0, 0))
-            vc = jax.lax.dynamic_update_slice(
-                vc, v.astype(vc.dtype), (0, offset, 0, 0))
+            kc, ks_l = llama.write_kv(kc, ks_l, k, offset)
+            vc, vs_l = llama.write_kv(vc, vs_l, v, offset)
             new_kv = (kc, vc)
+            if quant_cache:
+                new_kv += (ks_l, vs_l)
         if decode_mode:
             attn = llama._decode_attention(
-                q, kc, vc, kv_seg_full, segment_ids, offset + s, scale)
+                q, kc, vc, kv_seg_full, segment_ids, offset + s, scale,
+                k_scale=ks_l, v_scale=vs_l)
         elif shared_xattn_prefix:
             m_pre = shared_xattn_prefix
             # image prefix: local-group causal self-attention
@@ -435,12 +441,16 @@ def decoder_forward(
         scan_args.append(xattn)
     if kv_cache is not None:
         scan_args.extend([kv_cache.k, kv_cache.v])
+        if quant_cache:
+            scan_args.extend([kv_cache.k_scale, kv_cache.v_scale])
     h, kvs = jax.lax.scan(layer_fn, h, tuple(scan_args)
                           if len(scan_args) > 1 else scan_args[0])
     new_cache = None
     if kv_cache is not None:
         new_cache = KVCache(k=kvs[0], v=kvs[1], seg=kv_seg_full,
-                            length=offset + s)
+                            length=offset + s,
+                            k_scale=kvs[2] if quant_cache else None,
+                            v_scale=kvs[3] if quant_cache else None)
     h = rms_norm(h, lm["norm"], tcfg.rms_norm_eps)
     logits = h @ (lm["lm_head"] if "lm_head" in lm
                   else lm["embed_tokens"].T)

@@ -40,24 +40,62 @@ class KVCache:
     k, v: [num_layers, batch, max_len, num_kv_heads, head_dim]
     seg:  [batch, max_len] segment id of each cached position (0 = empty)
     length: scalar int32 — number of valid positions.
+
+    ``create(dtype=jnp.int8)`` gives a quantized cache: k/v are int8
+    with per-(token, head) symmetric scales (amax/127) in
+    k_scale/v_scale [L, B, M, Hk].  The scales factor OUT of both
+    attention dots (k's onto the logits, v's onto the probs), so the
+    int8->bf16 operand convert fuses into the einsum exactly like
+    weight-only quant_matmul — KV HBM reads halve and serving context
+    capacity per chip roughly doubles.
     """
 
     k: jax.Array
     v: jax.Array
     seg: jax.Array
     length: jax.Array
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
 
     @classmethod
     def create(cls, cfg: LlamaConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16) -> "KVCache":
         shape = (cfg.num_hidden_layers, batch, max_len,
                  cfg.num_key_value_heads, cfg.head_dim_)
+        scales = None
+        if dtype == jnp.int8:
+            scales = jnp.ones(shape[:-1], jnp.float32)
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
             seg=jnp.zeros((batch, max_len), jnp.int32),
             length=jnp.zeros((), jnp.int32),
+            k_scale=scales,
+            v_scale=scales,
         )
+
+
+def _quantize_kv(x):
+    """[B, S, Hk, Dh] -> (int8 values, f32 per-(token, head) scales)."""
+    xf = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=-1) / 127.0
+    s = jnp.where(s == 0, 1.0, s)
+    q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def write_kv(cache_l, scale_l, x, offset):
+    """Write new k or v rows [B, S, Hk, Dh] into one layer's cache
+    (quantizing when the cache is int8); returns (cache_l, scale_l)."""
+    if cache_l.dtype == jnp.int8:
+        q, s = _quantize_kv(x)
+        cache_l = jax.lax.dynamic_update_slice(
+            cache_l, q, (0, offset, 0, 0))
+        scale_l = jax.lax.dynamic_update_slice(
+            scale_l, s, (0, offset, 0))
+        return cache_l, scale_l
+    return jax.lax.dynamic_update_slice(
+        cache_l, x.astype(cache_l.dtype), (0, offset, 0, 0)), scale_l
 
 
 # ---------------------------------------------------------------------------
@@ -161,20 +199,26 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 
 def _decode_attention(q, k_cache, v_cache, kv_seg, q_seg, length, scale,
-                      window=None):
+                      window=None, k_scale=None, v_scale=None):
     """Single/few-token attention against the KV cache.
 
     q: [B, Sq, Hq, Dh]; k_cache/v_cache: [B, M, Hk, Dh]; kv_seg: [B, M];
     q_seg: [B, Sq]; length: scalar — valid cache prefix (q positions are
     already written into the cache at [length - Sq, length)).
+    k_scale/v_scale [B, M, Hk]: per-(token, head) scales of an int8
+    cache; k's multiply the logits, v's fold into the probs — the
+    int8->compute-dtype convert stays a fusable dot operand.
     """
     b, sq, hq, dh = q.shape
     _, m, hk, _ = k_cache.shape
     group = hq // hk
     qg = q.reshape(b, sq, hk, group, dh)
+    k_in = k_cache if k_scale is None else k_cache.astype(q.dtype)
     logits = jnp.einsum(
-        "bqhgd,bmhd->bhgqm", qg, k_cache,
+        "bqhgd,bmhd->bhgqm", qg, k_in,
         preferred_element_type=jnp.float32) * scale
+    if k_scale is not None:
+        logits = logits * k_scale.transpose(0, 2, 1)[:, :, None, None, :]
     pos = jnp.arange(m)
     q_pos = length - sq + jnp.arange(sq)
     causal = pos[None, None, :] <= q_pos[None, :, None]       # [1, Sq, M]
@@ -185,8 +229,15 @@ def _decode_attention(q, k_cache, v_cache, kv_seg, q_seg, length, scale,
         mask = mask & (q_pos[None, :, None] - pos[None, None, :]
                        < window)
     logits = jnp.where(mask[:, None, None, :, :], logits, -1e30)
-    probs = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
-    out = jnp.einsum("bhgqm,bmhd->bqhgd", probs, v_cache)
+    probs = jax.nn.softmax(logits, axis=-1)
+    if v_scale is not None:
+        probs = (probs * v_scale.transpose(0, 2, 1)[:, :, None, None, :]
+                 ).astype(q.dtype)
+        v_in = v_cache.astype(q.dtype)
+    else:
+        probs = probs.astype(v_cache.dtype)
+        v_in = v_cache
+    out = jnp.einsum("bhgqm,bmhd->bqhgd", probs, v_in)
     return out.reshape(b, sq, hq, dh).astype(q.dtype)
 
 
@@ -243,9 +294,14 @@ def forward(
         kv_seg_full = jax.lax.dynamic_update_slice(
             kv_cache.seg, segment_ids, (0, offset))
 
+    quant_cache = kv_cache is not None and kv_cache.k.dtype == jnp.int8
+
     def layer_fn(carry, scanned):
         h = carry
-        if kv_cache is not None:
+        k_scale_l = v_scale_l = None
+        if quant_cache:
+            lp, k_cache_l, v_cache_l, k_scale_l, v_scale_l = scanned
+        elif kv_cache is not None:
             lp, k_cache_l, v_cache_l = scanned
         else:
             lp = scanned
@@ -266,16 +322,19 @@ def forward(
 
         new_kv = None
         if kv_cache is not None:
-            k_cache_l = jax.lax.dynamic_update_slice(
-                k_cache_l, k.astype(k_cache_l.dtype), (0, offset, 0, 0))
-            v_cache_l = jax.lax.dynamic_update_slice(
-                v_cache_l, v.astype(v_cache_l.dtype), (0, offset, 0, 0))
+            k_cache_l, k_scale_l = write_kv(k_cache_l, k_scale_l, k,
+                                            offset)
+            v_cache_l, v_scale_l = write_kv(v_cache_l, v_scale_l, v,
+                                            offset)
             new_kv = (k_cache_l, v_cache_l)
+            if quant_cache:
+                new_kv += (k_scale_l, v_scale_l)
 
         if decode_mode:
             attn = _decode_attention(
                 q, k_cache_l, v_cache_l, kv_seg_full, segment_ids,
-                offset + s, scale, window=cfg.sliding_window)
+                offset + s, scale, window=cfg.sliding_window,
+                k_scale=k_scale_l, v_scale=v_scale_l)
         elif context_attention is not None:
             # ring attention over the context mesh axis (sequence is
             # zigzag-ordered by the data layer)
@@ -304,10 +363,14 @@ def forward(
     layer_fn = remat(layer_fn, use_remat)
 
     if kv_cache is not None:
-        h, kvs = jax.lax.scan(
-            layer_fn, h, (params["layers"], kv_cache.k, kv_cache.v))
+        xs = (params["layers"], kv_cache.k, kv_cache.v)
+        if quant_cache:
+            xs += (kv_cache.k_scale, kv_cache.v_scale)
+        h, kvs = jax.lax.scan(layer_fn, h, xs)
         new_cache = KVCache(
-            k=kvs[0], v=kvs[1], seg=kv_seg_full, length=offset + s)
+            k=kvs[0], v=kvs[1], seg=kv_seg_full, length=offset + s,
+            k_scale=kvs[2] if quant_cache else None,
+            v_scale=kvs[3] if quant_cache else None)
     else:
         h, _ = jax.lax.scan(layer_fn, h, params["layers"])
         new_cache = None

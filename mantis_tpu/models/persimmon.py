@@ -177,9 +177,14 @@ def forward(
         kv_seg_full = jax.lax.dynamic_update_slice(
             kv_cache.seg, segment_ids, (0, offset))
 
+    quant_cache = kv_cache is not None and kv_cache.k.dtype == jnp.int8
+
     def layer_fn(carry, scanned):
         h = carry
-        if kv_cache is not None:
+        ks_l = vs_l = None
+        if quant_cache:
+            lp, kc, vc, ks_l, vs_l = scanned
+        elif kv_cache is not None:
             lp, kc, vc = scanned
         else:
             lp = scanned
@@ -199,15 +204,16 @@ def forward(
 
         new_kv = None
         if kv_cache is not None:
-            kc = jax.lax.dynamic_update_slice(
-                kc, k.astype(kc.dtype), (0, offset, 0, 0))
-            vc = jax.lax.dynamic_update_slice(
-                vc, v.astype(vc.dtype), (0, offset, 0, 0))
+            kc, ks_l = llama_mod.write_kv(kc, ks_l, k, offset)
+            vc, vs_l = llama_mod.write_kv(vc, vs_l, v, offset)
             new_kv = (kc, vc)
+            if quant_cache:
+                new_kv += (ks_l, vs_l)
 
         if decode_mode:
             attn = llama_mod._decode_attention(
-                q, kc, vc, kv_seg_full, segment_ids, offset + s, scale)
+                q, kc, vc, kv_seg_full, segment_ids, offset + s, scale,
+                k_scale=ks_l, v_scale=vs_l)
         elif attn_impl == "xla":
             attn = mha_reference(q, k, v, causal=True,
                                  segment_ids=segment_ids,
@@ -230,10 +236,14 @@ def forward(
     layer_fn = remat(layer_fn, use_remat)
 
     if kv_cache is not None:
-        h, kvs = jax.lax.scan(
-            layer_fn, h, (params["layers"], kv_cache.k, kv_cache.v))
+        xs = (params["layers"], kv_cache.k, kv_cache.v)
+        if quant_cache:
+            xs += (kv_cache.k_scale, kv_cache.v_scale)
+        h, kvs = jax.lax.scan(layer_fn, h, xs)
         new_cache = KVCache(k=kvs[0], v=kvs[1], seg=kv_seg_full,
-                            length=offset + s)
+                            length=offset + s,
+                            k_scale=kvs[2] if quant_cache else None,
+                            v_scale=kvs[3] if quant_cache else None)
     else:
         h, _ = jax.lax.scan(layer_fn, h, params["layers"])
         new_cache = None

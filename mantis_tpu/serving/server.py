@@ -200,6 +200,11 @@ def main():
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max_new_tokens", type=int, default=512)
+    p.add_argument("--kv_cache", default="bfloat16",
+                   choices=["bfloat16", "float32", "int8"],
+                   help="KV cache dtype; int8 halves KV memory "
+                        "(~+14%% decode, 2x batch capacity, "
+                        "docs/PERF.md)")
     p.add_argument("--allow_local_files", action="store_true",
                    help="let clients reference server-filesystem paths "
                         "in image_url/video_url (trusted networks only)")
@@ -207,9 +212,15 @@ def main():
 
     from mantis_tpu.benchmark.adapters import MLLM_Models
 
+    import jax.numpy as jnp
+
     adapter = MLLM_Models(args.model)()
     if hasattr(adapter, "max_new_tokens"):
         adapter.max_new_tokens = args.max_new_tokens
+    if hasattr(adapter, "cache_dtype"):
+        adapter.cache_dtype = {"bfloat16": jnp.bfloat16,
+                               "float32": jnp.float32,
+                               "int8": jnp.int8}[args.kv_cache]
     srv = make_server(adapter, args.host, args.port,
                       model_id=args.model,
                       allow_local_files=args.allow_local_files)

@@ -69,13 +69,13 @@ def build_params(key):
     }
 
 
-def bench_batch(params, b):
+def bench_batch(params, b, cache_dtype=jnp.bfloat16):
     @jax.jit
     def prefill(params, ids):
         bb, s = ids.shape
         seg = jnp.ones((bb, s), jnp.int32)
         pos = jnp.broadcast_to(jnp.arange(s), (bb, s))
-        cache = KVCache.create(CFG, bb, s + MAX_NEW, dtype=jnp.bfloat16)
+        cache = KVCache.create(CFG, bb, s + MAX_NEW, dtype=cache_dtype)
         logits, cache = llama.forward(
             params, CFG, input_ids=ids, positions=pos, segment_ids=seg,
             kv_cache=cache)
@@ -116,7 +116,8 @@ def bench_batch(params, b):
         times.append(time.perf_counter() - t0)
     dt = min(times)
     agg = b * MAX_NEW / dt
-    print(f"batch {b}: {agg:7.1f} tok/s aggregate "
+    name = "int8" if cache_dtype == jnp.int8 else "bf16"
+    print(f"kv={name} batch {b}: {agg:7.1f} tok/s aggregate "
           f"({agg/b:6.1f}/stream, {dt/MAX_NEW*1000:6.2f} ms/step)",
           flush=True)
     return agg
@@ -126,6 +127,11 @@ def main():
     params = jax.block_until_ready(build_params(jax.random.PRNGKey(0)))
     for b in (1, 2, 4, 8):
         bench_batch(params, b)
+    # int8 KV cache (llama.KVCache.create(dtype=int8)): measured
+    # kv=bf16/int8 b1@6016ctx 57.0/65.1, b8@2048 311/411 tok/s;
+    # b16@2048 (574 tok/s) only fits with int8 KV
+    for b in (1, 8, 16):
+        bench_batch(params, b, cache_dtype=jnp.int8)
 
 
 if __name__ == "__main__":
