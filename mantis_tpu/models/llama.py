@@ -62,16 +62,16 @@ class KVCache:
                dtype=jnp.bfloat16) -> "KVCache":
         shape = (cfg.num_hidden_layers, batch, max_len,
                  cfg.num_key_value_heads, cfg.head_dim_)
-        scales = None
-        if dtype == jnp.int8:
-            scales = jnp.ones(shape[:-1], jnp.float32)
+        # distinct scale buffers: aliasing one array into both fields
+        # breaks donation ("donate the same buffer twice")
+        quant = dtype == jnp.int8
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
             seg=jnp.zeros((batch, max_len), jnp.int32),
             length=jnp.zeros((), jnp.int32),
-            k_scale=scales,
-            v_scale=scales,
+            k_scale=jnp.ones(shape[:-1], jnp.float32) if quant else None,
+            v_scale=jnp.ones(shape[:-1], jnp.float32) if quant else None,
         )
 
 
@@ -258,6 +258,7 @@ def forward(
     attn_impl: Optional[str] = None,
     return_hidden: bool = False,
     context_attention=None,
+    cache_attention: Optional[bool] = None,
 ):
     """Run the decoder.
 
@@ -265,8 +266,14 @@ def forward(
       - prefill / training: kv_cache is None -> flash attention over the
         sequence (causal + segment ids).  Returns (logits, None).
       - prefill-with-cache: kv_cache given and q_len > 1 -> same, but
-        writes k/v into the cache starting at kv_cache.length.
+        writes k/v into the cache starting at kv_cache.length.  NOTE:
+        queries attend only within the new chunk — correct only when
+        the cache was empty.
       - decode: kv_cache given and q_len small (<= 4) -> cache attention.
+      - incremental prefill: ``cache_attention=True`` forces the cache
+        path for ANY q_len — the chunk's queries attend to the whole
+        cached history plus themselves (multi-turn KV reuse,
+        generation/session.py).
 
     segment_ids doubles as the padding mask (0 = pad); defaults to all-1.
     """
@@ -287,7 +294,8 @@ def forward(
     hq, hk, dh = (cfg.num_attention_heads, cfg.num_key_value_heads,
                   cfg.head_dim_)
 
-    decode_mode = kv_cache is not None and s <= 4
+    decode_mode = kv_cache is not None and (
+        cache_attention if cache_attention is not None else s <= 4)
     offset = kv_cache.length if kv_cache is not None else None
     kv_seg_full = None
     if kv_cache is not None:

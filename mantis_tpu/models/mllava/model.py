@@ -190,6 +190,7 @@ def forward(
     vision_dp_mesh=None,
     vision_dp_axis: str = "context",
     loss_chunk_size: Optional[int] = None,
+    cache_attention: Optional[bool] = None,
 ) -> Tuple[Optional[jax.Array], Optional[jax.Array], Optional[KVCache]]:
     """Full forward.  Returns (logits, loss or None, new_cache or None).
 
@@ -246,7 +247,8 @@ def forward(
         params["language_model"], cfg.text_config,
         inputs_embeds=embeds, positions=positions, segment_ids=segment_ids,
         kv_cache=kv_cache, attn_impl=attn_impl, use_remat=use_remat,
-        context_attention=context_attention)
+        context_attention=context_attention,
+        cache_attention=cache_attention)
 
     loss = None
     if labels is not None:
