@@ -5,6 +5,10 @@ Commands inside the loop:
   /image <path>   attach an image to the next message
   /clear          reset the conversation
   /quit           exit
+
+--kv_reuse keeps the KV cache live across turns (ChatSession,
+generation/session.py): each turn prefills only the new tokens —
+turn-N latency stays flat instead of growing with the history.
 """
 
 import os
@@ -24,8 +28,22 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", required=True)
     p.add_argument("--stream", action="store_true")
+    p.add_argument("--kv_reuse", action="store_true",
+                   help="multi-turn KV-cache reuse (incremental "
+                        "prefill; excludes --stream)")
+    p.add_argument("--max_ctx", type=int, default=8192)
     args = p.parse_args()
     model = MantisLlava.from_pretrained(args.model)
+    session = None
+    if args.kv_reuse:
+        if session is not None:
+            reply = session.send(text, images=pending_images or None)
+            print("ASSISTANT:", reply)
+        elif args.stream:
+            p.error("--kv_reuse and --stream are mutually exclusive")
+        from mantis_tpu.generation.session import ChatSession
+
+        session = ChatSession(model, max_ctx=args.max_ctx)
     history = None
     pending_images = []
     print("Mantis chat. /image <path> to attach, /clear, /quit.")
@@ -40,6 +58,8 @@ def main():
             break
         if line == "/clear":
             history, pending_images = None, []
+            if session is not None:
+                session.reset()
             continue
         if line.startswith("/image "):
             pending_images.append(Image.open(line[7:].strip()))
