@@ -36,10 +36,7 @@ def main():
     model = MantisLlava.from_pretrained(args.model)
     session = None
     if args.kv_reuse:
-        if session is not None:
-            reply = session.send(text, images=pending_images or None)
-            print("ASSISTANT:", reply)
-        elif args.stream:
+        if args.stream:
             p.error("--kv_reuse and --stream are mutually exclusive")
         from mantis_tpu.generation.session import ChatSession
 
@@ -67,7 +64,11 @@ def main():
             continue
         text = line + " " + "<image>" * len(pending_images) \
             if pending_images and "<image>" not in line else line
-        if args.stream:
+        if session is not None:
+            reply = session.send(text, images=pending_images or None)
+            print(f"ASSISTANT ({session.prefilled_tokens} tok "
+                  f"prefilled): {reply}")
+        elif args.stream:
             print("ASSISTANT: ", end="", flush=True)
             chunks = []
             for piece in model.chat_stream(text, pending_images or None,

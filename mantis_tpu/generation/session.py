@@ -71,7 +71,11 @@ def _extend_jit(params, delta_ids, pixel_values, start, true_len, cache,
 )
 def _decode_jit(params, tok0, cache, rng, *, model_forward, model_cfg,
                 gen_cfg, max_new):
-    """Greedy/sampled decode continuing from the live cache."""
+    """Greedy/sampled decode continuing from the live cache.
+
+    Intentionally parallel to sampler._generate_jit's loop (which
+    creates its own cache and handles batched true_lens) — changes to
+    eos/done semantics must be mirrored there."""
     eos = jnp.asarray(gen_cfg.eos_token_ids, jnp.int32).reshape(1, -1) \
         if gen_cfg.eos_token_ids else None
 
@@ -147,6 +151,10 @@ class ChatSession:
         self.conv.append_message(self.conv.roles[1], "")
         prompt = self.conv.get_prompt()
 
+        # the processor re-runs over ALL conversation images each turn
+        # (their pixel rows are sliced off below) — host-side cost is
+        # O(total images)/turn, acceptable for interactive sessions;
+        # the numbered "(image i:)" markers need the full list anyway
         enc = model.processor(prompt, self.images or None,
                               truncation=False)
         ids = [int(t) for t in np.asarray(enc["input_ids"][0])]
@@ -180,9 +188,12 @@ class ChatSession:
                 f"{self.max_ctx}; raise max_ctx or reset()")
 
         # images whose token blocks lie inside the delta, in order:
-        # every block before the common prefix is already cached
-        n_prev = sum(1 for i, t in enumerate(ids[:p]) if t == img_tok
-                     and (i == 0 or ids[i - 1] != img_tok))
+        # every block before the common prefix is already cached.
+        # Count by token volume (each image is exactly num_image_tokens
+        # tokens) — run-boundary counting undercounts adjacent
+        # <image><image> blocks.
+        n_prev = sum(1 for t in ids[:p]
+                     if t == img_tok) // model.cfg.num_image_tokens
         new_pix = None
         if pix is not None and n_prev < len(self.images):
             new_pix = jnp.asarray(np.asarray(pix)[n_prev:])
@@ -212,8 +223,13 @@ class ChatSession:
         gen_tokens = row[:stop]
         reply = tok.decode(gen_tokens, skip_special_tokens=True).strip()
         self.conv.messages[-1][1] = reply
-        # cached sequence = full prompt + generated tokens (+ eos slot);
-        # the next turn's common-prefix scan reconciles any boundary
-        # re-tokenization
-        self.tokens = ids + row[:min(stop + 1, len(row))]
+        # self.tokens must list exactly the tokens whose KV is IN the
+        # cache: _decode_jit writes the kv of each INPUT token before
+        # sampling the next, so the last sampled token (the eos, or
+        # row[-1] when max_new is hit) is never written — record only
+        # the written prefix and let the next turn's delta re-prefill
+        # the rest (a silently skipped slot would shift every later
+        # position by one).
+        n_written = stop if stop < len(row) else len(row) - 1
+        self.tokens = ids + row[:n_written]
         return reply

@@ -217,10 +217,17 @@ def main():
     adapter = MLLM_Models(args.model)()
     if hasattr(adapter, "max_new_tokens"):
         adapter.max_new_tokens = args.max_new_tokens
-    if hasattr(adapter, "cache_dtype"):
-        adapter.cache_dtype = {"bfloat16": jnp.bfloat16,
-                               "float32": jnp.float32,
-                               "int8": jnp.int8}[args.kv_cache]
+    # MantisTPUAdapter holds the dtype on its inner MantisLlava model
+    kv_target = (adapter if hasattr(adapter, "cache_dtype")
+                 else getattr(adapter, "model", None))
+    if kv_target is not None and hasattr(kv_target, "cache_dtype"):
+        kv_target.cache_dtype = {"bfloat16": jnp.bfloat16,
+                                 "float32": jnp.float32,
+                                 "int8": jnp.int8}[args.kv_cache]
+    elif args.kv_cache != "bfloat16":
+        raise SystemExit(
+            f"--kv_cache {args.kv_cache}: adapter "
+            f"{type(adapter).__name__} has no cache_dtype")
     srv = make_server(adapter, args.host, args.port,
                       model_id=args.model,
                       allow_local_files=args.allow_local_files)

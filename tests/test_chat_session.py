@@ -60,7 +60,12 @@ def test_session_matches_stateless_chat(cache_dtype):
 
     session = ChatSession(model, max_ctx=512, max_new_tokens=5,
                           delta_bucket=32)
-    session_replies = [session.send(t, images=im) for t, im in turns]
+    session_replies = []
+    for t, im in turns:
+        session_replies.append(session.send(t, images=im))
+        # every token the session claims is cached must actually have
+        # its KV written (a silent hole shifts all later positions)
+        assert int(session.cache.length) == len(session.tokens)
 
     # stateless reference: full re-prefill each turn via model.chat
     history = None
