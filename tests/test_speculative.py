@@ -1,0 +1,73 @@
+"""Speculative decoding (generation/speculative.py): prompt-lookup
+drafts + one-pass verification must emit EXACTLY the plain greedy
+token sequence."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mantis_tpu.generation.sampler import GenerationConfig, generate
+from mantis_tpu.generation.speculative import (
+    prompt_lookup_draft,
+    speculative_generate,
+)
+from mantis_tpu.models.configs import LlamaConfig, LlavaConfig, VisionConfig
+from mantis_tpu.models.mllava import model as mllava_model
+
+
+def tiny_cfg():
+    return LlavaConfig(
+        vision_config=VisionConfig(
+            tower_type="clip", hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=2, image_size=28,
+            patch_size=14),
+        text_config=LlamaConfig(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, rope_theta=10000.0),
+        image_token_index=95,
+    )
+
+
+def test_prompt_lookup_draft():
+    toks = [5, 6, 7, 8, 9, 1, 2, 5, 6, 7]
+    # trailing (5, 6, 7) matched at position 0 -> continuation 8, 9, 1
+    assert prompt_lookup_draft(toks, 3, ngram=3) == [8, 9, 1]
+    assert prompt_lookup_draft(toks, 5, ngram=3) == [8, 9, 1, 2, 5]
+    assert prompt_lookup_draft([1, 2, 3], 3, ngram=3) == []
+    assert prompt_lookup_draft([4, 4, 4, 4], 2, ngram=2) == [4, 4]
+
+
+@pytest.mark.parametrize("repetitive", [True, False])
+def test_speculative_matches_plain_greedy(repetitive):
+    cfg = tiny_cfg()
+    params = mllava_model.init_params(cfg, jax.random.PRNGKey(3))
+    rng = np.random.RandomState(0)
+    if repetitive:
+        block = rng.randint(2, 90, size=8).tolist()
+        ids = np.array([[1] + block * 4 + block[:3]])
+    else:
+        ids = np.array([rng.randint(2, 90, size=24).tolist()])
+    P = cfg.num_image_tokens
+    ids = np.concatenate(
+        [ids, np.full((1, P), 95), rng.randint(2, 90, (1, 3))], axis=1)
+    pix = rng.randn(1, 3, 28, 28).astype(np.float32)
+    gen_cfg = GenerationConfig(max_new_tokens=12, do_sample=False,
+                               eos_token_ids=(2,), pad_token_id=0)
+
+    ref = generate(params, cfg, mllava_model.forward, ids, pix,
+                   gen_cfg=gen_cfg, cache_dtype=jnp.float32)[0]
+    ref = [int(t) for t in ref]
+    stop = next((i for i, t in enumerate(ref) if t == 2), len(ref))
+    ref = ref[:stop + 1] if stop < len(ref) else ref
+
+    out, stats = speculative_generate(
+        params, cfg, mllava_model.forward, ids, pix, gen_cfg=gen_cfg,
+        cache_dtype=jnp.float32, n_draft=4, ngram=3)
+    assert out[:len(ref)] == ref, (out, ref)
+    assert stats["verify_calls"] >= 1
+    assert stats["accepted"] <= stats["drafted"]
+    # every verify emits at least one token: the call count is bounded
+    assert stats["verify_calls"] <= len(out)
