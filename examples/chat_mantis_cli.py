@@ -32,8 +32,12 @@ def main():
                    help="multi-turn KV-cache reuse (incremental "
                         "prefill; excludes --stream)")
     p.add_argument("--max_ctx", type=int, default=8192)
+    p.add_argument("--speculative", type=int, default=0,
+                   help="prompt-lookup speculative decoding: drafts "
+                        "per verify pass (0 = off; greedy only)")
     args = p.parse_args()
     model = MantisLlava.from_pretrained(args.model)
+    model.speculative = args.speculative
     session = None
     if args.kv_reuse:
         if args.stream:

@@ -21,6 +21,7 @@ from mantis_tpu.generation.sampler import GenerationConfig, generate
 from mantis_tpu.models.configs import LlavaConfig
 from mantis_tpu.models.conversation import conv_mllava_v1, conv_templates
 from mantis_tpu.models.mllava import model as mllava_model
+from mantis_tpu.generation.speculative import speculative_generate
 from mantis_tpu.models.mllava.processor import MLlavaProcessor
 
 
@@ -32,6 +33,10 @@ class MantisLlava:
         self.processor = processor
         self.model_name = model_name
         self.cache_dtype = cache_dtype
+        # >0: greedy decode drafts this many tokens per verify pass via
+        # prompt-lookup speculative decoding (generation/speculative.py;
+        # token-identical output, data-dependent speedup)
+        self.speculative = 0
 
     @classmethod
     def from_pretrained(cls, path: str, dtype=jnp.bfloat16):
@@ -63,11 +68,20 @@ class MantisLlava:
                  max_input_length: Optional[int] = None) -> str:
         inputs = self.processor(
             prompt, images, truncation=True, max_length=max_input_length)
-        out = generate(
-            self.params, self.cfg, mllava_model.forward,
-            inputs["input_ids"], inputs.get("pixel_values"),
-            inputs["attention_mask"], gen_cfg,
-            cache_dtype=self.cache_dtype)
+        if self.speculative > 0 and not gen_cfg.do_sample \
+                and np.asarray(inputs["input_ids"]).shape[0] == 1:
+            out, _ = speculative_generate(
+                self.params, self.cfg, mllava_model.forward,
+                inputs["input_ids"], inputs.get("pixel_values"),
+                gen_cfg=gen_cfg, cache_dtype=self.cache_dtype,
+                n_draft=self.speculative)
+            out = np.asarray([out])
+        else:
+            out = generate(
+                self.params, self.cfg, mllava_model.forward,
+                inputs["input_ids"], inputs.get("pixel_values"),
+                inputs["attention_mask"], gen_cfg,
+                cache_dtype=self.cache_dtype)
         ids = out[0]
         eos_set = set(gen_cfg.eos_token_ids)
         stop = len(ids)

@@ -200,6 +200,10 @@ def main():
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max_new_tokens", type=int, default=512)
+    p.add_argument("--speculative", type=int, default=0,
+                   help="prompt-lookup speculative decoding drafts per "
+                        "verify pass (flagship mllava/mantis-tpu "
+                        "adapter, greedy only; 0 = off)")
     p.add_argument("--kv_cache", default="bfloat16",
                    choices=["bfloat16", "float32", "int8"],
                    help="KV cache dtype; int8 halves KV memory "
@@ -228,6 +232,13 @@ def main():
         raise SystemExit(
             f"--kv_cache {args.kv_cache}: adapter "
             f"{type(adapter).__name__} has no cache_dtype")
+    if args.speculative:
+        spec_target = getattr(adapter, "model", adapter)
+        if not hasattr(spec_target, "speculative"):
+            raise SystemExit(
+                f"--speculative: adapter {type(adapter).__name__} "
+                f"has no speculative decode path")
+        spec_target.speculative = args.speculative
     srv = make_server(adapter, args.host, args.port,
                       model_id=args.model,
                       allow_local_files=args.allow_local_files)

@@ -71,3 +71,21 @@ def test_speculative_matches_plain_greedy(repetitive):
     assert stats["accepted"] <= stats["drafted"]
     # every verify emits at least one token: the call count is bounded
     assert stats["verify_calls"] <= len(out)
+
+
+def test_mantis_llava_speculative_chat_matches_plain():
+    """model.speculative drives chat through speculative_generate with
+    identical greedy replies (the user-facing wiring)."""
+    from tests.test_chat_session import tiny_model
+
+    model = tiny_model()
+    from PIL import Image
+
+    img = Image.fromarray(
+        np.random.RandomState(1).randint(0, 255, (28, 28, 3), np.uint8))
+    reply_plain, _ = model.chat("what is in this <image> ?", [img],
+                                max_new_tokens=8)
+    model.speculative = 3
+    reply_spec, _ = model.chat("what is in this <image> ?", [img],
+                               max_new_tokens=8)
+    assert reply_spec == reply_plain
