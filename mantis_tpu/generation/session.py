@@ -212,24 +212,37 @@ class ChatSession:
             pad_token_id=tok.pad_token_id or 0)
         self.rng, r0, rloop = jax.random.split(self.rng, 3)
         tok0 = sample_token(logits, gen_cfg, r0).astype(jnp.int32)
-        out, self.cache = _decode_jit(
-            model.params, tok0, self.cache, rloop,
-            model_forward=self._forward(), model_cfg=model.cfg,
-            gen_cfg=gen_cfg, max_new=max_new)
+        spec = getattr(model, "speculative", 0)
+        if spec > 0:
+            # the serving levers compose: O(delta) turn prefill + a
+            # draft/verify decode sharing the same live cache
+            from mantis_tpu.generation.speculative import (
+                decode_from_cache)
 
-        row = [int(t) for t in np.asarray(out[0])]
+            row, _, self.cache, n_written = decode_from_cache(
+                model.params, model.cfg, self._forward(), self.cache,
+                len(ids), ids, int(tok0[0]), gen_cfg, n_draft=spec)
+        else:
+            out, self.cache = _decode_jit(
+                model.params, tok0, self.cache, rloop,
+                model_forward=self._forward(), model_cfg=model.cfg,
+                gen_cfg=gen_cfg, max_new=max_new)
+            row = [int(t) for t in np.asarray(out[0])]
+            eos = set(gen_cfg.eos_token_ids or ())
+            stop = next((i for i, t in enumerate(row) if t in eos),
+                        len(row))
+            row = row[:stop + 1] if stop < len(row) else row
+            # self.tokens must list exactly the tokens whose KV is IN
+            # the cache: _decode_jit writes the kv of each INPUT token
+            # before sampling the next, so the last sampled token (the
+            # eos, or row[-1] when max_new is hit) is never written —
+            # record only the written prefix and let the next turn's
+            # delta re-prefill the rest (a silently skipped slot would
+            # shift every later position by one).
+            n_written = len(row) - 1
         eos = set(gen_cfg.eos_token_ids or ())
         stop = next((i for i, t in enumerate(row) if t in eos), len(row))
-        gen_tokens = row[:stop]
-        reply = tok.decode(gen_tokens, skip_special_tokens=True).strip()
+        reply = tok.decode(row[:stop], skip_special_tokens=True).strip()
         self.conv.messages[-1][1] = reply
-        # self.tokens must list exactly the tokens whose KV is IN the
-        # cache: _decode_jit writes the kv of each INPUT token before
-        # sampling the next, so the last sampled token (the eos, or
-        # row[-1] when max_new is hit) is never written — record only
-        # the written prefix and let the next turn's delta re-prefill
-        # the rest (a silently skipped slot would shift every later
-        # position by one).
-        n_written = stop if stop < len(row) else len(row) - 1
         self.tokens = ids + row[:n_written]
         return reply

@@ -106,25 +106,45 @@ def speculative_generate(
     input_ids = np.asarray(input_ids)
     assert input_ids.shape[0] == 1
     b, s = input_ids.shape
-    max_new = gen_cfg.max_new_tokens
-    eos = set(gen_cfg.eos_token_ids or ())
 
     sb = _bucket(s)
     ids = np.full((1, sb), gen_cfg.pad_token_id, np.int32)
     ids[0, :s] = input_ids[0]
     pv = None if pixel_values is None else jnp.asarray(pixel_values)
-    # chunk length is static: pad drafts to n_draft and rewind
-    pad_tok = gen_cfg.pad_token_id or 0
 
     tok0, cache = _prefill_jit(
         params, jnp.asarray(ids), pv, jnp.asarray(s, jnp.int32),
         model_forward=model_forward, model_cfg=model_cfg,
-        max_new=max_new + n_draft + 1, cache_dtype=cache_dtype)
+        max_new=gen_cfg.max_new_tokens + n_draft + 1,
+        cache_dtype=cache_dtype)
 
     context = [int(t) for t in input_ids[0]]
-    out: List[int] = [int(tok0[0])]
+    out, stats, cache, _ = decode_from_cache(
+        params, model_cfg, model_forward, cache, s, context,
+        int(tok0[0]), gen_cfg, n_draft=n_draft, ngram=ngram)
+    return out, stats
+
+
+def decode_from_cache(
+    params, model_cfg, model_forward, cache, length: int,
+    context: List[int], tok0: int, gen_cfg: GenerationConfig,
+    n_draft: int = 5, ngram: int = 3,
+):
+    """The draft/verify loop, continuing from a live cache whose first
+    `length` slots are written (`context` = those tokens, used for the
+    n-gram lookup; `tok0` = the already-sampled first new token, KV not
+    yet written — the ChatSession invariant).
+
+    Returns (out_tokens, stats, cache, cached_count): out_tokens is
+    everything emitted (incl. a trailing eos if hit); cached_count of
+    them have their KV in the cache (always len(out) - 1, same
+    invariant as the plain decode loop).  The cache must have
+    length + max_new + n_draft + 1 slots free."""
+    max_new = gen_cfg.max_new_tokens
+    eos = set(gen_cfg.eos_token_ids or ())
+    pad_tok = gen_cfg.pad_token_id or 0
+    out: List[int] = [tok0]
     stats = {"verify_calls": 0, "drafted": 0, "accepted": 0}
-    length = s  # tokens whose KV is in the cache
     while len(out) < max_new and out[-1] not in eos:
         history = context + out
         draft = prompt_lookup_draft(history, n_draft, ngram)
@@ -155,4 +175,4 @@ def speculative_generate(
             out.append(t)
             if t in eos or len(out) >= max_new:
                 break
-    return out, stats
+    return out, stats, cache, len(out) - 1

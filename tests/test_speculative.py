@@ -89,3 +89,31 @@ def test_mantis_llava_speculative_chat_matches_plain():
     reply_spec, _ = model.chat("what is in this <image> ?", [img],
                                max_new_tokens=8)
     assert reply_spec == reply_plain
+
+
+def test_session_with_speculative_matches_plain_session():
+    """The serving levers compose: ChatSession + speculative decode
+    emits the same replies as the plain session, keeping the
+    cache.length == len(tokens) invariant."""
+    from PIL import Image
+
+    from mantis_tpu.generation.session import ChatSession
+    from tests.test_chat_session import tiny_model
+
+    img = Image.fromarray(
+        np.random.RandomState(1).randint(0, 255, (28, 28, 3), np.uint8))
+    turns = [("what is in this <image> ?", [img]),
+             ("tell me more about it", None)]
+
+    replies = {}
+    for spec in (0, 3):
+        model = tiny_model()
+        model.speculative = spec
+        session = ChatSession(model, max_ctx=512, max_new_tokens=6,
+                              delta_bucket=32)
+        rs = []
+        for t, im in turns:
+            rs.append(session.send(t, images=im))
+            assert int(session.cache.length) == len(session.tokens)
+        replies[spec] = rs
+    assert replies[3] == replies[0], replies
