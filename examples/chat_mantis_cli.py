@@ -36,6 +36,9 @@ def main():
                    help="prompt-lookup speculative decoding: drafts "
                         "per verify pass (0 = off; greedy only)")
     args = p.parse_args()
+    if args.speculative and args.stream:
+        p.error("--speculative and --stream are mutually exclusive "
+                "(the streaming loop decodes one token at a time)")
     model = MantisLlava.from_pretrained(args.model)
     model.speculative = args.speculative
     session = None

@@ -182,10 +182,16 @@ class ChatSession:
         max_new = max_new_tokens or self.max_new_tokens
         db = self.delta_bucket
         pad_n = -len(delta) % db
-        if len(ids) + pad_n + max_new > self.max_ctx:
+        # speculative decode writes (n_draft+1)-token verify chunks:
+        # reserve their headroom too, or the clamped cache write would
+        # silently overwrite the newest valid rows near max_ctx
+        spec = getattr(model, "speculative", 0)
+        headroom = spec + 1 if spec > 0 else 0
+        if len(ids) + pad_n + max_new + headroom > self.max_ctx:
             raise ValueError(
-                f"context {len(ids)}+{pad_n}+{max_new} exceeds max_ctx "
-                f"{self.max_ctx}; raise max_ctx or reset()")
+                f"context {len(ids)}+{pad_n}+{max_new}+{headroom} "
+                f"exceeds max_ctx {self.max_ctx}; raise max_ctx or "
+                f"reset()")
 
         # images whose token blocks lie inside the delta, in order:
         # every block before the common prefix is already cached.
@@ -212,7 +218,6 @@ class ChatSession:
             pad_token_id=tok.pad_token_id or 0)
         self.rng, r0, rloop = jax.random.split(self.rng, 3)
         tok0 = sample_token(logits, gen_cfg, r0).astype(jnp.int32)
-        spec = getattr(model, "speculative", 0)
         if spec > 0:
             # the serving levers compose: O(delta) turn prefill + a
             # draft/verify decode sharing the same live cache
@@ -228,20 +233,18 @@ class ChatSession:
                 model_forward=self._forward(), model_cfg=model.cfg,
                 gen_cfg=gen_cfg, max_new=max_new)
             row = [int(t) for t in np.asarray(out[0])]
-            eos = set(gen_cfg.eos_token_ids or ())
-            stop = next((i for i, t in enumerate(row) if t in eos),
-                        len(row))
-            row = row[:stop + 1] if stop < len(row) else row
+            n_written = None
+        eos = set(gen_cfg.eos_token_ids or ())
+        stop = next((i for i, t in enumerate(row) if t in eos), len(row))
+        if n_written is None:
             # self.tokens must list exactly the tokens whose KV is IN
             # the cache: _decode_jit writes the kv of each INPUT token
             # before sampling the next, so the last sampled token (the
-            # eos, or row[-1] when max_new is hit) is never written —
-            # record only the written prefix and let the next turn's
-            # delta re-prefill the rest (a silently skipped slot would
-            # shift every later position by one).
-            n_written = len(row) - 1
-        eos = set(gen_cfg.eos_token_ids or ())
-        stop = next((i for i, t in enumerate(row) if t in eos), len(row))
+            # eos, or the final token when max_new is hit) is never
+            # written — record only the written prefix and let the next
+            # turn's delta re-prefill the rest (a silently skipped slot
+            # would shift every later position by one).
+            n_written = stop if stop < len(row) else len(row) - 1
         reply = tok.decode(row[:stop], skip_special_tokens=True).strip()
         self.conv.messages[-1][1] = reply
         self.tokens = ids + row[:n_written]

@@ -233,8 +233,12 @@ def main():
             f"--kv_cache {args.kv_cache}: adapter "
             f"{type(adapter).__name__} has no cache_dtype")
     if args.speculative:
-        spec_target = getattr(adapter, "model", adapter)
-        if not hasattr(spec_target, "speculative"):
+        # same resolution order as --kv_cache: the adapter itself,
+        # then its inner model (MantisTPUAdapter holds a MantisLlava)
+        spec_target = (adapter if hasattr(adapter, "speculative")
+                       else getattr(adapter, "model", None))
+        if spec_target is None or not hasattr(spec_target,
+                                              "speculative"):
             raise SystemExit(
                 f"--speculative: adapter {type(adapter).__name__} "
                 f"has no speculative decode path")
