@@ -42,6 +42,10 @@ def parse_args(argv=None, default_arch=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--arch", default=default_arch, required=not
                    default_arch, choices=sorted(archs_lib.ARCHS))
+    p.add_argument("--model_path", type=str, default=None,
+                   help="HF checkpoint directory to fine-tune from "
+                        "(io/hf_loader.load_checkpoint dispatches on "
+                        "config.json; the reference's from_pretrained)")
     p.add_argument("--init_random", action="store_true",
                    help="random-init a tiny debug model (smoke recipe)")
     p.add_argument("--conv_template", default=None)
@@ -132,17 +136,45 @@ def _data_paths(args):
     return [e["path"] for e in dcfg.get("data", [])]
 
 
+def _overlay(init_tree, loaded_tree):
+    """Prefer checkpoint values; keep freshly initialized leaves where
+    the checkpoint has no counterpart (e.g. a new classification head
+    on a base checkpoint — the reference's from_pretrained +
+    num_labels flow, train_qwen2_vl.py)."""
+    if isinstance(init_tree, dict):
+        return {
+            k: (_overlay(v, loaded_tree[k])
+                if isinstance(loaded_tree, dict) and k in loaded_tree
+                else v)
+            for k, v in init_tree.items()
+        }
+    return loaded_tree
+
+
 def build_model_and_data(args, spec):
     from mantis_tpu.utils.debug_tokenizer import (
         build_tokenizer_from_json_data)
 
     paths = _data_paths(args)
+    loaded = None
     if not args.init_random:
-        raise NotImplementedError(
-            f"HF checkpoint loading for --arch {spec.name} comes via "
-            "mantis_tpu.io.hf_loader (see train_mllava.py for the "
-            "flagship path); use --init_random for the debug recipe.")
-    if spec.dataset_format == "siglip_video":
+        if not args.model_path:
+            raise SystemExit(
+                "pass --model_path <hf_checkpoint_dir> or "
+                "--init_random (debug recipe)")
+        import transformers
+
+        from mantis_tpu.io.hf_loader import load_checkpoint
+
+        ck_arch, cfg, loaded = load_checkpoint(
+            args.model_path, dtype=jnp.dtype(args.param_dtype))
+        if ck_arch != spec.name:
+            raise SystemExit(
+                f"checkpoint {args.model_path} is {ck_arch!r}, "
+                f"--arch is {spec.name!r}")
+        tok = transformers.AutoTokenizer.from_pretrained(
+            args.model_path)
+    elif spec.dataset_format == "siglip_video":
         import json
 
         def texts():
@@ -156,7 +188,8 @@ def build_model_and_data(args, spec):
         tok = build_tokenizer_from_texts(texts())
     else:
         tok = build_tokenizer_from_json_data(paths)
-    cfg = spec.debug_config(tok)
+    if loaded is None:
+        cfg = spec.debug_config(tok)
     label_names = None
     if args.problem_type != "generation":
         if spec.init_cls_params is None:
@@ -173,6 +206,12 @@ def build_model_and_data(args, spec):
                     names.update((item.get("labels") or {}).keys())
         label_names = sorted(names)
         if args.use_label_special_tokens:
+            if loaded is not None:
+                raise SystemExit(
+                    "--use_label_special_tokens grows the vocabulary "
+                    "beyond the checkpoint's embedding; resize is not "
+                    "supported from --model_path — start from "
+                    "--init_random or resize offline")
             # grow the vocab BEFORE sizing the embedding (the dataset
             # re-adds them later, a no-op)
             tok.add_special_tokens({"additional_special_tokens": [
@@ -183,6 +222,11 @@ def build_model_and_data(args, spec):
         params = spec.init_cls_params(
             cfg, jax.random.PRNGKey(args.seed),
             jnp.dtype(args.param_dtype))
+        if loaded is not None:
+            # checkpoint backbone + fresh head
+            params = _overlay(params, loaded)
+    elif loaded is not None:
+        params = loaded
     else:
         params = spec.init_params(cfg, jax.random.PRNGKey(args.seed),
                                   jnp.dtype(args.param_dtype))

@@ -224,3 +224,70 @@ def test_qwen2_label_special_token_classification(tmp_path):
     metrics = _read_metrics(out)
     losses = [m["loss"] for m in metrics]
     assert len(losses) == 8 and losses[-1] < losses[0], losses
+
+
+def _export_ckpt(arch, tmp_path, data=None):
+    import jax
+    import jax.numpy as jnp
+
+    from mantis_tpu.io.hf_export import save_checkpoint
+    from mantis_tpu.train.archs import get_arch
+    from mantis_tpu.utils.debug_tokenizer import (
+        build_tokenizer_from_json_data)
+
+    tok = build_tokenizer_from_json_data([data or CHAT])
+    spec = get_arch(arch)
+    cfg = spec.debug_config(tok)
+    params = spec.init_params(cfg, jax.random.PRNGKey(1), jnp.float32)
+    d = str(tmp_path / f"{arch}_ckpt")
+    save_checkpoint(arch, params, cfg, d)
+    tok.save_pretrained(d)
+    return d
+
+
+def test_finetune_from_hf_checkpoint(tmp_path):
+    """--model_path fine-tunes from an HF checkpoint (the reference's
+    from_pretrained flow) through the generic trainer."""
+    from mantis_tpu.train.train import main
+
+    ck = _export_ckpt("idefics3", tmp_path)
+    out = str(tmp_path / "out")
+    main(["--arch", "idefics3", "--model_path", ck,
+          "--data_path", CHAT, "--output_dir", out,
+          "--max_steps", "4", "--batch_size", "2",
+          "--learning_rate", "3e-3", "--lr_schedule", "constant",
+          "--compute_dtype", "float32", "--max_seq_len", "1024",
+          "--no_remat", "--save_steps", "4", "--mesh_data", "2"])
+    losses = [m["loss"] for m in _read_metrics(out)]
+    assert len(losses) == 4
+    assert losses[-1] < losses[0], losses
+
+
+def test_wrong_arch_checkpoint_rejected(tmp_path):
+    from mantis_tpu.train.train import main
+
+    ck = _export_ckpt("idefics3", tmp_path)
+    with pytest.raises(SystemExit, match="idefics3"):
+        main(["--arch", "qwen2_vl", "--model_path", ck,
+              "--data_path", CHAT,
+              "--output_dir", str(tmp_path / "o"), "--max_steps", "1"])
+
+
+def test_classification_from_hf_checkpoint(tmp_path):
+    """Checkpoint backbone + FRESH classification head (the reference's
+    from_pretrained + num_labels flow, train_qwen2_vl.py)."""
+    from mantis_tpu.train.train import main
+
+    data = _write_cls_data(tmp_path)
+    ck = _export_ckpt("qwen2_vl", tmp_path, data=data)
+    out = str(tmp_path / "out_cls")
+    main(["--arch", "qwen2_vl", "--model_path", ck,
+          "--data_path", data, "--output_dir", out,
+          "--problem_type", "multi_label_classification",
+          "--max_steps", "4", "--batch_size", "2",
+          "--learning_rate", "3e-3", "--lr_schedule", "constant",
+          "--compute_dtype", "float32", "--max_seq_len", "512",
+          "--no_remat", "--save_steps", "4", "--mesh_data", "2"])
+    losses = [m["loss"] for m in _read_metrics(out)]
+    assert len(losses) == 4
+    assert all(l == l for l in losses)
