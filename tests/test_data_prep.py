@@ -256,6 +256,31 @@ def test_single_image_vqa():
     assert exs[1]["conversations"][1]["value"] == "B"
 
 
+def test_docmatrix_standalone(tmp_path):
+    from mantis_tpu.data_prep.prepare_docmatrix import convert
+
+    row = {"images": [{"bytes": b"\x89PNG-fake", "format": "png"}],
+           "texts": [{"user": "What does the doc say?",
+                      "assistant": "Rent is due."},
+                     {"user": "When?", "assistant": "Friday."}]}
+    rows = {"images": [row, row],
+            "zero-shot-exp": [{"images": ["pre/extracted.jpg"],
+                               "texts": [{"user": "Title?",
+                                          "assistant": "Annual report."}]}]}
+    exs = _check(convert(rows, sample_size=1, save_dir=str(tmp_path)),
+                 min_n=2)
+    # per-subset sampling: 1 from each subset despite 2 'images' rows;
+    # ids are subset-prefixed with a global running index
+    assert [e["id"] for e in exs] == ["images_0", "zero-shot-exp_1"]
+    assert len(exs[0]["conversations"]) == 4
+    assert exs[0]["conversations"][0]["value"].startswith("<image>")
+    # byte payloads extracted to images/<index>_<i>.<ext>
+    assert exs[0]["images"] == ["images/0_0.png"]
+    assert (tmp_path / "images" / "0_0.png").read_bytes() == b"\x89PNG-fake"
+    # pre-extracted path rows pass through untouched
+    assert exs[1]["images"] == ["pre/extracted.jpg"]
+
+
 def test_cauldron_docmatrix():
     from mantis_tpu.data_prep.prepare_cauldron import convert
 
