@@ -207,6 +207,36 @@ class Idefics2Chat(GenericChat):
             kv_cache=kv_cache)
 
 
+class Idefics2DeltaChat(Idefics2Chat):
+    """idefics2_delta: optical-flow delta images inserted between
+    consecutive media before the standard idefics2 protocol (reference:
+    models/idefics2_delta/modeling_idefics2.py:1213-1234 DeltaFlowModel
+    — flow between consecutive pixel_values; computed host-side here,
+    see mantis_tpu/models/idefics2_delta/deltas.py)."""
+
+    arch = "idefics2_delta"
+
+    def build_prompt(self, messages):
+        from mantis_tpu.models.idefics2_delta import delta_frames
+
+        messages = expand_video_messages(messages,
+                                         self.video_num_frames)
+        out, prev = [], None
+        for m in messages:
+            if m.get("type") == "image":
+                im = m["content"]
+                if isinstance(im, str):
+                    im = Image.open(im).convert("RGB")
+                if prev is not None:
+                    out.append({"type": "image",
+                                "content": delta_frames([prev, im])[0]})
+                out.append({"type": "image", "content": im})
+                prev = im
+            else:
+                out.append(m)
+        return super().build_prompt(out)
+
+
 class Idefics3Chat(Idefics2Chat):
     arch = "idefics3"
     conv_template = "idefics_3"
@@ -462,7 +492,8 @@ class MLlavaNextChat(GenericChat):
 
 
 ARCH_CHAT_CLASSES = {
-    c.arch: c for c in (Idefics2Chat, Idefics3Chat, InternVLChat,
-                        MFuyuChat, Qwen2VLChat, OpenFlamingoChat,
-                        VideoLlavaChat, MLlavaNextChat)
+    c.arch: c for c in (Idefics2Chat, Idefics2DeltaChat, Idefics3Chat,
+                        InternVLChat, MFuyuChat, Qwen2VLChat,
+                        OpenFlamingoChat, VideoLlavaChat,
+                        MLlavaNextChat)
 }

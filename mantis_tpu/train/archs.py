@@ -56,6 +56,9 @@ class ArchSpec:
     init_cls_params: Optional[Callable[[Any, Any, Any], Any]] = None
     # (params, cfg, batch, tcfg, problem_type=...) -> scalar loss
     compute_cls_loss: Optional[Callable] = None
+    # host-side media pipeline hook applied per example (idefics2_delta:
+    # flow-delta images interleaved between consecutive frames)
+    media_transform: Optional[Callable] = None
 
 
 ARCHS: Dict[str, ArchSpec] = {}
@@ -291,6 +294,36 @@ register(ArchSpec(
     lora_exclude=("vision_tower", "connector", "perceiver"),
     init_cls_params=_idefics2_cls_init,
     compute_cls_loss=_idefics2_cls_loss))
+
+
+def _idefics2_delta_media_transform(images):
+    """Optical-flow delta images interleaved between consecutive
+    frames/images (reference: models/idefics2_delta/modeling_idefics2.py
+    :1213-1234 DeltaFlowModel computes flow between consecutive
+    pixel_values; its NeuFlow import at :1211 is a dead path — see
+    mantis_tpu/models/idefics2_delta/deltas.py for the runnable
+    Farneback stand-in)."""
+    from mantis_tpu.models.idefics2_delta import (
+        interleave_frames_and_deltas)
+
+    return interleave_frames_and_deltas(images)
+
+
+register(ArchSpec(
+    # the delta variant IS the idefics2 stack (reference:
+    # modeling_idefics2.py:1240-1256 Idefics2DeltaModel builds the same
+    # vision/connector/text towers; DeltaFlowModel is constructed and
+    # never invoked in forward — the delta images enter as extra media);
+    # here the flow images are computed host-side per example and ride
+    # the standard pipeline as ordinary images.
+    name="idefics2_delta", conv_template="idefics_2",
+    debug_config=_idefics2_debug_config, init_params=_idefics2_init,
+    make_processor=_idefics2_processor, compute_loss=_idefics2_loss,
+    trainable_pred=_freeze_vision, make_collator=_idefics2_collator,
+    lora_exclude=("vision_tower", "connector", "perceiver"),
+    init_cls_params=_idefics2_cls_init,
+    compute_cls_loss=_idefics2_cls_loss,
+    media_transform=_idefics2_delta_media_transform))
 
 
 def _idefics3_debug_config(tokenizer):

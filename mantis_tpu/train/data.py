@@ -216,6 +216,22 @@ def _load_json_data(path: str) -> List[Dict]:
         return json.load(f)
 
 
+def _double_image_tokens_after_first(texts: List[str]) -> List[str]:
+    """Every <image> occurrence except the first (reading order across
+    the message list) becomes two tokens — matches a media_transform
+    that inserts one derived image BEFORE each subsequent original."""
+    seen = 0
+    out = []
+    for t in texts:
+        parts = t.split(DEFAULT_IMAGE_TOKEN)
+        new = parts[0]
+        for p in parts[1:]:
+            seen += 1
+            new += DEFAULT_IMAGE_TOKEN * (1 if seen == 1 else 2) + p
+        out.append(new)
+    return out
+
+
 class ChatDataset:
     """Interleaved multi-image conversation dataset
     (reference: data.py:94-505)."""
@@ -237,6 +253,7 @@ class ChatDataset:
         shuffle: bool = False,
         seed: int = 42,
         revision: Optional[str] = None,
+        media_transform=None,
     ):
         self.data_path = data_path
         self.name = name
@@ -244,6 +261,13 @@ class ChatDataset:
         self.processor = processor
         self.conv = conv.copy()
         self.max_seq_len = max_seq_len
+        # media_transform (idefics2_delta): [m0, m1, ...] ->
+        # [m0, d01, m1, d12, m2, ...] with a derived image inserted
+        # BEFORE each subsequent original; every <image> token after the
+        # first is expanded to two so text stays aligned with media
+        # (reference: models/idefics2_delta/modeling_idefics2.py:1213-
+        # 1234 DeltaFlowModel — flow images between consecutive frames).
+        self.media_transform = media_transform
         self.image_dir = image_dir or (
             os.path.dirname(data_path) if os.path.exists(data_path) else None)
         self.max_image_size = max_image_size
@@ -332,6 +356,9 @@ class ChatDataset:
             if n_tok < len(sub_images):
                 text = f"{DEFAULT_IMAGE_TOKEN} " * (
                     len(sub_images) - n_tok) + text
+            if self.media_transform is not None and len(sub_images) >= 2:
+                sub_images = self.media_transform(sub_images)
+                text = _double_image_tokens_after_first([text])[0]
             conv_str = text + self.conv.sep
             enc = self.processor(
                 conv_str, sub_images or None, truncation=True,
@@ -343,6 +370,12 @@ class ChatDataset:
             if sub_images and n_tok < len(sub_images):
                 conv_messages[0][1] = DEFAULT_IMAGE_TOKEN * (
                     len(sub_images) - n_tok) + conv_messages[0][1]
+            if self.media_transform is not None and len(sub_images) >= 2:
+                sub_images = self.media_transform(sub_images)
+                texts = _double_image_tokens_after_first(
+                    [m[1] for m in conv_messages])
+                conv_messages = [[m[0], t]
+                                 for m, t in zip(conv_messages, texts)]
             conv = self.conv.copy()  # render on a local copy: thread-safe
             conv.messages = conv_messages
             conv_str = conv.get_prompt()

@@ -264,7 +264,8 @@ def build_model_and_data(args, spec):
     else:
         data_lib.set_default_image_token_id(processor.image_token_index)
         datasets = [data_lib.ChatDataset(
-            p, processor, conv, max_seq_len=args.max_seq_len)
+            p, processor, conv, max_seq_len=args.max_seq_len,
+            media_transform=spec.media_transform)
             for p in paths]
     ds = (datasets[0] if len(datasets) == 1
           else data_lib.DatasetCollection(datasets))

@@ -13,9 +13,9 @@ CHAT = os.path.join(REPO, "examples", "data", "chat", "train.json")
 SV = os.path.join(REPO, "examples", "data", "siglip_video",
                   "train.json")
 
-ARCHS = ["mllava", "idefics2", "idefics3", "internvl", "qwen2_vl",
-         "mfuyu", "openflamingo", "siglip_video", "videollava",
-         "qwen2_vl_vae", "mllava_next"]
+ARCHS = ["mllava", "idefics2", "idefics2_delta", "idefics3", "internvl",
+         "qwen2_vl", "mfuyu", "openflamingo", "siglip_video",
+         "videollava", "qwen2_vl_vae", "mllava_next"]
 
 
 def _read_metrics(out_dir):
