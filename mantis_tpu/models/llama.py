@@ -86,14 +86,30 @@ def _quantize_kv(x):
 
 def write_kv(cache_l, scale_l, x, offset):
     """Write new k or v rows [B, S, Hk, Dh] into one layer's cache
-    (quantizing when the cache is int8); returns (cache_l, scale_l)."""
+    (quantizing when the cache is int8); returns (cache_l, scale_l).
+
+    offset: scalar (all rows share one write position) or [B] — each
+    batch row writes at its own position (continuous-batching decode,
+    serving/engine.py: every slot has an independent sequence length).
+    """
+    per_row = getattr(offset, "ndim", 0) == 1
+    if per_row:
+        def upd(c, xi, o):
+            return jax.lax.dynamic_update_slice(
+                c, xi, (o,) + (0,) * (c.ndim - 1))
+        row_dus = jax.vmap(upd)
     if cache_l.dtype == jnp.int8:
         q, s = _quantize_kv(x)
+        if per_row:
+            return row_dus(cache_l, q, offset), \
+                row_dus(scale_l, s, offset)
         cache_l = jax.lax.dynamic_update_slice(
             cache_l, q, (0, offset, 0, 0))
         scale_l = jax.lax.dynamic_update_slice(
             scale_l, s, (0, offset, 0))
         return cache_l, scale_l
+    if per_row:
+        return row_dus(cache_l, x.astype(cache_l.dtype), offset), scale_l
     return jax.lax.dynamic_update_slice(
         cache_l, x.astype(cache_l.dtype), (0, offset, 0, 0)), scale_l
 
@@ -203,8 +219,9 @@ def _decode_attention(q, k_cache, v_cache, kv_seg, q_seg, length, scale,
     """Single/few-token attention against the KV cache.
 
     q: [B, Sq, Hq, Dh]; k_cache/v_cache: [B, M, Hk, Dh]; kv_seg: [B, M];
-    q_seg: [B, Sq]; length: scalar — valid cache prefix (q positions are
-    already written into the cache at [length - Sq, length)).
+    q_seg: [B, Sq]; length: scalar or [B] — valid cache prefix per row
+    (q positions are already written at [length - Sq, length)); the [B]
+    form is the continuous-batching decode path (serving/engine.py).
     k_scale/v_scale [B, M, Hk]: per-(token, head) scales of an int8
     cache; k's multiply the logits, v's fold into the probs — the
     int8->compute-dtype convert stays a fusable dot operand.
@@ -220,13 +237,16 @@ def _decode_attention(q, k_cache, v_cache, kv_seg, q_seg, length, scale,
     if k_scale is not None:
         logits = logits * k_scale.transpose(0, 2, 1)[:, :, None, None, :]
     pos = jnp.arange(m)
-    q_pos = length - sq + jnp.arange(sq)
-    causal = pos[None, None, :] <= q_pos[None, :, None]       # [1, Sq, M]
+    if getattr(length, "ndim", 0) == 1:
+        q_pos = length[:, None] - sq + jnp.arange(sq)[None, :]  # [B, Sq]
+    else:
+        q_pos = (length - sq + jnp.arange(sq))[None, :]         # [1, Sq]
+    causal = pos[None, None, :] <= q_pos[:, :, None]       # [B|1, Sq, M]
     seg_ok = kv_seg[:, None, :] == q_seg[:, :, None]          # [B, Sq, M]
     mask = causal & seg_ok
     if window is not None:
         # Mistral SWA over the cache: only the last `window` positions
-        mask = mask & (q_pos[None, :, None] - pos[None, None, :]
+        mask = mask & (q_pos[:, :, None] - pos[None, None, :]
                        < window)
     logits = jnp.where(mask[:, None, None, :, :], logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
@@ -299,8 +319,16 @@ def forward(
     offset = kv_cache.length if kv_cache is not None else None
     kv_seg_full = None
     if kv_cache is not None:
-        kv_seg_full = jax.lax.dynamic_update_slice(
-            kv_cache.seg, segment_ids, (0, offset))
+        if getattr(offset, "ndim", 0) == 1:
+            # per-row lengths (continuous batching): each row's seg
+            # chunk lands at its own offset
+            kv_seg_full = jax.vmap(
+                lambda row, seg_row, o:
+                jax.lax.dynamic_update_slice(row, seg_row, (o,)))(
+                kv_cache.seg, segment_ids, offset)
+        else:
+            kv_seg_full = jax.lax.dynamic_update_slice(
+                kv_cache.seg, segment_ids, (0, offset))
 
     quant_cache = kv_cache is not None and kv_cache.k.dtype == jnp.int8
 

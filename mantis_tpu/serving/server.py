@@ -125,15 +125,23 @@ class ChatAPIServer:
             allow_local_files=self.allow_local_files)
         max_tokens = body.get("max_tokens") or body.get(
             "max_completion_tokens")
-        with self._lock:
-            saved = getattr(self.adapter, "max_new_tokens", None)
-            if max_tokens and saved is not None:
-                self.adapter.max_new_tokens = int(max_tokens)
-            try:
-                text = self.adapter(msgs)
-            finally:
+        if getattr(self.adapter, "concurrent_safe", False):
+            # continuous-batching engine (serving/engine.py): handler
+            # threads submit concurrently, the engine batches their
+            # decodes on one shared KV cache — no serialization lock
+            text = self.adapter(
+                msgs, max_new_tokens=int(max_tokens)
+                if max_tokens else None)
+        else:
+            with self._lock:
+                saved = getattr(self.adapter, "max_new_tokens", None)
                 if max_tokens and saved is not None:
-                    self.adapter.max_new_tokens = saved
+                    self.adapter.max_new_tokens = int(max_tokens)
+                try:
+                    text = self.adapter(msgs)
+                finally:
+                    if max_tokens and saved is not None:
+                        self.adapter.max_new_tokens = saved
         return {
             "id": f"chatcmpl-{int(time.time() * 1000)}",
             "object": "chat.completion",
@@ -212,7 +220,21 @@ def main():
     p.add_argument("--allow_local_files", action="store_true",
                    help="let clients reference server-filesystem paths "
                         "in image_url/video_url (trusted networks only)")
+    p.add_argument("--continuous_batching", action="store_true",
+                   help="batch concurrent requests on one shared KV "
+                        "cache (serving/engine.py; greedy only, "
+                        "mantis-tpu adapter)")
+    p.add_argument("--max_slots", type=int, default=8,
+                   help="concurrent decode streams (batch 8-16 is the "
+                        "measured capacity edge, docs/PERF.md)")
+    p.add_argument("--slot_ctx", type=int, default=2048,
+                   help="per-stream context (prompt + generation)")
+    p.add_argument("--chunk_tokens", type=int, default=8,
+                   help="decode steps fused per engine iteration")
     args = p.parse_args()
+    if args.continuous_batching and args.speculative:
+        raise SystemExit("--continuous_batching and --speculative are "
+                         "mutually exclusive decode schedulers")
 
     from mantis_tpu.benchmark.adapters import MLLM_Models
 
@@ -243,6 +265,19 @@ def main():
                 f"--speculative: adapter {type(adapter).__name__} "
                 f"has no speculative decode path")
         spec_target.speculative = args.speculative
+    if args.continuous_batching:
+        from mantis_tpu.serving.engine import EngineAdapter
+
+        inner = getattr(adapter, "model", None)
+        if inner is None or not hasattr(inner, "pick_conversation"):
+            raise SystemExit(
+                f"--continuous_batching: adapter "
+                f"{type(adapter).__name__} exposes no MantisLlava-style "
+                f"model (supported: mantis-tpu)")
+        adapter = EngineAdapter(
+            inner, max_new_tokens=args.max_new_tokens,
+            max_slots=args.max_slots, slot_ctx=args.slot_ctx,
+            chunk_tokens=args.chunk_tokens)
     srv = make_server(adapter, args.host, args.port,
                       model_id=args.model,
                       allow_local_files=args.allow_local_files)

@@ -1,0 +1,239 @@
+"""Continuous-batching engine (serving/engine.py): per-row cache
+math, token identity vs batch-1 greedy, admit/retire scheduling, and
+the lock-free HTTP path."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mantis_tpu.models import llama
+from mantis_tpu.models.configs import LlamaConfig
+from mantis_tpu.models.llama import KVCache
+
+
+def _tiny_lm_cfg(vocab=64):
+    return LlamaConfig(
+        vocab_size=vocab, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, rope_theta=10000.0)
+
+
+@pytest.mark.parametrize("cache_dtype", [jnp.float32, jnp.int8])
+def test_per_row_lengths_match_batch1_decode(cache_dtype):
+    """Decoding a 2-slot cache whose rows sit at DIFFERENT lengths must
+    emit exactly what each row emits alone in a batch-1 cache."""
+    cfg = _tiny_lm_cfg()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    prompts = [rng.randint(2, 60, size=n).tolist() for n in (7, 13)]
+
+    def prefill_b1(ids, max_len):
+        cache = KVCache.create(cfg, 1, max_len, dtype=cache_dtype)
+        x = jnp.asarray([ids])
+        logits, cache = llama.forward(
+            params, cfg, input_ids=x,
+            positions=jnp.arange(len(ids))[None, :],
+            segment_ids=jnp.ones((1, len(ids)), jnp.int32),
+            kv_cache=cache)
+        return int(jnp.argmax(logits[0, -1])), cache
+
+    def decode_b1(tok, cache, n):
+        out = []
+        for _ in range(n):
+            logits, cache = llama.forward(
+                params, cfg, input_ids=jnp.asarray([[tok]]),
+                positions=jnp.asarray(cache.length).reshape(1, 1),
+                segment_ids=jnp.ones((1, 1), jnp.int32), kv_cache=cache)
+            tok = int(jnp.argmax(logits[0, -1]))
+            out.append(tok)
+        return out
+
+    M = 32
+    refs, b1 = [], []
+    for ids in prompts:
+        t0, c = prefill_b1(ids, M)
+        b1.append((t0, c))
+        refs.append([t0] + decode_b1(t0, c, 5))
+
+    # assemble the 2-slot batched cache from the two batch-1 caches
+    big = KVCache.create(cfg, 2, M, dtype=cache_dtype)
+    k = jnp.concatenate([c.k for _, c in b1], axis=1)
+    v = jnp.concatenate([c.v for _, c in b1], axis=1)
+    seg = jnp.concatenate([c.seg for _, c in b1], axis=0)
+    kw = {}
+    if cache_dtype == jnp.int8:
+        kw = dict(
+            k_scale=jnp.concatenate([c.k_scale for _, c in b1], axis=1),
+            v_scale=jnp.concatenate([c.v_scale for _, c in b1], axis=1))
+    big = KVCache(k=k, v=v, seg=seg,
+                  length=jnp.asarray([len(p) for p in prompts],
+                                     jnp.int32), **kw)
+
+    toks = jnp.asarray([b1[0][0], b1[1][0]], jnp.int32)
+    got = [[int(toks[0])], [int(toks[1])]]
+    for _ in range(5):
+        logits, big = llama.forward(
+            params, cfg, input_ids=toks[:, None],
+            positions=big.length[:, None],
+            segment_ids=jnp.ones((2, 1), jnp.int32), kv_cache=big)
+        toks = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        got[0].append(int(toks[0]))
+        got[1].append(int(toks[1]))
+    assert got == refs
+
+
+def _tiny_mantis(cache_dtype=jnp.float32):
+    from mantis_tpu.models.configs import LlavaConfig, VisionConfig
+    from mantis_tpu.models.mllava import model as mllava_model
+    from mantis_tpu.models.mllava.chat import MantisLlava
+    from mantis_tpu.models.mllava.processor import (
+        ImageProcessorConfig, MantisImageProcessor, MLlavaProcessor)
+    from mantis_tpu.utils.debug_tokenizer import build_tokenizer_from_texts
+
+    tok = build_tokenizer_from_texts(
+        ["what is in this image tell me more about it the answer is "
+         "USER ASSISTANT hello there one two three four five"])
+    cfg = LlavaConfig(
+        vision_config=VisionConfig(
+            tower_type="clip", hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=2, image_size=28,
+            patch_size=14),
+        text_config=LlamaConfig(
+            vocab_size=max(len(tok.get_vocab()) + 4, 64), hidden_size=32,
+            intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            rope_theta=10000.0),
+        image_token_index=tok.convert_tokens_to_ids("<image>"),
+    )
+    params = mllava_model.init_params(cfg, jax.random.PRNGKey(0))
+    ip = MantisImageProcessor(ImageProcessorConfig.for_tower("clip", 28))
+    proc = MLlavaProcessor(tok, ip, cfg.num_image_tokens)
+    return MantisLlava(cfg, params, proc, model_name="tiny-debug",
+                       cache_dtype=cache_dtype)
+
+
+def _img(seed=0):
+    from PIL import Image
+
+    return Image.fromarray(
+        np.random.RandomState(seed).randint(0, 255, (28, 28, 3),
+                                            np.uint8))
+
+
+PROMPTS = [
+    ("what is in this <image> ?", [0]),
+    ("tell me more about it", None),
+    ("hello there one two", None),
+    ("the answer is <image> and <image>", [1, 2]),
+    ("one two three four five", None),
+]
+
+
+def test_engine_token_identity_and_scheduling():
+    """5 concurrent requests through a 2-slot engine: every reply must
+    equal the serial adapter's batch-1 greedy output, and the engine
+    must recycle slots (5 requests > 2 slots)."""
+    from mantis_tpu.benchmark.adapters import MantisTPUAdapter
+    from mantis_tpu.serving.engine import EngineAdapter
+
+    model = _tiny_mantis()
+    serial = MantisTPUAdapter("", max_new_tokens=6, model=model)
+    eng = EngineAdapter(model, max_new_tokens=6, max_slots=2,
+                        slot_ctx=128, chunk_tokens=3,
+                        prefill_buckets=(32, 64))
+
+    def msgs(text, seeds):
+        out = []
+        for part in text.split("<image>"):
+            out.append({"type": "text", "content": part})
+            if seeds:
+                out.append({"type": "image",
+                            "content": _img(seeds.pop(0))})
+        return [m for m in out if m.get("content") != ""]
+
+    expected = [serial(msgs(t, list(s) if s else None))
+                for t, s in PROMPTS]
+
+    results = [None] * len(PROMPTS)
+    errs = []
+
+    def worker(i):
+        t, s = PROMPTS[i]
+        try:
+            results[i] = eng(msgs(t, list(s) if s else None))
+        except Exception as e:  # surfaced below
+            errs.append((i, e))
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(PROMPTS))]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errs, errs
+    assert results == expected
+    eng.engine.shutdown()
+
+
+def test_engine_rejects_oversized_prompt():
+    from mantis_tpu.serving.engine import ContinuousBatchingEngine
+
+    model = _tiny_mantis()
+    eng = ContinuousBatchingEngine(model, max_slots=2, slot_ctx=64,
+                                   prefill_buckets=(32,))
+    with pytest.raises(ValueError, match="slot_ctx"):
+        eng.submit_ids(list(range(60)), None, max_new=16)
+    with pytest.raises(ValueError, match="bucket"):
+        eng.submit_ids(list(range(40)), None, max_new=8)
+    eng.shutdown()
+
+
+def test_server_concurrent_requests_via_engine():
+    """The lock-free HTTP path: concurrent clients against the engine
+    adapter produce the same replies as the serial adapter."""
+    from mantis_tpu.benchmark.adapters import MantisTPUAdapter
+    from mantis_tpu.serving.engine import EngineAdapter
+    from mantis_tpu.serving.server import make_server
+
+    model = _tiny_mantis()
+    serial = MantisTPUAdapter("", max_new_tokens=5, model=model)
+    eng = EngineAdapter(model, max_new_tokens=5, max_slots=2,
+                        slot_ctx=128, chunk_tokens=4,
+                        prefill_buckets=(32, 64))
+    srv = make_server(eng, port=0, model_id="tiny-engine")
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    texts = ["hello there", "one two three", "tell me more about it",
+             "the answer is"]
+    expected = [serial([{"type": "text", "content": t}]) for t in texts]
+
+    results = [None] * len(texts)
+
+    def client(i):
+        req = urllib.request.Request(
+            url + "/v1/chat/completions",
+            data=json.dumps({
+                "messages": [{"role": "user", "content": texts[i]}],
+            }).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            results[i] = json.loads(
+                r.read())["choices"][0]["message"]["content"]
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(len(texts))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert results == expected
+    srv.shutdown()
+    eng.engine.shutdown()
