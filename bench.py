@@ -6,10 +6,14 @@ against the driver target "≥2x A100 images/sec encoded per chip"
 the reference's eval setting, modeling_llava.py:437-441).
 
 Extra metrics in the same JSON object:
-  - train_step_mfu: SFT train step at flagship LM widths (4096/14336,
-    GQA 32/8), reduced depth with the FLOP model scaled to the actual
-    config, bf16 compute, packed segments — the BASELINE ≥40% MFU
-    check.
+  - train_step_mfu: HONEST multi-image SFT step — pixel_values through
+    the frozen 27-layer SigLIP tower, flagship 128k vocab via chunked
+    CE, LM depth 8 at flagship widths (4096/14336, GQA 32/8), bf16 +
+    remat, packed segments; full-step time composed as measured
+    fwd+bwd + separately-measured (overlap-free, conservative) adamw
+    update cost — the BASELINE ≥40% MFU check.  See bench_train_mfu's
+    docstring and docs/PERF.md for the 16 GB memory arithmetic that
+    forces the composition.
   - decode_tok_s / prefill_ttft_ms: FULL-DEPTH (32-layer) flagship LM
     with int8 weight-only quantized matmuls (an 8B bf16 + KV cache does
     not fit one 16 GB v5e; int8 is the single-chip serving config) —
@@ -96,66 +100,156 @@ def bench_encode():
 
 
 def bench_train_mfu():
-    """Packed-segment SFT step, flagship widths at reduced depth."""
+    """HONEST multi-image SFT MFU (round-3 headline config):
+
+    - pixel_values through the FROZEN 27-layer SigLIP-so400m tower
+      (8 images across 2 packed rows of 8192 tokens, 3 conversations
+      per row, image positions label-masked),
+    - flagship vocab 128,258 via chunked CE (ops/chunked_ce.py),
+    - LM depth 8 at flagship widths (4096/14336, GQA 32/8), MFU
+      computed from the FLOPs of this exact config (frozen tower
+      counted forward-only; attention-score FLOPs omitted on both
+      sides -> conservative),
+    - remat "nothing" (the only policy fitting depth 8 on 16 GB).
+
+    2.82 B trainable params mean the Adam moments cannot co-reside with
+    params+activations on one 16 GB chip in any dtype (fp32 22.5 GB /
+    bf16 11.3 GB on top of 6.5 GB params), so the optimizer-update cost
+    is measured on its own (chained adamw updates on a 1 GB slab,
+    bandwidth-linear) and ADDED to the measured fwd+bwd step:
+    t_full = t_fwdbwd + per_param * 2.82e9.  This composition is
+    CONSERVATIVE: the directly-measured full-step-vs-fwdbwd delta at a
+    depth that fits (scripts/bench_mfu_honest.py full2/fb2) is ~6x
+    smaller than the slab prediction because XLA overlaps the update
+    with the backward.  docs/PERF.md has the full derivation.
+    """
+    import functools
+
+    import optax
+
     from mantis_tpu.models.configs import (
         LlamaConfig, LlavaConfig, VisionConfig)
     from mantis_tpu.models.mllava import model as mllava_model
     from mantis_tpu.train import trainer as T
-    from mantis_tpu.utils.metrics import estimate_train_flops
 
+    b, s, imgs_per_row, chunk, depth = 2, 8192, 4, 1024, 8
     cfg = LlavaConfig(
         vision_config=VisionConfig(
             tower_type="siglip", hidden_size=1152,
-            intermediate_size=4304, num_hidden_layers=2,
-            num_attention_heads=16, image_size=384, patch_size=14),
+            intermediate_size=4304, num_hidden_layers=27,
+            num_attention_heads=16, image_size=384, patch_size=14,
+            layer_norm_eps=1e-6),
         text_config=LlamaConfig(
-            vocab_size=32768, hidden_size=4096, intermediate_size=14336,
-            num_hidden_layers=2, num_attention_heads=32,
-            num_key_value_heads=8, rope_theta=500000.0),
-        image_token_index=32767,
+            vocab_size=128258, hidden_size=4096,
+            intermediate_size=14336, num_hidden_layers=depth,
+            num_attention_heads=32, num_key_value_heads=8,
+            rope_theta=500000.0),
+        image_token_index=128256,
     )
     params = mllava_model.init_params(cfg, jax.random.PRNGKey(0),
                                       dtype=jnp.bfloat16)
-    tcfg = T.TrainConfig(learning_rate=1e-5, lr_schedule="constant",
-                         max_steps=100, compute_dtype="bfloat16",
-                         use_remat="dots", freeze_vision=True)
     trainable, frozen = T.partition_params(
         params, lambda p: T.default_trainable_pred(p, freeze_vision=True))
-    opt, _ = T.make_optimizer(tcfg)
-    step_fn = T.make_train_step(mllava_model.forward, cfg, tcfg, opt,
-                                frozen)
-    state = T.create_train_state(trainable, opt)
 
-    b, s = 2, 8192
+    def loss_fn(trainable, frozen, batch):
+        full = T.combine_params(trainable, frozen)
+        _, loss, _ = mllava_model.forward(
+            full, cfg, input_ids=batch["input_ids"],
+            pixel_values=batch["pixel_values"],
+            positions=batch["positions"],
+            segment_ids=batch["segment_ids"], labels=batch["labels"],
+            use_remat="nothing", loss_chunk_size=chunk)
+        return loss
+
+    @jax.jit
+    def fb_jit(trainable, frozen, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(trainable, frozen,
+                                                  batch)
+        return loss, optax.global_norm(grads)
+
+    P = cfg.num_image_tokens
     rng = np.random.RandomState(0)
-    n_calls = 4
+    n_calls = 3
     batches = []
     for i in range(n_calls + 1):
-        ids = rng.randint(2, 32000, size=(b, s))
-        labels = ids.copy()
+        ids = rng.randint(2, 128000, size=(b, s))
         seg = np.ones((b, s), np.int32)
-        seg[:, s // 3: 2 * s // 3] = 2   # packed conversations
+        seg[:, s // 3: 2 * s // 3] = 2
         seg[:, 2 * s // 3:] = 3
         pos = np.concatenate([
             np.arange(s // 3), np.arange(s // 3),
             np.arange(s - 2 * (s // 3))])
+        for st in (8, 8 + P + 64, s // 3 + 8, 2 * (s // 3) + 8):
+            ids[:, st:st + P] = cfg.image_token_index
+        labels = ids.copy()
+        labels[ids == cfg.image_token_index] = -100
+        labels[:, :s // 6] = -100
         batches.append({
             "input_ids": jnp.asarray(ids),
             "labels": jnp.asarray(labels),
             "segment_ids": jnp.asarray(seg),
             "positions": jnp.asarray(
                 np.broadcast_to(pos, (b, s)).copy()),
+            "pixel_values": jnp.asarray(
+                rng.randn(b * imgs_per_row, 3, 384, 384), jnp.bfloat16),
         })
-    state, m = step_fn(state, batches[-1])  # compile
-    float(m["loss"])
+    l, g = fb_jit(trainable, frozen, batches[-1])   # compile + warm
+    float(l)
     t0 = time.perf_counter()
     for batch in batches[:n_calls]:
-        state, m = step_fn(state, batch)
-    float(m["loss"])  # sync
-    dt = (time.perf_counter() - t0) / n_calls
-    tok_s = b * s / dt
-    mfu = estimate_train_flops(cfg) * tok_s / PEAK_FLOPS
-    return mfu, tok_s
+        l, g = fb_jit(trainable, frozen, batch)
+        float(l)
+    t_fb = (time.perf_counter() - t0) / n_calls
+
+    # optimizer-update cost per param (chained in one jit to exclude
+    # the tunnel dispatch), scaled to the 2.82 B trainable params
+    K = 4
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-5))
+    shape = (250_000, 4096)  # 1.024 B params
+
+    @jax.jit
+    def slab_init(key):
+        p = jax.random.normal(key, shape, jnp.bfloat16) * 0.02
+        return p, tx.init(p), jax.random.normal(
+            jax.random.split(key)[0], shape, jnp.bfloat16) * 1e-3
+
+    sp, sst, sg = jax.block_until_ready(slab_init(jax.random.PRNGKey(1)))
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def updK(p, st, g):
+        def body(_, carry):
+            p, st = carry
+            u, st = tx.update(g, st, p)
+            return optax.apply_updates(p, u), st
+        return jax.lax.fori_loop(0, K, body, (p, st))
+
+    sp, sst = updK(sp, sst, sg)
+    float(sp[0, 0])
+    t0 = time.perf_counter()
+    sp, sst = updK(sp, sst, sg)
+    float(sp[0, 0])
+    per_param = (time.perf_counter() - t0) / K / (shape[0] * shape[1])
+
+    n_trainable = sum(
+        x.size for x in jax.tree.leaves(trainable) if x is not None)
+    t_full = t_fb + per_param * n_trainable
+
+    # FLOPs of the actual config (see scripts/bench_mfu_honest.py)
+    t, v = cfg.text_config, cfg.vision_config
+    d, li, V = t.hidden_size, t.intermediate_size, t.vocab_size
+    lm_layer = (2 * d * 4096 + 2 * d * 1024 + 6 * d * li) // 2
+    n_tok, n_img = b * s, b * imgs_per_row
+    lm = 6 * (depth * lm_layer + d * V) * n_tok
+    vit_layer = 4 * v.hidden_size ** 2 + 2 * v.hidden_size * \
+        v.intermediate_size
+    vision = 2 * n_img * P * (
+        (v.num_hidden_layers - 1) * vit_layer
+        + 3 * v.patch_size ** 2 * v.hidden_size)
+    proj = 6 * n_img * P * (v.hidden_size * d + d * d)
+    flops = lm + vision + proj
+    mfu = flops / t_full / PEAK_FLOPS
+    mfu_fb = flops / t_fb / PEAK_FLOPS
+    return mfu, b * s / t_full, mfu_fb
 
 
 def bench_decode():
@@ -317,8 +411,13 @@ def main():
         "encode_img_s_int8_w8a8": round(imgs_per_sec_int8, 2),
     }
     if mfu_res:
+        # composed full-step MFU on the HONEST multi-image config
+        # (images + 128k vocab + LM depth 8; conservative — see
+        # bench_train_mfu docstring); the fwd+bwd-only figure is the
+        # directly-measured component
         extras["train_step_mfu"] = round(mfu_res[0], 4)
         extras["train_tokens_per_sec"] = round(mfu_res[1], 1)
+        extras["train_step_mfu_fwdbwd_measured"] = round(mfu_res[2], 4)
     if dec_res:
         extras["prefill_ttft_ms_6016tok_fulldepth_int8"] = round(
             dec_res[0], 1)

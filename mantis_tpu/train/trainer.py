@@ -170,19 +170,18 @@ def make_train_step(
     """
     compute_dtype = jnp.dtype(train_cfg.compute_dtype)
 
-    def build_full_params(trainable):
+    def build_full_params(trainable, frozen):
         if train_cfg.lora is not None:
-            return apply_lora(base_params_for_lora, trainable,
-                              train_cfg.lora)
-        return combine_params(trainable, frozen_params)
+            return apply_lora(frozen, trainable, train_cfg.lora)
+        return combine_params(trainable, frozen)
 
     def cast(p):
         return jax.tree.map(
             lambda x: x.astype(compute_dtype)
             if jnp.issubdtype(x.dtype, jnp.floating) else x, p)
 
-    def loss_fn(trainable, batch):
-        params = cast(build_full_params(trainable))
+    def loss_fn(trainable, batch, frozen):
+        params = cast(build_full_params(trainable, frozen))
         if compute_loss is not None:
             kw = {}
             if context_attention is not None:
@@ -214,9 +213,10 @@ def make_train_step(
         )
         return loss
 
-    def train_step(state: TrainState, batch: Dict) -> Tuple[TrainState,
-                                                            Dict]:
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+    def train_step(state: TrainState, batch: Dict, frozen) -> Tuple[
+            TrainState, Dict]:
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch,
+                                                  frozen)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -227,7 +227,19 @@ def make_train_step(
         return TrainState(step=state.step + 1, params=params,
                           opt_state=opt_state), metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    # frozen/base params enter as a jit ARGUMENT, not a closure: closed-
+    # over arrays are baked into the HLO as literal constants, and a
+    # frozen so400m tower (0.86 GB) blows past the compile service's
+    # request-size limit (observed HTTP 413) besides bloating every
+    # program.  The public call signature stays (state, batch).
+    jitted = jax.jit(train_step, donate_argnums=(0,))
+    frozen_arg = (base_params_for_lora if train_cfg.lora is not None
+                  else frozen_params)
+
+    def step(state: TrainState, batch: Dict):
+        return jitted(state, batch, frozen_arg)
+
+    return step
 
 
 def create_train_state(trainable_params, optimizer) -> TrainState:

@@ -22,3 +22,38 @@ os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# ---------------------------------------------------------------------------
+# Fast/slow profile (VERDICT r2 #9): the full 270+-test net takes ~22 min
+# on this 1-core box, so `pytest -m "not slow"` keeps a <5-min default
+# regression profile.  Rather than hand-maintaining markers, tests are
+# auto-marked from the recorded per-test wall times in
+# tests/durations.json (regenerate with
+# `pytest tests/ --durations=0 | <extract> > tests/durations.json`);
+# anything above SLOW_THRESHOLD_S is marked slow.  Unrecorded (new)
+# tests default to fast until the next regeneration.  Explicit
+# @pytest.mark.slow still works for tests that are known-slow from
+# birth (multi-process drives, engine concurrency).
+# ---------------------------------------------------------------------------
+
+import json  # noqa: E402
+
+import pytest  # noqa: E402
+
+SLOW_THRESHOLD_S = 10.0
+
+_dur_path = os.path.join(os.path.dirname(__file__), "durations.json")
+try:
+    with open(_dur_path) as _f:
+        _DURATIONS = json.load(_f)
+except OSError:
+    _DURATIONS = {}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nodeid = item.nodeid.replace("\\", "/")
+        if not nodeid.startswith("tests/"):
+            nodeid = "tests/" + nodeid.split("tests/")[-1]
+        if _DURATIONS.get(nodeid, 0.0) > SLOW_THRESHOLD_S:
+            item.add_marker(pytest.mark.slow)

@@ -135,6 +135,7 @@ PROMPTS = [
 ]
 
 
+@pytest.mark.slow
 def test_engine_token_identity_and_scheduling():
     """5 concurrent requests through a 2-slot engine: every reply must
     equal the serial adapter's batch-1 greedy output, and the engine
@@ -194,6 +195,7 @@ def test_engine_rejects_oversized_prompt():
     eng.shutdown()
 
 
+@pytest.mark.slow
 def test_server_concurrent_requests_via_engine():
     """The lock-free HTTP path: concurrent clients against the engine
     adapter produce the same replies as the serial adapter."""
