@@ -47,6 +47,12 @@ def MLLM_Models(model_name: str):
         if arch in TORCH_BASELINES:
             bcls = TORCH_BASELINES[arch]
             return lambda: bcls(path)
+        from mantis_tpu.benchmark.adapters.vendored_baselines import (
+            VENDORED_BASELINES)
+
+        if arch in VENDORED_BASELINES:
+            vcls = VENDORED_BASELINES[arch]
+            return lambda: vcls(path)
     if model_name == "gpt4v" or model_name.startswith("gpt4v:"):
         # reference: mllm_tools/gpt4v_eval.py (egress-gated OpenAI API)
         from mantis_tpu.benchmark.adapters.torch_baselines import GPT4V
@@ -56,6 +62,15 @@ def MLLM_Models(model_name: str):
         return lambda: GPT4V(model_name=gpt_model)
     if model_name in _REGISTRY:
         return _REGISTRY[model_name]
+    from mantis_tpu.benchmark.adapters.vendored_baselines import (
+        VENDORED_BASELINES)
+
+    if model_name in VENDORED_BASELINES:
+        # bare reference names (cogvlm, minicpmv, ...) use each
+        # wrapper's default hub checkpoint, like the reference registry
+        return VENDORED_BASELINES[model_name]
+    if model_name == "qwenVL":  # reference spelling
+        return VENDORED_BASELINES["qwen-vl"]
     from mantis_tpu.benchmark.adapters.chat_models import (
         ARCH_CHAT_CLASSES)
 
