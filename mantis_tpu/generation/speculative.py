@@ -97,10 +97,16 @@ def speculative_generate(
     cache_dtype=jnp.bfloat16,
     n_draft: int = 5,
     ngram: int = 3,
+    draft_fn=None,
 ):
     """Greedy generation, token-identical to ``generate(do_sample=
     False)``, batch 1.  Returns (new_token_ids list, stats dict with
-    verify_calls / drafted / accepted)."""
+    verify_calls / drafted / accepted).
+
+    ``draft_fn(history) -> List[int]`` overrides the draft source
+    (default: prompt-lookup); e.g. a small draft model, or an oracle
+    in benchmarks.  Greedy verification keeps the output exact
+    regardless of what the draft proposes."""
     gen_cfg = gen_cfg or GenerationConfig(do_sample=False)
     assert not gen_cfg.do_sample, "speculative decoding is greedy-only"
     input_ids = np.asarray(input_ids)
@@ -121,14 +127,15 @@ def speculative_generate(
     context = [int(t) for t in input_ids[0]]
     out, stats, cache, _ = decode_from_cache(
         params, model_cfg, model_forward, cache, s, context,
-        int(tok0[0]), gen_cfg, n_draft=n_draft, ngram=ngram)
+        int(tok0[0]), gen_cfg, n_draft=n_draft, ngram=ngram,
+        draft_fn=draft_fn)
     return out, stats
 
 
 def decode_from_cache(
     params, model_cfg, model_forward, cache, length: int,
     context: List[int], tok0: int, gen_cfg: GenerationConfig,
-    n_draft: int = 5, ngram: int = 3,
+    n_draft: int = 5, ngram: int = 3, draft_fn=None,
 ):
     """The draft/verify loop, continuing from a live cache whose first
     `length` slots are written (`context` = those tokens, used for the
@@ -147,7 +154,9 @@ def decode_from_cache(
     stats = {"verify_calls": 0, "drafted": 0, "accepted": 0}
     while len(out) < max_new and out[-1] not in eos:
         history = context + out
-        draft = prompt_lookup_draft(history, n_draft, ngram)
+        draft = (draft_fn(history) if draft_fn is not None
+                 else prompt_lookup_draft(history, n_draft, ngram))
+        draft = list(draft)[:n_draft]
         stats["drafted"] += len(draft)
         chunk = [out[-1]] + draft + [pad_tok] * (n_draft - len(draft))
         greedy, cache = _verify_jit(

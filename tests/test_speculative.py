@@ -73,6 +73,45 @@ def test_speculative_matches_plain_greedy(repetitive):
     assert stats["verify_calls"] <= len(out)
 
 
+def test_injected_draft_fn_output_exact_and_capped():
+    """A custom draft_fn (oracle/adversarial) never changes the greedy
+    output; over-long drafts are capped at n_draft."""
+    cfg = tiny_cfg()
+    params = mllava_model.init_params(cfg, jax.random.PRNGKey(3))
+    rng = np.random.RandomState(1)
+    P = cfg.num_image_tokens
+    ids = np.concatenate(
+        [rng.randint(2, 90, (1, 9)), np.full((1, P), 95),
+         rng.randint(2, 90, (1, 3))], axis=1)
+    pix = rng.randn(1, 3, 28, 28).astype(np.float32)
+    gen_cfg = GenerationConfig(max_new_tokens=10, do_sample=False,
+                               eos_token_ids=(), pad_token_id=0)
+
+    ref, _ = speculative_generate(
+        params, cfg, mllava_model.forward, ids, pix, gen_cfg=gen_cfg,
+        cache_dtype=jnp.float32, n_draft=4)
+
+    def oracle(history):
+        done = len(history) - ids.shape[1]
+        return ref[done:done + 99]  # over-long on purpose
+
+    out, stats = speculative_generate(
+        params, cfg, mllava_model.forward, ids, pix, gen_cfg=gen_cfg,
+        cache_dtype=jnp.float32, n_draft=4, draft_fn=oracle)
+    assert out == ref
+    # oracle: accept-all, except the final call's tail past max_new
+    assert stats["accepted"] >= stats["drafted"] - 4
+    assert max(stats["drafted"] // stats["verify_calls"], 1) <= 4
+
+    def adversarial(history):
+        return [89, 88, 87, 86]
+
+    out2, _ = speculative_generate(
+        params, cfg, mllava_model.forward, ids, pix, gen_cfg=gen_cfg,
+        cache_dtype=jnp.float32, n_draft=4, draft_fn=adversarial)
+    assert out2 == ref
+
+
 def test_mantis_llava_speculative_chat_matches_plain():
     """model.speculative drives chat through speculative_generate with
     identical greedy replies (the user-facing wiring)."""
