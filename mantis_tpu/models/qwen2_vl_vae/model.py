@@ -21,6 +21,11 @@ class Qwen2VLVAEConfig:
     latent_patch_size: int = 2
     vae_base_channels: int = 64
     vae_channel_mults: tuple = (1, 2, 4, 4)
+    # "kl2d" = per-frame AutoencoderKL; "mochi3d" = causal-3D encoder
+    # (reference: AutoencoderKLMochi from config,
+    # modeling_qwen2_vl_vae.py:121-143) — see vae.py
+    vae_type: str = "kl2d"
+    vae_temporal_expansions: tuple = (1, 2, 3)
     spatial_merge_size: int = 2
     vision_hidden: int = 1280
     text_config: LlamaConfig = dataclasses.field(
@@ -58,8 +63,15 @@ def latent_grid_thw(h_lat: int, w_lat: int, cfg: Qwen2VLVAEConfig):
 
 
 def _vae_cfg(cfg: Qwen2VLVAEConfig):
-    from mantis_tpu.models.qwen2_vl_vae.vae import VAEEncoderConfig
+    from mantis_tpu.models.qwen2_vl_vae.vae import (
+        CausalVAE3DConfig, VAEEncoderConfig)
 
+    if cfg.vae_type == "mochi3d":
+        return CausalVAE3DConfig(
+            latent_channels=cfg.latent_channels,
+            base_channels=cfg.vae_base_channels,
+            channel_mults=cfg.vae_channel_mults,
+            temporal_expansions=cfg.vae_temporal_expansions)
     return VAEEncoderConfig(latent_channels=cfg.latent_channels,
                             base_channels=cfg.vae_base_channels,
                             channel_mults=cfg.vae_channel_mults)
@@ -89,7 +101,10 @@ def init_params(cfg: Qwen2VLVAEConfig, key, dtype=jnp.float32,
     if with_vae:
         from mantis_tpu.models.qwen2_vl_vae import vae as vae_lib
 
-        params["vae"] = vae_lib.init_vae_encoder(
+        init_fn = (vae_lib.init_vae_encoder_3d
+                   if cfg.vae_type == "mochi3d"
+                   else vae_lib.init_vae_encoder)
+        params["vae"] = init_fn(
             _vae_cfg(cfg), jax.random.fold_in(key, 7), dtype)
     return params
 
@@ -130,8 +145,17 @@ def forward(params, cfg: Qwen2VLVAEConfig, *, input_ids,
         from mantis_tpu.models.qwen2_vl_vae import vae as vae_lib
 
         assert "vae" in params, "init with init_params(..., with_vae=...)"
-        latents = vae_lib.encode(params["vae"], _vae_cfg(cfg),
-                                 pixel_values)
+        if cfg.vae_type == "mochi3d":
+            assert pixel_values.ndim == 5, \
+                "mochi3d consumes clips [N, T, C, H, W]"
+            lat5 = vae_lib.encode_3d(params["vae"], _vae_cfg(cfg),
+                                     pixel_values)
+            n, tl = lat5.shape[:2]
+            # latent frames become independent images for patchify
+            latents = lat5.reshape((n * tl,) + lat5.shape[2:])
+        else:
+            latents = vae_lib.encode(params["vae"], _vae_cfg(cfg),
+                                     pixel_values)
     if latents is not None and input_ids.shape[1] > 1:
         vis = encode_latents(params, cfg, latents)
         embeds = _merge_visual(embeds, input_ids, vis,

@@ -97,3 +97,83 @@ def test_qwen2_vl_vae_raw_pixels_through_vae_encoder():
     assert np.isfinite(float(loss))
     gleaves = jax.tree.leaves(grads["vae"])
     assert any(float(jnp.abs(g).max()) > 0 for g in gleaves)
+
+
+def test_causal_3d_vae_shapes_and_causality():
+    """Mochi-style causal-3D encoder (reference AutoencoderKLMochi,
+    modeling_qwen2_vl_vae.py:121-143): latent frame j depends only on
+    input frames <= j*ft."""
+    from mantis_tpu.models.qwen2_vl_vae.vae import (
+        CausalVAE3DConfig, encode_3d, init_vae_encoder_3d)
+
+    vcfg = CausalVAE3DConfig(
+        latent_channels=4, base_channels=8, channel_mults=(1, 2),
+        temporal_expansions=(2,), groups=4)
+    assert vcfg.temporal_factor == 2 and vcfg.downsample_factor == 2
+    params = init_vae_encoder_3d(vcfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    clip = rng.randn(1, 5, 3, 16, 16).astype(np.float32)
+
+    lat = encode_3d(params, vcfg, jnp.asarray(clip))
+    assert lat.shape == (1, 3, 4, 8, 8)  # T'=(5-1)//2+1, f=2
+
+    # perturb the LAST input frame: only the last latent frame moves
+    clip2 = clip.copy()
+    clip2[0, 4] += 1.0
+    lat2 = encode_3d(params, vcfg, jnp.asarray(clip2))
+    assert float(jnp.abs(lat2[:, :2] - lat[:, :2]).max()) == 0.0
+    assert float(jnp.abs(lat2[:, 2] - lat[:, 2]).max()) > 1e-5
+
+    # perturb frame 3 (odd, between latent frames): latents 0-1 see
+    # only frames <= 2, so again only the last latent frame moves
+    clip3 = clip.copy()
+    clip3[0, 3] += 1.0
+    lat3 = encode_3d(params, vcfg, jnp.asarray(clip3))
+    assert float(jnp.abs(lat3[:, :2] - lat[:, :2]).max()) == 0.0
+    assert float(jnp.abs(lat3[:, 2] - lat[:, 2]).max()) > 1e-5
+
+    # perturbing frame 0 reaches every latent frame (causal, not
+    # anti-causal)
+    clip4 = clip.copy()
+    clip4[0, 0] += 1.0
+    lat4 = encode_3d(params, vcfg, jnp.asarray(clip4))
+    for j in range(3):
+        assert float(jnp.abs(lat4[:, j] - lat[:, j]).max()) > 1e-6
+
+
+def test_qwen2_vl_vae_mochi3d_end_to_end():
+    """Raw clips through the causal-3D encoder -> latent patchify ->
+    LM: finite loss, grads flow into the 3-D VAE."""
+    from mantis_tpu.models.qwen2_vl_vae import model as M
+
+    cfg = M.Qwen2VLVAEConfig(
+        latent_channels=4, latent_patch_size=2, spatial_merge_size=2,
+        vision_hidden=32, vae_base_channels=8,
+        vae_channel_mults=(1, 2), vae_type="mochi3d",
+        vae_temporal_expansions=(2,),
+        text_config=type(M.Qwen2VLVAEConfig().text_config)(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, rope_theta=1e6,
+            mrope_section=None),
+        image_token_id=127)
+    params = M.init_params(cfg, jax.random.PRNGKey(0), with_vae=True)
+
+    rng = np.random.RandomState(1)
+    # T=3, ft=2 -> 2 latent frames; 32px/2/2 -> 8x8 patches -> /2
+    # merge -> 16 tokens per latent frame -> 32 image tokens
+    clip = jnp.asarray(rng.randn(1, 3, 3, 32, 32), jnp.float32)
+    ids = rng.randint(2, 120, size=(1, 40))
+    ids[0, 2:34] = 127
+    labels = ids.copy()
+
+    def loss_fn(p):
+        _, loss, _ = M.forward(
+            p, cfg, input_ids=jnp.asarray(ids), pixel_values=clip,
+            labels=jnp.asarray(labels))
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    gleaves = jax.tree.leaves(grads["vae"])
+    assert any(float(jnp.abs(g).max()) > 0 for g in gleaves)
