@@ -175,7 +175,8 @@ class ContinuousBatchingEngine:
 
     def __init__(self, model, max_slots: int = 8, slot_ctx: int = 2048,
                  chunk_tokens: int = 8,
-                 prefill_buckets=(64, 128, 256, 512, 1024, 2048)):
+                 prefill_buckets=(64, 128, 256, 512, 1024, 2048),
+                 max_admits_per_chunk: int = 2):
         from mantis_tpu.models.mllava import model as mllava_model
 
         self.model = model
@@ -183,7 +184,19 @@ class ContinuousBatchingEngine:
         self.max_slots = max_slots
         self.slot_ctx = slot_ctx
         self.chunk_tokens = chunk_tokens
-        self.prefill_buckets = tuple(sorted(prefill_buckets))
+        # a bucket longer than slot_ctx could never be inserted
+        self.prefill_buckets = tuple(
+            b for b in sorted(prefill_buckets) if b <= slot_ctx)
+        assert self.prefill_buckets, \
+            f"no prefill bucket fits slot_ctx={slot_ctx}"
+        # head-of-line bound: live streams stall for at most this many
+        # batch-1 prefills between decode chunks (a burst of arrivals
+        # would otherwise freeze every co-resident decode while the
+        # whole queue prefills)
+        self.max_admits_per_chunk = max_admits_per_chunk
+        self.counters = {"prefills": 0, "decode_chunks": 0,
+                         "tokens_out": 0, "requests": 0,
+                         "chunk_slot_steps": 0}
         _, terminators = model.pick_conversation()
         self.eos_ids = jnp.asarray(
             list(terminators) or [model.processor.tokenizer.eos_token_id],
@@ -218,9 +231,27 @@ class ContinuousBatchingEngine:
                 f"prompt {len(ids)} exceeds the largest prefill bucket "
                 f"{max(self.prefill_buckets)}")
         req = _Request(list(ids), pixel_values, max_new)
+        self.counters["requests"] += 1
         self.pending.put(req)
         self._wake.set()
         return req
+
+    def stats(self) -> dict:
+        """Occupancy + throughput counters (served as /v1/metrics).
+
+        ``mean_live_per_chunk_step`` is the effective decode batch:
+        delivered decode tokens / decode steps executed (prefill first
+        tokens excluded) — 1.0 means the engine ran serial, max_slots
+        means every step advanced a full batch."""
+        occ = sum(s is not None for s in self.slots)
+        c = dict(self.counters)
+        steps = c.pop("chunk_slot_steps")
+        decode_toks = max(c["tokens_out"] - c["prefills"], 0)
+        return {**c, "occupancy": occ, "max_slots": self.max_slots,
+                "queue_depth": self.pending.qsize(),
+                "decode_steps": steps,
+                "mean_live_per_chunk_step":
+                    round(decode_toks / steps, 3) if steps else 0.0}
 
     def generate_sync(self, ids, pixel_values, max_new,
                       timeout: float = 600.0) -> List[int]:
@@ -261,6 +292,7 @@ class ContinuousBatchingEngine:
             req.error = e
             req.done.set()
             return
+        self.counters["prefills"] += 1
         self.cache = _insert_slot_jit(
             self.cache, scratch, jnp.asarray(slot_idx, jnp.int32),
             jnp.asarray(n, jnp.int32))
@@ -276,14 +308,19 @@ class ContinuousBatchingEngine:
             req.max_new - 1)
 
     def _admit(self):
+        admitted = 0
+        any_live = any(s is not None for s in self.slots)
         for i in range(self.max_slots):
             if self.slots[i] is not None:
                 continue
+            if any_live and admitted >= self.max_admits_per_chunk:
+                return          # live streams get a decode chunk first
             try:
                 req = self.pending.get_nowait()
             except queue.Empty:
                 return
             self._admit_one(req, i)
+            admitted += 1
 
     def _deliver(self, slot_idx: int, toks: List[int]):
         """Append generated tokens to the slot's request, retiring on
@@ -299,6 +336,7 @@ class ContinuousBatchingEngine:
                 return
             slot.req.tokens.append(t)
             slot.generated += 1
+            self.counters["tokens_out"] += 1
             if slot.generated >= slot.req.max_new:
                 self._retire(slot_idx)
                 return
@@ -326,6 +364,8 @@ class ContinuousBatchingEngine:
             out_np = np.asarray(out)           # one device sync / chunk
             live_np = np.asarray(live)
             self.live = live
+            self.counters["decode_chunks"] += 1
+            self.counters["chunk_slot_steps"] += self.chunk_tokens
             for i in range(self.max_slots):
                 if self.slots[i] is None:
                     continue

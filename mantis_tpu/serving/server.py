@@ -19,13 +19,16 @@ Protocol subset (stdlib only, no external server deps):
     -> {"choices": [{"message": {"role": "assistant", "content": ...},
                      "finish_reason": "stop"}]}
   - GET /v1/models -> the loaded model id.
+  - GET /v1/metrics -> engine occupancy/throughput counters
+      (continuous-batching mode; serial mode reports {"mode": "serial"}).
 
 Multi-turn chats are flattened turn-by-turn into the adapter's
 interleaved message list (the adapter renders its own conversation
 template); `video_url` is an extension the OpenAI schema lacks —
 frames-as-images archs sample uniformly, videollava feeds its video
-tower.  One request runs at a time (the chip executes one program);
-concurrent requests queue on a lock.
+tower.  Serial adapters run one request at a time behind a lock;
+`--continuous_batching` batches concurrent requests on one shared KV
+cache (serving/engine.py) with no lock.
 """
 import argparse
 import base64
@@ -161,6 +164,14 @@ class ChatAPIServer:
                 "data": [{"id": self.model_id, "object": "model",
                           "owned_by": "mantis-tpu"}]}
 
+    def handle_metrics(self) -> dict:
+        """Engine occupancy/throughput counters (continuous batching
+        only; serial adapters report just the mode)."""
+        engine = getattr(self.adapter, "engine", None)
+        if engine is None or not hasattr(engine, "stats"):
+            return {"mode": "serial"}
+        return {"mode": "continuous_batching", **engine.stats()}
+
 
 def make_server(adapter, host: str = "127.0.0.1", port: int = 8000,
                 model_id: str = "mantis-tpu",
@@ -183,6 +194,8 @@ def make_server(adapter, host: str = "127.0.0.1", port: int = 8000,
         def do_GET(self):
             if self.path.rstrip("/") == "/v1/models":
                 self._send(200, api.handle_models())
+            elif self.path.rstrip("/") == "/v1/metrics":
+                self._send(200, api.handle_metrics())
             else:
                 self._send(404, {"error": {"message": "not found"}})
 

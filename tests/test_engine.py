@@ -179,7 +179,50 @@ def test_engine_token_identity_and_scheduling():
         th.join(timeout=300)
     assert not errs, errs
     assert results == expected
+    s = eng.engine.stats()
+    assert s["requests"] == len(PROMPTS)
+    assert s["prefills"] == len(PROMPTS)
+    assert s["tokens_out"] > 0 and s["decode_steps"] > 0
     eng.engine.shutdown()
+
+
+def test_admission_bounded_per_chunk():
+    """With live streams co-resident, a burst of arrivals admits at
+    most max_admits_per_chunk prefills before the next decode chunk
+    (head-of-line bound); with no live streams it admits freely."""
+    from mantis_tpu.serving.engine import (
+        ContinuousBatchingEngine, _Request, _Slot)
+
+    model = _tiny_mantis()
+    eng = ContinuousBatchingEngine(model, max_slots=4, slot_ctx=64,
+                                   prefill_buckets=(32,),
+                                   max_admits_per_chunk=1)
+    # park the scheduler thread so _admit can be driven synchronously
+    eng._stop = True
+    eng._wake.set()
+    eng._thread.join(timeout=30)
+
+    admitted = []
+
+    def fake_admit_one(req, i):
+        admitted.append(i)
+        eng.slots[i] = _Slot(req)
+
+    eng._admit_one = fake_admit_one
+    for _ in range(3):
+        eng.pending.put(_Request([1, 2, 3], None, 4))
+
+    # one live stream -> at most 1 admission this round
+    eng.slots[0] = _Slot(_Request([1], None, 4))
+    eng._admit()
+    assert admitted == [1]
+    # still-live streams -> again only one more
+    eng._admit()
+    assert admitted == [1, 2]
+    # no live streams -> the rest admit freely
+    eng.slots = [None] * eng.max_slots
+    eng._admit()
+    assert admitted == [1, 2, 0]
 
 
 def test_engine_rejects_oversized_prompt():
@@ -237,5 +280,10 @@ def test_server_concurrent_requests_via_engine():
     for t in threads:
         t.join(timeout=300)
     assert results == expected
+    with urllib.request.urlopen(url + "/v1/metrics") as r:
+        m = json.loads(r.read())
+    assert m["mode"] == "continuous_batching"
+    assert m["requests"] == len(texts)
+    assert m["tokens_out"] > 0
     srv.shutdown()
     eng.engine.shutdown()
