@@ -24,9 +24,20 @@ demonstrably decodes 6-9x more aggregate tokens at batch 8-16
     tunnel adds ~35 ms/dispatch); admission latency is bounded by one
     chunk (~chunk_tokens * per-token step time).
 
-Greedy only: each slot's tokens are bit-identical to its batch-1
-greedy decode (asserted in tests/test_engine.py) because every row's
-attention/matmul math is independent of co-resident slots.
+Sampling: each request carries (temperature, top_p, seed).  Greedy
+slots are bit-identical to their batch-1 greedy decode (asserted in
+tests/test_engine.py) because every row's attention/matmul math is
+independent of co-resident slots — and because greedy rows take argmax
+even inside the sampling program.  Sampled slots are deterministic in
+(seed, prompt) alone: row k's token i always consumes the i-th split
+of its decode key, independent of chunk boundaries or co-residents.
+When no live slot samples, the engine dispatches a greedy-only program
+with no sampling ops (no vocab sort on the hot path).
+
+Streaming: a request submitted with ``stream=True`` gets a queue the
+scheduler pushes tokens into as each chunk retires; ``None`` is the
+end-of-stream sentinel (EngineAdapter.stream turns this into text
+deltas for the server's SSE path).
 
 The reference has no serving stack at all (its demo is an external HF
 Space, reference .gitmodules:1-3); the protocol surface this feeds is
@@ -53,15 +64,44 @@ from mantis_tpu.models.llama import KVCache
 # jitted device programs
 # ---------------------------------------------------------------------------
 
+def _sample_rows(keys, logits, temps, top_ps):
+    """Per-row temperature/top-p sampling; rows with temp<=0 take
+    argmax (bit-identical to the greedy path — sampling co-residents
+    cannot perturb a greedy stream).
+
+    keys [B, 2] uint32 (one PRNG key per row), logits [B, V] f32,
+    temps/top_ps [B].
+    """
+    greedy = jnp.argmax(logits, -1)
+    scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
+    # per-row nucleus: keep the smallest prefix of sorted probs whose
+    # cumulative mass reaches top_p (rows with top_p=1 keep everything)
+    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # clamp: with top_p=1.0 float error can leave cum[-1] < 1.0, which
+    # would index one past the vocab
+    cutoff_idx = jnp.minimum(
+        jnp.sum(cum < top_ps[:, None], axis=-1), logits.shape[-1] - 1)
+    cutoff = jnp.take_along_axis(
+        sorted_logits, cutoff_idx[:, None], axis=-1)
+    masked = jnp.where(scaled < cutoff, -jnp.inf, scaled)
+    sampled = jax.vmap(jax.random.categorical)(keys, masked)
+    return jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
+
+
 @functools.partial(
     jax.jit, static_argnames=("model_forward", "model_cfg", "cache_dtype",
-                              "bucket"))
-def _prefill_jit(params, ids, pixel_values, true_len, *, model_forward,
-                 model_cfg, cache_dtype, bucket):
+                              "bucket", "sampling"))
+def _prefill_jit(params, ids, pixel_values, true_len, temp, top_p, key,
+                 *, model_forward, model_cfg, cache_dtype, bucket,
+                 sampling=False):
     """Batch-1 prompt prefill into a fresh bucket-sized scratch cache.
 
-    ids [1, bucket] (padded), true_len scalar.  Returns (first greedy
-    token, scratch KVCache with per-position seg validity).
+    ids [1, bucket] (padded), true_len scalar.  Returns (first token —
+    greedy, or sampled when ``sampling``; the greedy program is
+    compiled without any sampling ops), scratch KVCache with
+    per-position seg validity).
     """
     seg = (jnp.arange(bucket)[None, :] < true_len).astype(jnp.int32)
     positions = jnp.arange(bucket)[None, :] * seg
@@ -72,7 +112,11 @@ def _prefill_jit(params, ids, pixel_values, true_len, *, model_forward,
         positions=positions, segment_ids=seg, kv_cache=cache)
     last = jnp.take_along_axis(
         logits, jnp.reshape(true_len - 1, (1, 1, 1)), axis=1)[:, 0]
-    tok0 = jnp.argmax(last.astype(jnp.float32), -1).astype(jnp.int32)
+    last = last.astype(jnp.float32)
+    if sampling:
+        tok0 = _sample_rows(key[None, :], last, temp[None], top_p[None])
+    else:
+        tok0 = jnp.argmax(last, -1).astype(jnp.int32)
     return tok0[0], cache
 
 
@@ -106,26 +150,30 @@ def _insert_slot_jit(big: KVCache, small: KVCache, slot, true_len):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model_forward", "model_cfg", "chunk", "pad_id"),
+    static_argnames=("model_forward", "model_cfg", "chunk", "pad_id",
+                     "sampling"),
     donate_argnames=("cache",))
 def _decode_chunk_jit(params, cache: KVCache, toks, live, remaining,
-                      eos_ids, *, model_forward, model_cfg, chunk,
-                      pad_id):
-    """``chunk`` fused greedy steps over every slot at once.
+                      eos_ids, temps, top_ps, keys, *, model_forward,
+                      model_cfg, chunk, pad_id, sampling=False):
+    """``chunk`` fused decode steps over every slot at once.
 
     toks [B]: each live slot's pending token (sampled but not yet
     KV-written).  Each step writes the pending tokens' KV at the
     per-row lengths, samples the next token for live rows, advances
     lengths for live rows only, and retires rows in-graph on EOS or
     exhausted budget.  Dead rows write seg=0 rows (masked, overwritten
-    by the slot's next occupant).  Returns (out [B, chunk], new toks,
-    live, remaining, cache).
+    by the slot's next occupant).  ``sampling`` statically selects the
+    per-row temperature/top-p program (temps/top_ps/keys [B]/[B]/[B,2];
+    greedy rows keep temp=0 and take argmax regardless of RNG, so the
+    greedy-only program never pays the vocab sort).  Returns
+    (out [B, chunk], new toks, live, remaining, keys, cache).
     """
     def is_eos(t):
         return jnp.any(t[:, None] == eos_ids[None, :], axis=-1)
 
     def step(carry, _):
-        cache, tok, live, remaining = carry
+        cache, tok, live, remaining, keys = carry
         seg = live.astype(jnp.int32)[:, None]
         logits, _, cache = model_forward(
             params, model_cfg, input_ids=tok[:, None],
@@ -135,16 +183,21 @@ def _decode_chunk_jit(params, cache: KVCache, toks, live, remaining,
         # actually wrote a valid (seg=1) position
         cache = dataclasses.replace(
             cache, length=cache.length - 1 + live.astype(jnp.int32))
-        nxt = jnp.argmax(logits[:, -1].astype(jnp.float32),
-                         -1).astype(jnp.int32)
+        last = logits[:, -1].astype(jnp.float32)
+        if sampling:
+            split = jax.vmap(jax.random.split)(keys)
+            keys, use = split[:, 0], split[:, 1]
+            nxt = _sample_rows(use, last, temps, top_ps)
+        else:
+            nxt = jnp.argmax(last, -1).astype(jnp.int32)
         nxt = jnp.where(live, nxt, pad_id)
         remaining = remaining - live.astype(jnp.int32)
         live = live & ~is_eos(nxt) & (remaining > 0)
-        return (cache, nxt, live, remaining), nxt
+        return (cache, nxt, live, remaining, keys), nxt
 
-    (cache, tok, live, remaining), out = jax.lax.scan(
-        step, (cache, toks, live, remaining), None, length=chunk)
-    return out.T, tok, live, remaining, cache
+    (cache, tok, live, remaining, keys), out = jax.lax.scan(
+        step, (cache, toks, live, remaining, keys), None, length=chunk)
+    return out.T, tok, live, remaining, keys, cache
 
 
 # ---------------------------------------------------------------------------
@@ -152,13 +205,26 @@ def _decode_chunk_jit(params, cache: KVCache, toks, live, remaining,
 # ---------------------------------------------------------------------------
 
 class _Request:
-    def __init__(self, ids: List[int], pixel_values, max_new: int):
+    def __init__(self, ids: List[int], pixel_values, max_new: int,
+                 temperature: float = 0.0, top_p: float = 1.0,
+                 seed: Optional[int] = None, stream: bool = False):
         self.ids = ids
         self.pixel_values = pixel_values
         self.max_new = max_new
+        self.temperature = float(temperature)
+        self.top_p = float(top_p)
+        self.seed = seed
         self.tokens: List[int] = []
         self.error: Optional[Exception] = None
         self.done = threading.Event()
+        # streaming consumers drain tokens as they are delivered;
+        # None is the end-of-stream sentinel
+        self.stream_q: Optional["queue.Queue"] = (
+            queue.Queue() if stream else None)
+
+    @property
+    def sampling(self) -> bool:
+        return self.temperature > 0.0
 
 
 class _Slot:
@@ -210,6 +276,12 @@ class ContinuousBatchingEngine:
         self.toks = jnp.full((max_slots,), self.pad_id, jnp.int32)
         self.live = jnp.zeros((max_slots,), bool)
         self.remaining = jnp.zeros((max_slots,), jnp.int32)
+        # per-slot sampling state; temp=0 rows are greedy inside the
+        # sampling program, so stale values in freed slots are inert
+        self.temps = jnp.zeros((max_slots,), jnp.float32)
+        self.top_ps = jnp.ones((max_slots,), jnp.float32)
+        self.keys = jnp.zeros((max_slots, 2), jnp.uint32)
+        self._auto_seed = 0
 
         self.slots: List[Optional[_Slot]] = [None] * max_slots
         self.pending: "queue.Queue[_Request]" = queue.Queue()
@@ -219,8 +291,10 @@ class ContinuousBatchingEngine:
         self._thread.start()
 
     # ------------------------------------------------------------------
-    def submit_ids(self, ids: List[int], pixel_values,
-                   max_new: int) -> _Request:
+    def submit_ids(self, ids: List[int], pixel_values, max_new: int,
+                   temperature: float = 0.0, top_p: float = 1.0,
+                   seed: Optional[int] = None,
+                   stream: bool = False) -> _Request:
         need = len(ids) + max_new + 1
         if need > self.slot_ctx:
             raise ValueError(
@@ -230,7 +304,11 @@ class ContinuousBatchingEngine:
             raise ValueError(
                 f"prompt {len(ids)} exceeds the largest prefill bucket "
                 f"{max(self.prefill_buckets)}")
-        req = _Request(list(ids), pixel_values, max_new)
+        if not 0.0 < top_p <= 1.0:
+            raise ValueError(f"top_p must be in (0, 1], got {top_p}")
+        req = _Request(list(ids), pixel_values, max_new,
+                       temperature=temperature, top_p=top_p, seed=seed,
+                       stream=stream)
         self.counters["requests"] += 1
         self.pending.put(req)
         self._wake.set()
@@ -254,13 +332,27 @@ class ContinuousBatchingEngine:
                     round(decode_toks / steps, 3) if steps else 0.0}
 
     def generate_sync(self, ids, pixel_values, max_new,
-                      timeout: float = 600.0) -> List[int]:
-        req = self.submit_ids(ids, pixel_values, max_new)
+                      timeout: float = 600.0, **sampling) -> List[int]:
+        req = self.submit_ids(ids, pixel_values, max_new, **sampling)
         if not req.done.wait(timeout):
             raise TimeoutError("engine request timed out")
         if req.error is not None:
             raise req.error
         return req.tokens
+
+    def generate_stream(self, ids, pixel_values, max_new,
+                        timeout: float = 600.0, **sampling):
+        """Yield token ids as the scheduler produces them; raises the
+        request's error (if any) after the stream drains."""
+        req = self.submit_ids(ids, pixel_values, max_new, stream=True,
+                              **sampling)
+        while True:
+            t = req.stream_q.get(timeout=timeout)
+            if t is None:
+                break
+            yield t
+        if req.error is not None:
+            raise req.error
 
     def shutdown(self):
         self._stop = True
@@ -282,15 +374,27 @@ class ContinuousBatchingEngine:
         pix = None
         if req.pixel_values is not None:
             pix = jnp.asarray(req.pixel_values)
+        if req.sampling:
+            seed = req.seed
+            if seed is None:
+                # distinct auto seeds so unseeded requests differ
+                self._auto_seed += 1
+                seed = self._auto_seed
+            kp, kd = jax.random.split(jax.random.PRNGKey(seed))
+        else:
+            kp = kd = jnp.zeros((2,), jnp.uint32)
         try:
             tok0, scratch = _prefill_jit(
                 model.params, jnp.asarray([padded]), pix,
                 jnp.asarray(n, jnp.int32),
+                jnp.asarray(req.temperature, jnp.float32),
+                jnp.asarray(req.top_p, jnp.float32), kp,
                 model_forward=self.forward, model_cfg=model.cfg,
-                cache_dtype=model.cache_dtype, bucket=bucket)
+                cache_dtype=model.cache_dtype, bucket=bucket,
+                sampling=req.sampling)
         except Exception as e:
             req.error = e
-            req.done.set()
+            self._finish(req)
             return
         self.counters["prefills"] += 1
         self.cache = _insert_slot_jit(
@@ -306,6 +410,9 @@ class ContinuousBatchingEngine:
         self.live = self.live.at[slot_idx].set(True)
         self.remaining = self.remaining.at[slot_idx].set(
             req.max_new - 1)
+        self.temps = self.temps.at[slot_idx].set(req.temperature)
+        self.top_ps = self.top_ps.at[slot_idx].set(req.top_p)
+        self.keys = self.keys.at[slot_idx].set(kd)
 
     def _admit(self):
         admitted = 0
@@ -337,15 +444,23 @@ class ContinuousBatchingEngine:
             slot.req.tokens.append(t)
             slot.generated += 1
             self.counters["tokens_out"] += 1
+            if slot.req.stream_q is not None:
+                slot.req.stream_q.put(t)
             if slot.generated >= slot.req.max_new:
                 self._retire(slot_idx)
                 return
+
+    @staticmethod
+    def _finish(req: _Request):
+        req.done.set()
+        if req.stream_q is not None:
+            req.stream_q.put(None)
 
     def _retire(self, slot_idx: int):
         slot = self.slots[slot_idx]
         self.slots[slot_idx] = None
         self.live = self.live.at[slot_idx].set(False)
-        slot.req.done.set()
+        self._finish(slot.req)
 
     def _loop(self):
         model = self.model
@@ -355,12 +470,17 @@ class ContinuousBatchingEngine:
                 self._wake.wait(timeout=0.5)
                 self._wake.clear()
                 continue
-            out, self.toks, live, self.remaining, self.cache = \
-                _decode_chunk_jit(
-                    model.params, self.cache, self.toks, self.live,
-                    self.remaining, self.eos_ids,
-                    model_forward=self.forward, model_cfg=model.cfg,
-                    chunk=self.chunk_tokens, pad_id=self.pad_id)
+            # static program select: greedy-only populations dispatch
+            # the program with no sampling ops at all
+            sampling = any(s is not None and s.req.sampling
+                           for s in self.slots)
+            (out, self.toks, live, self.remaining, self.keys,
+             self.cache) = _decode_chunk_jit(
+                model.params, self.cache, self.toks, self.live,
+                self.remaining, self.eos_ids, self.temps, self.top_ps,
+                self.keys, model_forward=self.forward,
+                model_cfg=model.cfg, chunk=self.chunk_tokens,
+                pad_id=self.pad_id, sampling=sampling)
             out_np = np.asarray(out)           # one device sync / chunk
             live_np = np.asarray(live)
             self.live = live
@@ -417,14 +537,37 @@ class EngineAdapter:
         conv.append_message(conv.roles[1], "")
         return conv.get_prompt(), images
 
-    def __call__(self, messages,
-                 max_new_tokens: Optional[int] = None) -> str:
+    def _encode(self, messages):
         prompt, images = self._render(messages)
         enc = self.model.processor(prompt, images or None,
                                    truncation=True, max_length=None)
         ids = [int(t) for t in np.asarray(enc["input_ids"][0])]
+        return ids, enc.get("pixel_values")
+
+    def __call__(self, messages, max_new_tokens: Optional[int] = None,
+                 **sampling) -> str:
+        ids, pix = self._encode(messages)
         toks = self.engine.generate_sync(
-            ids, enc.get("pixel_values"),
-            max_new_tokens or self.max_new_tokens)
+            ids, pix, max_new_tokens or self.max_new_tokens, **sampling)
         return self.model.processor.tokenizer.decode(
             toks, skip_special_tokens=True).strip()
+
+    def stream(self, messages, max_new_tokens: Optional[int] = None,
+               **sampling):
+        """Yield text deltas (SSE path).  Partial-codepoint decodes
+        (dangling byte-level BPE, rendered as U+FFFD) are held back
+        until the next token completes them, so the concatenated deltas
+        equal the non-streaming decode of the same tokens."""
+        ids, pix = self._encode(messages)
+        decode = self.model.processor.tokenizer.decode
+        toks, prev = [], ""
+        for t in self.engine.generate_stream(
+                ids, pix, max_new_tokens or self.max_new_tokens,
+                **sampling):
+            toks.append(t)
+            text = decode(toks, skip_special_tokens=True)
+            if text.endswith("�"):
+                continue
+            if len(text) > len(prev):
+                yield text[len(prev):]
+                prev = text

@@ -15,9 +15,15 @@ Protocol subset (stdlib only, no external server deps):
                    "data:image/png;base64,..." or, with
                    --allow_local_files, "file:///path" | "/path"}} |
                   {"type": "video_url", "video_url": {"url": ...}}]}],
-       "max_tokens": N}
+       "max_tokens": N, "temperature": T, "top_p": P, "seed": S,
+       "stream": false}
     -> {"choices": [{"message": {"role": "assistant", "content": ...},
                      "finish_reason": "stop"}]}
+    With "stream": true -> text/event-stream of chat.completion.chunk
+    events ending in `data: [DONE]` (token-level deltas on the engine
+    path, one whole-reply chunk on serial adapters).  temperature>0
+    (per-request nucleus sampling, deterministic in seed) requires
+    --continuous_batching; greedy requests stay bit-exact.
   - GET /v1/models -> the loaded model id.
   - GET /v1/metrics -> engine occupancy/throughput counters
       (continuous-batching mode; serial mode reports {"mode": "serial"}).
@@ -122,20 +128,39 @@ class ChatAPIServer:
         self._lock = threading.Lock()
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _sampling_kwargs(body: dict) -> dict:
+        """temperature/top_p/seed from the request body; absent
+        temperature means greedy (the engine's bit-exact default)."""
+        out = {}
+        if body.get("temperature") is not None:
+            out["temperature"] = float(body["temperature"])
+        if body.get("top_p") is not None:
+            out["top_p"] = float(body["top_p"])
+        if body.get("seed") is not None:
+            out["seed"] = int(body["seed"])
+        return out
+
     def handle_chat(self, body: dict) -> dict:
         msgs = messages_to_adapter(
             body.get("messages", []),
             allow_local_files=self.allow_local_files)
         max_tokens = body.get("max_tokens") or body.get(
             "max_completion_tokens")
+        sampling = self._sampling_kwargs(body)
         if getattr(self.adapter, "concurrent_safe", False):
             # continuous-batching engine (serving/engine.py): handler
             # threads submit concurrently, the engine batches their
             # decodes on one shared KV cache — no serialization lock
             text = self.adapter(
                 msgs, max_new_tokens=int(max_tokens)
-                if max_tokens else None)
+                if max_tokens else None, **sampling)
         else:
+            if sampling.get("temperature", 0.0) > 0.0:
+                raise ValueError(
+                    "temperature sampling requires the continuous-"
+                    "batching engine (--continuous_batching); the "
+                    "serial adapter decodes greedily")
             with self._lock:
                 saved = getattr(self.adapter, "max_new_tokens", None)
                 if max_tokens and saved is not None:
@@ -158,6 +183,45 @@ class ChatAPIServer:
             # usage omitted: the spec makes it optional, and null token
             # counts break typed clients (pydantic CompletionUsage)
         }
+
+    def handle_chat_stream(self, body: dict):
+        """Return an iterator of chat.completion.chunk payloads (SSE).
+        The engine adapter streams real token deltas; adapters without
+        a .stream generator fall back to one whole-reply chunk.
+        Request parsing is eager so malformed requests 400 before any
+        SSE bytes go out."""
+        if hasattr(self.adapter, "stream") and getattr(
+                self.adapter, "concurrent_safe", False):
+            msgs = messages_to_adapter(
+                body.get("messages", []),
+                allow_local_files=self.allow_local_files)
+            max_tokens = body.get("max_tokens") or body.get(
+                "max_completion_tokens")
+            deltas = self.adapter.stream(
+                msgs, max_new_tokens=int(max_tokens)
+                if max_tokens else None,
+                **self._sampling_kwargs(body))
+        else:
+            reply = self.handle_chat(body)
+            deltas = iter(
+                [reply["choices"][0]["message"]["content"]])
+
+        def gen():
+            cid = f"chatcmpl-{int(time.time() * 1000)}"
+            base = {"id": cid, "object": "chat.completion.chunk",
+                    "created": int(time.time()),
+                    "model": body.get("model", self.model_id)}
+            yield {**base, "choices": [{
+                "index": 0, "delta": {"role": "assistant"},
+                "finish_reason": None}]}
+            for d in deltas:
+                yield {**base, "choices": [{
+                    "index": 0, "delta": {"content": d},
+                    "finish_reason": None}]}
+            yield {**base, "choices": [{
+                "index": 0, "delta": {}, "finish_reason": "stop"}]}
+
+        return gen()
 
     def handle_models(self) -> dict:
         return {"object": "list",
@@ -199,6 +263,20 @@ def make_server(adapter, host: str = "127.0.0.1", port: int = 8000,
             else:
                 self._send(404, {"error": {"message": "not found"}})
 
+        def _send_sse(self, events):
+            """text/event-stream; HTTP/1.0 close-delimited (no
+            Content-Length), flushed per event so clients see tokens
+            as they decode."""
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            for ev in events:
+                self.wfile.write(
+                    b"data: " + json.dumps(ev).encode() + b"\n\n")
+                self.wfile.flush()
+            self.wfile.write(b"data: [DONE]\n\n")
+
         def do_POST(self):
             if self.path.rstrip("/") != "/v1/chat/completions":
                 self._send(404, {"error": {"message": "not found"}})
@@ -206,7 +284,10 @@ def make_server(adapter, host: str = "127.0.0.1", port: int = 8000,
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")
-                self._send(200, api.handle_chat(body))
+                if body.get("stream"):
+                    self._send_sse(api.handle_chat_stream(body))
+                else:
+                    self._send(200, api.handle_chat(body))
             except Exception as e:  # surfaced to the client, not fatal
                 self._send(400, {"error": {
                     "message": f"{type(e).__name__}: {e}"}})
@@ -235,8 +316,8 @@ def main():
                         "in image_url/video_url (trusted networks only)")
     p.add_argument("--continuous_batching", action="store_true",
                    help="batch concurrent requests on one shared KV "
-                        "cache (serving/engine.py; greedy only, "
-                        "mantis-tpu adapter)")
+                        "cache (serving/engine.py; mantis-tpu adapter; "
+                        "greedy + per-request temperature/top_p)")
     p.add_argument("--max_slots", type=int, default=8,
                    help="concurrent decode streams (batch 8-16 is the "
                         "measured capacity edge, docs/PERF.md)")

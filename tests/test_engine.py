@@ -287,3 +287,137 @@ def test_server_concurrent_requests_via_engine():
     assert m["tokens_out"] > 0
     srv.shutdown()
     eng.engine.shutdown()
+
+
+def test_sample_rows_unit():
+    """Per-row sampler: temp=0 rows are exact argmax; top_p below the
+    max prob collapses to argmax for any temperature; top_p=1 samples
+    from the full support deterministically in the key."""
+    from mantis_tpu.serving.engine import _sample_rows
+
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(4, 16).astype(np.float32) * 3)
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(4, dtype=jnp.uint32))
+    greedy = np.asarray(jnp.argmax(logits, -1))
+
+    # temp=0 everywhere -> argmax regardless of key
+    out = np.asarray(_sample_rows(
+        keys, logits, jnp.zeros(4), jnp.ones(4)))
+    assert (out == greedy).all()
+
+    # tiny top_p keeps only the top token even at high temperature
+    out = np.asarray(_sample_rows(
+        keys, logits, jnp.full(4, 5.0), jnp.full(4, 1e-6)))
+    assert (out == greedy).all()
+
+    # mixed rows: greedy rows unaffected by sampling co-residents
+    temps = jnp.asarray([0.0, 1.0, 0.0, 1.0])
+    out = np.asarray(_sample_rows(keys, logits, temps, jnp.ones(4)))
+    assert out[0] == greedy[0] and out[2] == greedy[2]
+    assert ((out >= 0) & (out < 16)).all()
+
+    # deterministic in the key
+    out2 = np.asarray(_sample_rows(keys, logits, temps, jnp.ones(4)))
+    assert (out == out2).all()
+
+    # top_p=1.0 must not index past the vocab (cum<1.0 float edge)
+    flat = jnp.zeros((2, 16))
+    out = np.asarray(_sample_rows(
+        keys[:2], flat, jnp.ones(2), jnp.ones(2)))
+    assert ((out >= 0) & (out < 16)).all()
+
+
+@pytest.mark.slow
+def test_engine_sampling_determinism_and_greedy_isolation():
+    """A sampled request (seed fixed) and a greedy request co-resident
+    in one engine: the greedy reply must stay bit-identical to the
+    serial greedy output, and re-running the sampled request alone
+    with the same seed must reproduce its tokens exactly."""
+    from mantis_tpu.benchmark.adapters import MantisTPUAdapter
+    from mantis_tpu.serving.engine import EngineAdapter
+
+    model = _tiny_mantis()
+    serial = MantisTPUAdapter("", max_new_tokens=8, model=model)
+    eng = EngineAdapter(model, max_new_tokens=8, max_slots=2,
+                        slot_ctx=128, chunk_tokens=3,
+                        prefill_buckets=(32, 64))
+
+    greedy_msgs = [{"type": "text", "content": "tell me more about it"}]
+    samp_msgs = [{"type": "text", "content": "hello there one two"}]
+    expected_greedy = serial(greedy_msgs)
+
+    results = {}
+
+    def run(name, msgs, **kw):
+        results[name] = eng(msgs, **kw)
+
+    threads = [
+        threading.Thread(target=run, args=("greedy", greedy_msgs)),
+        threading.Thread(target=run, args=("samp", samp_msgs),
+                         kwargs=dict(temperature=0.9, top_p=0.95,
+                                     seed=7)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert results["greedy"] == expected_greedy
+
+    # same seed alone -> identical sampled tokens (determinism is in
+    # (seed, prompt), not in co-residency or chunk phase)
+    again = eng(samp_msgs, temperature=0.9, top_p=0.95, seed=7)
+    assert again == results["samp"]
+    # different seed -> allowed to differ (sanity that seed is wired);
+    # not asserted unequal (a 2-layer toy model may tie)
+    eng(samp_msgs, temperature=0.9, top_p=0.95, seed=8)
+    eng.engine.shutdown()
+
+
+@pytest.mark.slow
+def test_engine_streaming_matches_sync():
+    """adapter.stream deltas concatenate to the sync reply (greedy),
+    and the SSE HTTP path delivers the same text chunk-by-chunk."""
+    from mantis_tpu.serving.engine import EngineAdapter
+    from mantis_tpu.serving.server import make_server
+
+    model = _tiny_mantis()
+    eng = EngineAdapter(model, max_new_tokens=6, max_slots=2,
+                        slot_ctx=128, chunk_tokens=3,
+                        prefill_buckets=(32, 64))
+    msgs = [{"type": "text", "content": "what is in this"}]
+    expected = eng(msgs)
+    streamed = "".join(eng.stream(msgs)).strip()
+    assert streamed == expected
+
+    srv = make_server(eng, port=0, model_id="tiny-engine")
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    req = urllib.request.Request(
+        url + "/v1/chat/completions",
+        data=json.dumps({
+            "messages": [{"role": "user", "content": "what is in this"}],
+            "stream": True,
+        }).encode(),
+        headers={"Content-Type": "application/json"})
+    events = []
+    with urllib.request.urlopen(req) as r:
+        assert r.headers["Content-Type"] == "text/event-stream"
+        for line in r:
+            line = line.decode().strip()
+            if not line.startswith("data: "):
+                continue
+            payload = line[len("data: "):]
+            if payload == "[DONE]":
+                events.append(None)
+                break
+            events.append(json.loads(payload))
+    assert events[-1] is None
+    assert events[0]["choices"][0]["delta"] == {"role": "assistant"}
+    assert events[-2]["choices"][0]["finish_reason"] == "stop"
+    text = "".join(
+        e["choices"][0]["delta"].get("content", "")
+        for e in events[:-1] if e is not None).strip()
+    assert text == expected
+    srv.shutdown()
+    eng.engine.shutdown()
