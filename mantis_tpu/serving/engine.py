@@ -120,6 +120,57 @@ def _prefill_jit(params, ids, pixel_values, true_len, temp, top_p, key,
     return tok0[0], cache
 
 
+@functools.partial(
+    jax.jit, static_argnames=("model_forward", "model_cfg",
+                              "cache_dtype", "pbucket", "tbucket",
+                              "sbucket", "sampling"))
+def _prefill_suffix_jit(params, prefix: KVCache, suffix_ids,
+                        pixel_values, match_len, n_suffix, temp, top_p,
+                        key, *, model_forward, model_cfg, cache_dtype,
+                        pbucket, tbucket, sbucket, sampling=False):
+    """Prefix-reuse prefill: seed a fresh tbucket-sized scratch cache
+    with the first ``match_len`` positions of a stored prompt cache
+    (KV of token i depends only on tokens <= i, so any stored prompt's
+    prefix KV is valid for a prompt sharing those tokens+images), then
+    run ONLY the suffix through the model with ``cache_attention=True``
+    (queries attend to the seeded history plus themselves).  Computes
+    sbucket instead of match_len+sbucket token-positions of prefill.
+
+    suffix_ids [1, sbucket]; match_len/n_suffix scalars (dynamic — one
+    compiled program per (pbucket, tbucket, sbucket) combination).
+    """
+    cache = KVCache.create(model_cfg.text_config, 1, tbucket,
+                           dtype=cache_dtype)
+    m = min(pbucket, tbucket)
+    cache = dataclasses.replace(
+        cache,
+        k=cache.k.at[:, :, :m].set(prefix.k[:, :, :m]
+                                   .astype(cache.k.dtype)),
+        v=cache.v.at[:, :, :m].set(prefix.v[:, :, :m]
+                                   .astype(cache.v.dtype)),
+        # stale stored positions beyond the match stay masked
+        seg=(jnp.arange(tbucket)[None, :] < match_len).astype(jnp.int32),
+        length=jnp.asarray(match_len, jnp.int32),
+        k_scale=(cache.k_scale.at[:, :, :m].set(prefix.k_scale[:, :, :m])
+                 if cache.k_scale is not None else None),
+        v_scale=(cache.v_scale.at[:, :, :m].set(prefix.v_scale[:, :, :m])
+                 if cache.v_scale is not None else None))
+    seg_q = (jnp.arange(sbucket)[None, :] < n_suffix).astype(jnp.int32)
+    positions = (match_len + jnp.arange(sbucket)[None, :]) * seg_q
+    logits, _, cache = model_forward(
+        params, model_cfg, input_ids=suffix_ids,
+        pixel_values=pixel_values, positions=positions,
+        segment_ids=seg_q, kv_cache=cache, cache_attention=True)
+    last = jnp.take_along_axis(
+        logits, jnp.reshape(n_suffix - 1, (1, 1, 1)), axis=1)[:, 0]
+    last = last.astype(jnp.float32)
+    if sampling:
+        tok0 = _sample_rows(key[None, :], last, temp[None], top_p[None])
+    else:
+        tok0 = jnp.argmax(last, -1).astype(jnp.int32)
+    return tok0[0], cache
+
+
 @functools.partial(jax.jit, donate_argnames=("big",))
 def _insert_slot_jit(big: KVCache, small: KVCache, slot, true_len):
     """Scatter a scratch prefill cache into slot ``slot`` of the big
@@ -242,7 +293,9 @@ class ContinuousBatchingEngine:
     def __init__(self, model, max_slots: int = 8, slot_ctx: int = 2048,
                  chunk_tokens: int = 8,
                  prefill_buckets=(64, 128, 256, 512, 1024, 2048),
-                 max_admits_per_chunk: int = 2):
+                 max_admits_per_chunk: int = 2,
+                 max_cached_prefixes: int = 2,
+                 min_prefix_tokens: int = 32):
         from mantis_tpu.models.mllava import model as mllava_model
 
         self.model = model
@@ -260,9 +313,16 @@ class ContinuousBatchingEngine:
         # would otherwise freeze every co-resident decode while the
         # whole queue prefills)
         self.max_admits_per_chunk = max_admits_per_chunk
+        # prefix cache: the last N prompts' scratch KV caches, reused
+        # for new prompts sharing a (tokens + image bytes) prefix —
+        # only the suffix is prefilled (0 = off)
+        self.max_cached_prefixes = max_cached_prefixes
+        self.min_prefix_tokens = min_prefix_tokens
+        self.prefix_store: List[dict] = []   # engine-thread only
         self.counters = {"prefills": 0, "decode_chunks": 0,
                          "tokens_out": 0, "requests": 0,
-                         "chunk_slot_steps": 0}
+                         "chunk_slot_steps": 0, "prefix_hits": 0,
+                         "prefix_tokens_reused": 0}
         _, terminators = model.pick_conversation()
         self.eos_ids = jnp.asarray(
             list(terminators) or [model.processor.tokenizer.eos_token_id],
@@ -366,14 +426,115 @@ class ContinuousBatchingEngine:
                 return b
         raise ValueError(f"prompt length {n} exceeds buckets")
 
+    # -------------------------- prefix cache --------------------------
+    @staticmethod
+    def _image_hashes(pixel_values) -> List[str]:
+        """Content hashes per image: the match key must include image
+        bytes — two prompts with identical <image> placeholder tokens
+        but different pictures must NOT share KV."""
+        if pixel_values is None:
+            return []
+        import hashlib
+
+        arr = np.asarray(pixel_values)
+        return [hashlib.md5(np.ascontiguousarray(a).tobytes())
+                .hexdigest() for a in arr]
+
+    def _image_runs(self, ids: List[int]):
+        """[(start, end)] of each consecutive image-token span."""
+        tpi = self.model.cfg.num_image_tokens
+        itok = self.model.cfg.image_token_index
+        runs, i = [], 0
+        while i < len(ids):
+            if ids[i] == itok:
+                runs.append((i, min(i + tpi, len(ids))))
+                i += tpi
+            else:
+                i += 1
+        return runs
+
+    def _match_prefix(self, ids: List[int], hashes: List[str]):
+        """Longest stored (tokens + image bytes) prefix usable for
+        ``ids`` -> (match_len, entry) or (0, None).  The match never
+        splits an image-token span, keeps >=1 suffix token (the next-
+        token logits come from the suffix forward), and requires every
+        prefix image's bytes to equal the stored prompt's."""
+        runs = self._image_runs(ids)
+        best_m, best_e = 0, None
+        for entry in self.prefix_store:
+            eids = entry["ids"]
+            lim = min(len(ids) - 1, len(eids))
+            m = 0
+            while m < lim and ids[m] == eids[m]:
+                m += 1
+            while True:   # each clamp strictly decreases m
+                n_img, clamped = 0, False
+                for (s, e) in runs:
+                    if e <= m:
+                        n_img += 1
+                    elif s < m:
+                        m, clamped = s, True   # straddling span
+                        break
+                if clamped:
+                    continue
+                bad = [i for i in range(n_img)
+                       if hashes[i] != entry["hashes"][i]]
+                if not bad:
+                    break
+                m = runs[bad[0]][0]
+            if m > best_m:
+                best_m, best_e = m, entry
+        if best_m < self.min_prefix_tokens:
+            return 0, None
+        return best_m, best_e
+
+    def _store_prefix(self, ids: List[int], hashes: List[str],
+                      cache: KVCache, bucket: int):
+        """LRU-keep the last N prompts' scratch caches (engine thread
+        only).  A stored prompt seeds ANY future prompt sharing a
+        prefix — KV of token i depends only on tokens <= i."""
+        if not self.max_cached_prefixes:
+            return
+        for e in self.prefix_store:
+            if e["ids"] == ids:
+                self.prefix_store.remove(e)
+                e.update(cache=cache, bucket=bucket)
+                self.prefix_store.insert(0, e)
+                return
+        self.prefix_store.insert(0, dict(
+            ids=list(ids), hashes=hashes, cache=cache, bucket=bucket))
+        del self.prefix_store[self.max_cached_prefixes:]
+
+    def _plan_prefix_reuse(self, ids: List[int], hashes: List[str]):
+        """-> (match_len, entry, sbucket, tbucket, n_prefix_imgs) or
+        None when no stored prefix helps.
+
+        tbucket is the prompt's natural bucket; the suffix chunk must
+        land inside it ([mlen, mlen+sbucket) <= tbucket), so the reused
+        prefix shrinks to tbucket - sbucket when the match runs too
+        close to the bucket edge (smallest viable sbucket wins)."""
+        mlen, entry = self._match_prefix(ids, hashes)
+        if entry is None:
+            return None
+        n = len(ids)
+        tbucket = self._bucket_for(n)
+        runs = self._image_runs(ids)
+        for sbucket in self.prefill_buckets:
+            m = min(mlen, tbucket - sbucket)
+            if m <= 0:
+                break          # suffix chunk fills the whole bucket
+            for (s, e) in runs:
+                if s < m < e:  # never split an image span
+                    m = s
+                    break
+            if m >= self.min_prefix_tokens and n - m <= sbucket:
+                n_pref = sum(1 for (_, e) in runs if e <= m)
+                return m, entry, sbucket, tbucket, n_pref
+        return None
+
     def _admit_one(self, req: _Request, slot_idx: int):
         model = self.model
         n = len(req.ids)
-        bucket = self._bucket_for(n)
-        padded = req.ids + [self.pad_id] * (bucket - n)
-        pix = None
-        if req.pixel_values is not None:
-            pix = jnp.asarray(req.pixel_values)
         if req.sampling:
             seed = req.seed
             if seed is None:
@@ -383,20 +544,52 @@ class ContinuousBatchingEngine:
             kp, kd = jax.random.split(jax.random.PRNGKey(seed))
         else:
             kp = kd = jnp.zeros((2,), jnp.uint32)
+        temp = jnp.asarray(req.temperature, jnp.float32)
+        top_p = jnp.asarray(req.top_p, jnp.float32)
+        hashes, plan = [], None
+        if self.max_cached_prefixes:
+            hashes = self._image_hashes(req.pixel_values)
+            plan = self._plan_prefix_reuse(req.ids, hashes)
         try:
-            tok0, scratch = _prefill_jit(
-                model.params, jnp.asarray([padded]), pix,
-                jnp.asarray(n, jnp.int32),
-                jnp.asarray(req.temperature, jnp.float32),
-                jnp.asarray(req.top_p, jnp.float32), kp,
-                model_forward=self.forward, model_cfg=model.cfg,
-                cache_dtype=model.cache_dtype, bucket=bucket,
-                sampling=req.sampling)
+            if plan is not None:
+                mlen, entry, sbucket, tbucket, n_pref = plan
+                suffix = req.ids[mlen:] + [self.pad_id] * (
+                    sbucket - (n - mlen))
+                pix_sfx = None
+                if req.pixel_values is not None:
+                    rest = np.asarray(req.pixel_values)[n_pref:]
+                    if len(rest):
+                        pix_sfx = jnp.asarray(rest)
+                tok0, scratch = _prefill_suffix_jit(
+                    model.params, entry["cache"],
+                    jnp.asarray([suffix]), pix_sfx,
+                    jnp.asarray(mlen, jnp.int32),
+                    jnp.asarray(n - mlen, jnp.int32), temp, top_p, kp,
+                    model_forward=self.forward, model_cfg=model.cfg,
+                    cache_dtype=model.cache_dtype,
+                    pbucket=entry["bucket"], tbucket=tbucket,
+                    sbucket=sbucket, sampling=req.sampling)
+                self.counters["prefix_hits"] += 1
+                self.counters["prefix_tokens_reused"] += mlen
+                bucket = tbucket
+            else:
+                bucket = self._bucket_for(n)
+                padded = req.ids + [self.pad_id] * (bucket - n)
+                pix = None
+                if req.pixel_values is not None:
+                    pix = jnp.asarray(req.pixel_values)
+                tok0, scratch = _prefill_jit(
+                    model.params, jnp.asarray([padded]), pix,
+                    jnp.asarray(n, jnp.int32), temp, top_p, kp,
+                    model_forward=self.forward, model_cfg=model.cfg,
+                    cache_dtype=model.cache_dtype, bucket=bucket,
+                    sampling=req.sampling)
         except Exception as e:
             req.error = e
             self._finish(req)
             return
         self.counters["prefills"] += 1
+        self._store_prefix(req.ids, hashes, scratch, bucket)
         self.cache = _insert_slot_jit(
             self.cache, scratch, jnp.asarray(slot_idx, jnp.int32),
             jnp.asarray(n, jnp.int32))

@@ -325,6 +325,12 @@ def main():
                    help="per-stream context (prompt + generation)")
     p.add_argument("--chunk_tokens", type=int, default=8,
                    help="decode steps fused per engine iteration")
+    p.add_argument("--prefix_cache", type=int, default=2,
+                   help="keep the last N prompts' KV on device and "
+                        "prefill only the suffix for new prompts "
+                        "sharing a (tokens+image bytes) prefix "
+                        "(shared system prompts / few-shot headers; "
+                        "0 = off)")
     args = p.parse_args()
     if args.continuous_batching and args.speculative:
         raise SystemExit("--continuous_batching and --speculative are "
@@ -371,7 +377,8 @@ def main():
         adapter = EngineAdapter(
             inner, max_new_tokens=args.max_new_tokens,
             max_slots=args.max_slots, slot_ctx=args.slot_ctx,
-            chunk_tokens=args.chunk_tokens)
+            chunk_tokens=args.chunk_tokens,
+            max_cached_prefixes=args.prefix_cache)
     srv = make_server(adapter, args.host, args.port,
                       model_id=args.model,
                       allow_local_files=args.allow_local_files)

@@ -421,3 +421,148 @@ def test_engine_streaming_matches_sync():
     assert text == expected
     srv.shutdown()
     eng.engine.shutdown()
+
+
+def test_prefix_match_clamps_and_lru():
+    """Host-side prefix planner: token lcp, image-run boundary clamp,
+    image-byte mismatch clamp, LRU eviction."""
+    from mantis_tpu.serving.engine import ContinuousBatchingEngine
+
+    model = _tiny_mantis()
+    eng = ContinuousBatchingEngine(model, max_slots=2, slot_ctx=64,
+                                   prefill_buckets=(32,),
+                                   max_cached_prefixes=2,
+                                   min_prefix_tokens=4)
+    eng._stop = True
+    eng._wake.set()
+    eng._thread.join(timeout=30)
+
+    itok = model.cfg.image_token_index
+    tpi = model.cfg.num_image_tokens
+    base = [5, 6, 7, 8] + [itok] * tpi + [9, 10, 11]
+
+    eng._store_prefix(base, ["imgA"], cache="c1", bucket=32)
+
+    # pure token match, no images in the shared region
+    m, e = eng._match_prefix([5, 6, 7, 8, 20, 21, 22, 23], [])
+    assert (m, e["cache"]) == (4, "c1")
+
+    # identical tokens THROUGH the image + same image bytes
+    m, e = eng._match_prefix(base[:-1] + [40], ["imgA"])
+    assert m == len(base) - 1 and e["cache"] == "c1"
+
+    # same tokens, DIFFERENT image bytes -> clamp to before the image
+    m, e = eng._match_prefix(base[:-1] + [40], ["imgB"])
+    assert (m, e["cache"]) == (4, "c1")
+
+    # a match may never split an image-token run
+    m, e = eng._match_prefix(base[:4 + tpi - 1] + [50, 51, 52, 53],
+                             ["imgA"])
+    assert m == 4
+
+    # below min_prefix_tokens -> no reuse
+    m, e = eng._match_prefix([5, 6, 7, 99, 98, 97], [])
+    assert (m, e) == (0, None)
+
+    # LRU: cap 2, third insert evicts the oldest
+    eng._store_prefix([1, 2, 3], [], cache="c2", bucket=32)
+    eng._store_prefix([4, 5, 6], [], cache="c3", bucket=32)
+    assert [e["cache"] for e in eng.prefix_store] == ["c3", "c2"]
+    # re-store moves to front instead of duplicating
+    eng._store_prefix([1, 2, 3], [], cache="c2b", bucket=32)
+    assert [e["cache"] for e in eng.prefix_store] == ["c2b", "c3"]
+
+
+@pytest.mark.slow
+def test_prefix_reuse_token_identity():
+    """Requests sharing a long prefix: the second prefills only the
+    suffix from the stored KV and must emit the same tokens as an
+    engine with the cache disabled (f32 tiny model)."""
+    from mantis_tpu.serving.engine import ContinuousBatchingEngine
+
+    model = _tiny_mantis()
+    rng = np.random.RandomState(0)
+    prefix = rng.randint(5, 60, size=40).tolist()
+    sufa = rng.randint(5, 60, size=9).tolist()
+    sufb = rng.randint(5, 60, size=11).tolist()
+
+    def make(cached):
+        return ContinuousBatchingEngine(
+            model, max_slots=2, slot_ctx=128,
+            prefill_buckets=(16, 64), max_cached_prefixes=cached,
+            min_prefix_tokens=16)
+
+    plain = make(0)
+    ref_a = plain.generate_sync(prefix + sufa, None, 6)
+    ref_b = plain.generate_sync(prefix + sufb, None, 6)
+    plain.shutdown()
+
+    eng = make(2)
+    got_a = eng.generate_sync(prefix + sufa, None, 6)
+    got_b = eng.generate_sync(prefix + sufb, None, 6)
+    s = eng.stats()
+    assert got_a == ref_a and got_b == ref_b
+    assert s["prefix_hits"] == 1          # second request hit
+    assert s["prefix_tokens_reused"] == len(prefix)
+    # third request: longer lcp with the stored full prompt of req2
+    # (the reused prefix shrinks to fit the suffix chunk in-bucket)
+    got_b2 = eng.generate_sync(prefix + sufb + [7], None, 6)
+    plain2 = make(0)
+    assert got_b2 == plain2.generate_sync(prefix + sufb + [7], None, 6)
+    plain2.shutdown()
+    assert eng.stats()["prefix_hits"] == 2
+    eng.shutdown()
+
+
+@pytest.mark.slow
+def test_prefix_reuse_with_images():
+    """A multimodal shared prefix (image inside it) reuses KV only
+    when the image BYTES match; a different image clamps reuse to the
+    tokens before it.  Replies stay identical to the no-cache engine
+    in both cases, including an image in the suffix."""
+    from mantis_tpu.serving.engine import ContinuousBatchingEngine
+
+    model = _tiny_mantis()
+    itok = model.cfg.image_token_index
+    tpi = model.cfg.num_image_tokens
+    rng = np.random.RandomState(1)
+    head = rng.randint(5, 60, size=20).tolist()
+    tail = rng.randint(5, 60, size=6).tolist()
+    ids = head + [itok] * tpi + tail          # image inside the prefix
+    img1 = rng.randn(1, 3, 28, 28).astype(np.float32)
+    img2 = rng.randn(1, 3, 28, 28).astype(np.float32)
+    sufa = rng.randint(5, 60, size=5).tolist()
+    # suffix with its own image
+    suf_img = rng.randint(5, 60, size=3).tolist() + [itok] * tpi
+    img3 = rng.randn(1, 3, 28, 28).astype(np.float32)
+
+    def make(cached):
+        return ContinuousBatchingEngine(
+            model, max_slots=2, slot_ctx=128,
+            prefill_buckets=(16, 64), max_cached_prefixes=cached,
+            min_prefix_tokens=8)
+
+    plain = make(0)
+    ref_a1 = plain.generate_sync(ids + sufa, img1, 5)
+    ref_a2 = plain.generate_sync(ids + sufa, img2, 5)
+    ref_im = plain.generate_sync(ids + suf_img,
+                                 np.concatenate([img1, img3]), 5)
+    plain.shutdown()
+
+    eng = make(4)
+    assert eng.generate_sync(ids, img1, 4) is not None  # seeds store
+    # same image -> reuse through the image tokens
+    assert eng.generate_sync(ids + sufa, img1, 5) == ref_a1
+    s = eng.stats()
+    assert s["prefix_hits"] == 1
+    assert s["prefix_tokens_reused"] == len(ids)
+    # different image -> reuse clamped to before the image run
+    assert eng.generate_sync(ids + sufa, img2, 5) == ref_a2
+    s = eng.stats()
+    assert s["prefix_hits"] == 2
+    assert s["prefix_tokens_reused"] == len(ids) + len(head)
+    # image in the SUFFIX: spliced into the suffix prefill correctly
+    assert eng.generate_sync(ids + suf_img,
+                             np.concatenate([img1, img3]), 5) == ref_im
+    assert eng.stats()["prefix_hits"] == 3
+    eng.shutdown()
