@@ -566,3 +566,48 @@ def test_prefix_reuse_with_images():
                              np.concatenate([img1, img3]), 5) == ref_im
     assert eng.stats()["prefix_hits"] == 3
     eng.shutdown()
+
+
+@pytest.mark.slow
+def test_engine_with_tp_sharded_params():
+    """Multi-chip serving: the engine's jitted programs (prefill,
+    slot-insert, decode chunk) run unchanged with megatron-sharded
+    params on a (data=2, tensor=4) mesh — GSPMD propagates the
+    shardings through the shared KV cache — and emit exactly the
+    single-device replies."""
+    from mantis_tpu.parallel.mesh import create_mesh
+    from mantis_tpu.parallel.sharding import shard_params
+    from mantis_tpu.serving.engine import EngineAdapter
+
+    model = _tiny_mantis()
+    prompts = [
+        ("what is in this <image> ?", [0]),
+        ("tell me more about it", None),
+        ("the answer is <image> and", [1]),
+    ]
+
+    def msgs(text, seeds):
+        out = []
+        for part in text.split("<image>"):
+            out.append({"type": "text", "content": part})
+            if seeds:
+                out.append({"type": "image",
+                            "content": _img(seeds.pop(0))})
+        return [m for m in out if m.get("content") != ""]
+
+    eng = EngineAdapter(model, max_new_tokens=6, max_slots=2,
+                        slot_ctx=128, chunk_tokens=3,
+                        prefill_buckets=(32, 64))
+    expected = [eng(msgs(t, list(s) if s else None))
+                for t, s in prompts]
+    eng.engine.shutdown()
+
+    mesh = create_mesh(data=2, tensor=4)
+    model.params = shard_params(model.params, mesh)
+    eng_tp = EngineAdapter(model, max_new_tokens=6, max_slots=2,
+                           slot_ctx=128, chunk_tokens=3,
+                           prefill_buckets=(32, 64))
+    got = [eng_tp(msgs(t, list(s) if s else None))
+           for t, s in prompts]
+    assert got == expected
+    eng_tp.engine.shutdown()
