@@ -382,6 +382,40 @@ def bench_decode():
     return ttft_ms, tok_s
 
 
+def bench_serving_engine():
+    """Continuous-batching aggregate throughput: 8 concurrent streams
+    through the slot engine (full-depth int8 LM + int8 KV, the serving
+    config; serving/engine.py).  Counts tokens actually delivered."""
+    import threading
+
+    from scripts.load_test_server import build_model
+    from mantis_tpu.serving.engine import ContinuousBatchingEngine
+
+    model = build_model()
+    eng = ContinuousBatchingEngine(
+        model, max_slots=8, slot_ctx=1024, chunk_tokens=16,
+        prefill_buckets=(512,), max_cached_prefixes=0)
+    rng = np.random.RandomState(0)
+    prompts = [[int(t) for t in rng.randint(5, 500, size=400)]
+               for _ in range(9)]
+    eng.generate_sync(prompts[8], None, 4)        # warm/compile
+    reqs = []
+    t0 = time.perf_counter()
+
+    def run(i):
+        reqs.append(len(eng.generate_sync(prompts[i], None, 64)))
+
+    threads = [threading.Thread(target=run, args=(i,))
+               for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    eng.shutdown()
+    return sum(reqs) / dt
+
+
 def _bounded(fn, seconds=300):
     """Run a bench section under a SIGALRM budget: a cold compile cache
     or a stalled tunnel must not take down the headline metric."""
@@ -423,6 +457,9 @@ def main():
             dec_res[0], 1)
         extras["decode_tok_per_sec_fulldepth_int8"] = round(
             dec_res[1], 1)
+    srv_res = _bounded(bench_serving_engine, 480)
+    if srv_res:
+        extras["serving_agg_tok_per_sec_8stream"] = round(srv_res, 1)
     print(json.dumps({
         "metric": "siglip_so400m_encode_images_per_sec_per_chip",
         "value": round(imgs_per_sec, 2),

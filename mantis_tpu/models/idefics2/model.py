@@ -113,16 +113,26 @@ def navit_position_ids(nb_patches_h: int, nb_patches_w: int,
     return (bh[:, None] * num_patches_per_side + bw[None, :]).reshape(-1)
 
 
-def build_patch_grid(true_h: int, true_w: int, cfg: VisionConfig
+def build_patch_grid(true_h: int, true_w: int, cfg: VisionConfig,
+                     canvas_h: Optional[int] = None,
+                     canvas_w: Optional[int] = None,
                      ) -> Tuple[np.ndarray, np.ndarray]:
-    """(patch_mask [P], position_ids [P]) for an image padded into the
-    full square canvas (valid region top-left)."""
+    """(patch_mask [P], position_ids [P]) for an image padded into a
+    canvas (valid region top-left).
+
+    The canvas defaults to the full square ``cfg.image_size``; a
+    smaller canvas (HF pads to the batch max, not the config max —
+    processing_idefics2 pixel_attention_mask) shrinks P while the
+    position-id BUCKETS still come from ``cfg.image_size``
+    (num_patches_per_side in HF's vision embeddings)."""
     side = cfg.image_size // cfg.patch_size
-    nh = max(true_h // cfg.patch_size, 1)
-    nw = max(true_w // cfg.patch_size, 1)
-    mask = np.zeros((side, side), np.int32)
+    gh = (canvas_h or cfg.image_size) // cfg.patch_size
+    gw = (canvas_w or cfg.image_size) // cfg.patch_size
+    nh = min(max(true_h // cfg.patch_size, 1), gh)
+    nw = min(max(true_w // cfg.patch_size, 1), gw)
+    mask = np.zeros((gh, gw), np.int32)
     mask[:nh, :nw] = 1
-    pos = np.zeros((side, side), np.int64)
+    pos = np.zeros((gh, gw), np.int64)
     pos[:nh, :nw] = navit_position_ids(nh, nw, side).reshape(nh, nw)
     return mask.reshape(-1), pos.reshape(-1)
 

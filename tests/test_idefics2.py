@@ -192,3 +192,82 @@ def test_sliding_window_parity_seq_longer_than_window():
         cfg, text_config=dc.replace(cfg.text_config, sliding_window=None))
     full, _, _ = forward(params, cfg_full, input_ids=jnp.asarray(ids))
     assert float(jnp.abs(full - ours).max()) > 1e-3
+
+
+def test_build_patch_grid_sub_canvas():
+    """A canvas smaller than cfg.image_size (HF pads to the batch max,
+    not the config max) yields the top-left sub-block of the full grid
+    with the same position-id buckets."""
+    cfgc = type("C", (), {"image_size": 98, "patch_size": 14})
+    m_full, p_full = build_patch_grid(56, 42, cfgc)
+    m_sub, p_sub = build_patch_grid(56, 42, cfgc, canvas_h=56,
+                                    canvas_w=56)
+    assert m_sub.shape == p_sub.shape == (16,)
+    np.testing.assert_array_equal(
+        m_sub.reshape(4, 4), m_full.reshape(7, 7)[:4, :4])
+    np.testing.assert_array_equal(
+        p_sub.reshape(4, 4), p_full.reshape(7, 7)[:4, :4])
+
+
+@pytest.mark.slow
+def test_idefics2_sub_canvas_parity_vs_hf():
+    """Canvas (56x56) SMALLER than config image_size (98): HF drives
+    pixel_attention_mask over the small canvas; ours drives the
+    canvas-sized patch grid.  Mirrors the full-width parity protocol
+    (scripts/parity_idefics2_fullwidth.py) at tiny widths."""
+    cfg_t = transformers.Idefics2Config(
+        vision_config=dict(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=98, patch_size=14,
+            layer_norm_eps=1e-6),
+        perceiver_config=dict(
+            resampler_n_latents=4, resampler_depth=2,
+            resampler_n_heads=2, resampler_head_dim=8,
+            num_key_value_heads=1),
+        text_config=dict(
+            model_type="mistral", vocab_size=99, hidden_size=32,
+            intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            rms_norm_eps=1e-5, rope_theta=10000.0, sliding_window=16,
+            max_position_embeddings=2048),
+        image_token_id=97, attn_implementation="eager")
+    torch.manual_seed(0)
+    hf = transformers.Idefics2ForConditionalGeneration(cfg_t).eval()
+    cfg = Idefics2Config.from_hf_config(cfg_t)
+    params = idefics2_params_from_hf(
+        TensorSource.from_state_dict(hf.state_dict()), cfg,
+        dtype=jnp.float32)
+
+    rng = np.random.RandomState(0)
+    ch, cw = 56, 56
+    sizes = [(56, 42), (28, 56)]
+    canvas = np.zeros((1, 2, 3, ch, cw), np.float32)
+    pam = np.zeros((1, 2, ch, cw), bool)
+    for i, (h, w) in enumerate(sizes):
+        canvas[0, i, :, :h, :w] = rng.randn(3, h, w)
+        pam[0, i, :h, :w] = True
+
+    L = cfg.num_image_tokens
+    ids = np.concatenate([
+        rng.randint(5, 90, size=3), np.full(L, 97),
+        rng.randint(5, 90, size=20), np.full(L, 97),
+        rng.randint(5, 90, size=20)])[None, :]
+
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 pixel_values=torch.tensor(canvas),
+                 pixel_attention_mask=torch.tensor(pam)).logits.numpy()
+
+    grid_cfg = type("C", (), {"image_size": 98, "patch_size": 14})
+    masks, poss = zip(*(build_patch_grid(h, w, grid_cfg, canvas_h=ch,
+                                         canvas_w=cw)
+                        for h, w in sizes))
+    ours, _, _ = forward(
+        params, cfg, input_ids=jnp.asarray(ids),
+        pixel_values=jnp.asarray(canvas.reshape(2, 3, ch, cw)),
+        patch_mask=jnp.asarray(np.stack(masks)),
+        patch_position_ids=jnp.asarray(np.stack(poss)),
+        attn_impl="xla")
+    ours = np.asarray(ours, np.float32)
+    rel = np.abs(ours - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 1e-4, rel
