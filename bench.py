@@ -416,6 +416,26 @@ def bench_serving_engine():
     return sum(reqs) / dt
 
 
+def bench_spec_decode():
+    """Fused speculative decoding (one device program: in-graph
+    prompt-lookup drafts + chunk verify + cache rewind), full-depth
+    int8 LM — decode-only tok/s, worst case (0 acceptance) and oracle
+    best case (docs/SERVING.md)."""
+    from scripts.bench_speculative import (
+        CFG as SPEC_CFG,
+        bench_speculative_fused,
+        build_int8_params,
+        make_prompts,
+    )
+
+    params = build_int8_params(SPEC_CFG)
+    prompts = make_prompts()
+    worst, _, _, out = bench_speculative_fused(params, prompts["random"], 5)
+    best, _, _, _ = bench_speculative_fused(
+        params, prompts["random"], 5, oracle=out)
+    return worst, best
+
+
 def _bounded(fn, seconds=300):
     """Run a bench section under a SIGALRM budget: a cold compile cache
     or a stalled tunnel must not take down the headline metric."""
@@ -460,6 +480,12 @@ def main():
     srv_res = _bounded(bench_serving_engine, 480)
     if srv_res:
         extras["serving_agg_tok_per_sec_8stream"] = round(srv_res, 1)
+    spec_res = _bounded(bench_spec_decode, 480)
+    if spec_res:
+        extras["spec_decode_fused_worst_tok_per_sec"] = round(
+            spec_res[0], 1)
+        extras["spec_decode_fused_oracle_tok_per_sec"] = round(
+            spec_res[1], 1)
     print(json.dumps({
         "metric": "siglip_so400m_encode_images_per_sec_per_chip",
         "value": round(imgs_per_sec, 2),

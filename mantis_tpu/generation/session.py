@@ -222,9 +222,9 @@ class ChatSession:
             # the serving levers compose: O(delta) turn prefill + a
             # draft/verify decode sharing the same live cache
             from mantis_tpu.generation.speculative import (
-                decode_from_cache)
+                decode_from_cache_fused)
 
-            row, _, self.cache, n_written = decode_from_cache(
+            row, _, self.cache, n_written = decode_from_cache_fused(
                 model.params, model.cfg, self._forward(), self.cache,
                 len(ids), ids, int(tok0[0]), gen_cfg, n_draft=spec)
         else:

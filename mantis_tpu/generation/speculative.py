@@ -132,6 +132,224 @@ def speculative_generate(
     return out, stats
 
 
+# ---------------------------------------------------------------------------
+# Fully fused speculative decoding (round 3)
+#
+# The host-stepped loop below (decode_from_cache) pays one dispatch per
+# verify call; behind a remote-tunnel runtime that is ~35 ms/call and the
+# WORST case (no drafts accepted) degrades 4x vs the fused greedy loop
+# (docs/SERVING.md measurements).  The TPU-native fix: run drafting,
+# verification, acceptance, and cache rewind inside ONE lax.while_loop —
+# prompt-lookup is a vectorized n-gram match over the token buffer (VPU
+# work measured in microseconds), so the whole generation is a single
+# device program regardless of acceptance behaviour.  Worst case then
+# costs one (n_draft+1)-token forward per emitted token — about the same
+# HBM traffic as plain decode — and the best case keeps the 1/(a+1)
+# weight-read amortization with zero host round-trips.
+# ---------------------------------------------------------------------------
+
+
+def prompt_lookup_draft_jax(buf, length, *, n_draft: int, ngram: int):
+    """In-graph prompt-lookup over ``buf[:length]`` — the jax counterpart
+    of :func:`prompt_lookup_draft` (first match wins, continuation
+    truncated at ``length``).  Returns ``(drafts [n_draft] int32,
+    draft_len scalar int32)``; positions >= draft_len are junk that
+    greedy verification can never accept."""
+    t = buf.shape[0]
+    tail = jax.lax.dynamic_slice(
+        buf, (jnp.maximum(length - ngram, 0),), (ngram,))
+    nw = t - ngram + 1
+    # windows[i, j] = buf[j + i]: ngram shifted static slices
+    windows = jnp.stack(
+        [jax.lax.slice(buf, (i,), (i + nw,)) for i in range(ngram)])
+    match = jnp.all(windows == tail[:, None], axis=0)
+    match = match & (jnp.arange(nw) < (length - ngram))
+    found = jnp.any(match)
+    j = jnp.argmax(match)  # first True (argmax of bools)
+    cont = j + ngram
+    drafts = jax.lax.dynamic_slice(buf, (cont,), (n_draft,))
+    draft_len = jnp.where(found, jnp.minimum(n_draft, length - cont), 0)
+    return drafts.astype(jnp.int32), draft_len.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model_forward", "model_cfg", "gen_cfg", "n_draft",
+                     "ngram", "use_oracle"),
+    donate_argnames=("cache", "buf"),
+)
+def _spec_fused_jit(params, cache, buf, start_len, tok0, oracle,
+                    oracle_len, *, model_forward, model_cfg,
+                    gen_cfg: GenerationConfig, n_draft: int, ngram: int,
+                    use_oracle: bool):
+    """Draft/verify/accept loop as ONE device program.
+
+    Contract: ``cache.length == start_len`` (the KV of ``buf[:start_len]``
+    is written; images occupy their placeholder slots so token index ==
+    RoPE position == KV slot throughout), ``tok0`` [1] is the sampled
+    first new token whose KV is NOT yet written, and the cache has
+    ``start_len + max_new_tokens + n_draft + 1`` slots.  With
+    ``use_oracle`` the drafts come from ``oracle[out_len:]`` instead of
+    prompt-lookup (benchmark harness).  Returns
+    ``(buf, out_len, cache, verify_calls, drafted, accepted)``; the
+    emitted tokens are ``buf[start_len : start_len + out_len]`` and the
+    final ``cache.length == start_len + out_len - 1`` (the last emitted
+    token's KV is not written — the ChatSession invariant)."""
+    max_new = gen_cfg.max_new_tokens
+    k1 = n_draft + 1
+    eos = (jnp.asarray(gen_cfg.eos_token_ids, jnp.int32)
+           if gen_cfg.eos_token_ids else None)
+
+    def is_eos(tok):
+        if eos is None:
+            return jnp.zeros(jnp.shape(tok), bool)
+        return jnp.any(tok[..., None] == eos, axis=-1)
+
+    buf = jax.lax.dynamic_update_slice(
+        buf, tok0.astype(jnp.int32), (start_len,))
+    i32 = functools.partial(jnp.asarray, dtype=jnp.int32)
+
+    def cond(state):
+        out_len, _, last, _, _, _, _, _ = state
+        return (out_len < max_new) & ~is_eos(last)
+
+    def body(state):
+        out_len, bl, last, cache, buf, vc, dr, ac = state
+        if use_oracle:
+            drafts = jax.lax.dynamic_slice(
+                oracle, (out_len,), (n_draft,)).astype(jnp.int32)
+            draft_len = jnp.clip(oracle_len - out_len, 0, n_draft)
+        else:
+            drafts, draft_len = prompt_lookup_draft_jax(
+                buf, bl, n_draft=n_draft, ngram=ngram)
+        # chunk = [last ++ drafts]; last sits at token index bl-1, whose
+        # KV slot (== cache.length) is exactly bl-1 by the invariant
+        chunk = jnp.concatenate([last[None], drafts])[None, :]
+        pos = (bl - 1 + jnp.arange(k1))[None, :]
+        logits, _, cache = model_forward(
+            params, model_cfg, input_ids=chunk, pixel_values=None,
+            positions=pos, segment_ids=jnp.ones((1, k1), jnp.int32),
+            kv_cache=cache, cache_attention=True)
+        g = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)  # [k1]
+        # accept draft i while all previous accepted, it matches the
+        # model's own choice, the running last token isn't eos, and the
+        # emission budget holds (same conditions as the host loop)
+        idx = jnp.arange(n_draft)
+        ok = ((idx < draft_len) & (drafts == g[:n_draft])
+              & ~is_eos(g[:n_draft]) & (idx < (max_new - out_len - 1)))
+        a = jnp.sum(jnp.cumprod(ok.astype(jnp.int32)))
+        # write all k1 greedy tokens at bl; positions beyond the a+1
+        # emitted ones are junk past the new length — never matched
+        # (window filter j < length - ngram) and never emitted
+        buf = jax.lax.dynamic_update_slice(buf, g, (bl,))
+        last_new = jnp.take(g, a)
+        cache = dataclasses.replace(cache, length=bl + a)
+        return (out_len + a + 1, bl + a + 1, last_new, cache, buf,
+                vc + 1, dr + draft_len, ac + a)
+
+    state = (i32(1), start_len.astype(jnp.int32) + 1,
+             tok0[0].astype(jnp.int32), cache, buf, i32(0), i32(0),
+             i32(0))
+    out_len, _, _, cache, buf, vc, dr, ac = jax.lax.while_loop(
+        cond, body, state)
+    return buf, out_len, cache, vc, dr, ac
+
+
+def _fused_token_buffer(context: List[int], gen_cfg: GenerationConfig,
+                        n_draft: int, ngram: int) -> np.ndarray:
+    """Bucketed token buffer sized so draft-continuation slices never
+    clamp: context + tok0 + max_new emissions + n_draft + ngram slack."""
+    need = len(context) + 1 + gen_cfg.max_new_tokens + n_draft + ngram
+    buf = np.full(_bucket(need), gen_cfg.pad_token_id or 0, np.int32)
+    buf[:len(context)] = context
+    return buf
+
+
+def decode_from_cache_fused(
+    params, model_cfg, model_forward, cache, length: int,
+    context: List[int], tok0: int, gen_cfg: GenerationConfig,
+    n_draft: int = 5, ngram: int = 3,
+):
+    """Fused drop-in for :func:`decode_from_cache` (same contract and
+    return tuple) when the draft source is prompt-lookup.  One device
+    program replaces 1-2 dispatches per emitted token."""
+    assert length == len(context), (
+        "fused speculative requires token index == KV slot "
+        f"(got {len(context)} tokens, cache length {length})")
+    buf = _fused_token_buffer(context, gen_cfg, n_draft, ngram)
+    dummy = jnp.zeros(n_draft, jnp.int32)
+    buf, out_len, cache, vc, dr, ac = _spec_fused_jit(
+        params, cache, jnp.asarray(buf), jnp.asarray(length, jnp.int32),
+        jnp.asarray([tok0], jnp.int32), dummy, jnp.asarray(0, jnp.int32),
+        model_forward=model_forward, model_cfg=model_cfg,
+        gen_cfg=gen_cfg, n_draft=n_draft, ngram=ngram, use_oracle=False)
+    n = int(out_len)
+    out = [int(t) for t in np.asarray(buf[length:length + n])]
+    stats = {"verify_calls": int(vc), "drafted": int(dr),
+             "accepted": int(ac)}
+    return out, stats, cache, len(out) - 1
+
+
+def speculative_generate_fused(
+    params,
+    model_cfg,
+    model_forward,
+    input_ids: np.ndarray,
+    pixel_values: Optional[np.ndarray] = None,
+    gen_cfg: Optional[GenerationConfig] = None,
+    cache_dtype=jnp.bfloat16,
+    n_draft: int = 5,
+    ngram: int = 3,
+    oracle: Optional[List[int]] = None,
+):
+    """Greedy generation, token-identical to ``generate(do_sample=
+    False)`` and to :func:`speculative_generate`, batch 1 — but the
+    entire draft/verify loop runs on-device in one program (see the
+    module-section comment).  ``oracle`` (benchmarks) supplies a
+    precomputed continuation used as the draft stream instead of
+    prompt-lookup; greedy verification keeps the output exact either
+    way.  Returns (new_token_ids list, stats dict)."""
+    gen_cfg = gen_cfg or GenerationConfig(do_sample=False)
+    assert not gen_cfg.do_sample, "speculative decoding is greedy-only"
+    input_ids = np.asarray(input_ids)
+    assert input_ids.shape[0] == 1
+    _, s = input_ids.shape
+
+    sb = _bucket(s)
+    ids = np.full((1, sb), gen_cfg.pad_token_id, np.int32)
+    ids[0, :s] = input_ids[0]
+    pv = None if pixel_values is None else jnp.asarray(pixel_values)
+
+    tok0, cache = _prefill_jit(
+        params, jnp.asarray(ids), pv, jnp.asarray(s, jnp.int32),
+        model_forward=model_forward, model_cfg=model_cfg,
+        max_new=gen_cfg.max_new_tokens + n_draft + 1,
+        cache_dtype=cache_dtype)
+
+    context = [int(t) for t in input_ids[0]]
+    buf = _fused_token_buffer(context, gen_cfg, n_draft, ngram)
+    use_oracle = oracle is not None
+    if use_oracle:
+        orc = np.full(gen_cfg.max_new_tokens + n_draft,
+                      gen_cfg.pad_token_id or 0, np.int32)
+        n_orc = min(len(oracle), len(orc))
+        orc[:n_orc] = list(oracle)[:n_orc]
+    else:
+        orc, n_orc = np.zeros(n_draft, np.int32), 0
+
+    buf, out_len, cache, vc, dr, ac = _spec_fused_jit(
+        params, cache, jnp.asarray(buf), jnp.asarray(s, jnp.int32),
+        tok0.astype(jnp.int32), jnp.asarray(orc),
+        jnp.asarray(n_orc, jnp.int32), model_forward=model_forward,
+        model_cfg=model_cfg, gen_cfg=gen_cfg, n_draft=n_draft,
+        ngram=ngram, use_oracle=use_oracle)
+    n = int(out_len)
+    out = [int(t) for t in np.asarray(buf[s:s + n])]
+    stats = {"verify_calls": int(vc), "drafted": int(dr),
+             "accepted": int(ac)}
+    return out, stats
+
+
 def decode_from_cache(
     params, model_cfg, model_forward, cache, length: int,
     context: List[int], tok0: int, gen_cfg: GenerationConfig,

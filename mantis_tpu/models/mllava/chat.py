@@ -21,7 +21,7 @@ from mantis_tpu.generation.sampler import GenerationConfig, generate
 from mantis_tpu.models.configs import LlavaConfig
 from mantis_tpu.models.conversation import conv_mllava_v1, conv_templates
 from mantis_tpu.models.mllava import model as mllava_model
-from mantis_tpu.generation.speculative import speculative_generate
+from mantis_tpu.generation.speculative import speculative_generate_fused
 from mantis_tpu.models.mllava.processor import MLlavaProcessor
 
 
@@ -70,7 +70,7 @@ class MantisLlava:
             prompt, images, truncation=True, max_length=max_input_length)
         if self.speculative > 0 and not gen_cfg.do_sample \
                 and np.asarray(inputs["input_ids"]).shape[0] == 1:
-            out, _ = speculative_generate(
+            out, _ = speculative_generate_fused(
                 self.params, self.cfg, mllava_model.forward,
                 inputs["input_ids"], inputs.get("pixel_values"),
                 gen_cfg=gen_cfg, cache_dtype=self.cache_dtype,

@@ -34,7 +34,10 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 from mantis_tpu.generation.sampler import GenerationConfig
-from mantis_tpu.generation.speculative import speculative_generate
+from mantis_tpu.generation.speculative import (
+    speculative_generate,
+    speculative_generate_fused,
+)
 from mantis_tpu.models import llama
 from mantis_tpu.models.configs import LlamaConfig
 from mantis_tpu.models.llama import KVCache
@@ -158,18 +161,80 @@ def bench_plain_fused(params, ids):
     return MAX_NEW / (time.perf_counter() - t0)
 
 
+def _spec_prefill(params, ids, gen_cfg, n_draft):
+    """Untimed prompt prefill (shared by both speculative variants) so
+    every reported number is DECODE-ONLY tok/s, comparable with the
+    plain fused loop's."""
+    from mantis_tpu.generation.speculative import _prefill_jit
+
+    s = ids.shape[1]
+    tok0, cache = _prefill_jit(
+        params, jnp.asarray(ids, jnp.int32), None,
+        jnp.asarray(s, jnp.int32), model_forward=lm_forward,
+        model_cfg=CFG, max_new=gen_cfg.max_new_tokens + n_draft + 1,
+        cache_dtype=jnp.int8)
+    t0 = int(tok0[0])  # sync
+    return t0, tok0, cache
+
+
 def bench_speculative(params, ids, n_draft, draft_fn=None):
+    from mantis_tpu.generation.speculative import decode_from_cache
+
     gen_cfg = GenerationConfig(max_new_tokens=MAX_NEW, do_sample=False,
                                eos_token_ids=(), pad_token_id=0)
-    # warm compile on a distinct prompt
-    speculative_generate(params, CFG, lm_forward, ids + 3,
-                         gen_cfg=gen_cfg, cache_dtype=jnp.int8,
-                         n_draft=n_draft)
-    t0 = time.perf_counter()
-    out, stats = speculative_generate(
-        params, CFG, lm_forward, ids, gen_cfg=gen_cfg,
-        cache_dtype=jnp.int8, n_draft=n_draft, draft_fn=draft_fn)
-    dt = time.perf_counter() - t0
+    s = ids.shape[1]
+
+    def run(prompt):
+        t0, _, cache = _spec_prefill(params, prompt, gen_cfg, n_draft)
+        ctx = [int(t) for t in prompt[0]]
+        tw = time.perf_counter()
+        out, stats, _, _ = decode_from_cache(
+            params, CFG, lm_forward, cache, s, ctx, t0, gen_cfg,
+            n_draft=n_draft, draft_fn=draft_fn)
+        return out, stats, time.perf_counter() - tw
+
+    run(ids + 3)  # warm compile on a distinct prompt
+    out, stats, dt = run(ids)
+    return len(out) / dt, stats, len(out), out
+
+
+def bench_speculative_fused(params, ids, n_draft, oracle=None):
+    """The round-3 FUSED speculative loop: drafting + verify + accept in
+    one device program — no per-call host RTT at all."""
+    from mantis_tpu.generation.speculative import (
+        _fused_token_buffer, _spec_fused_jit)
+
+    gen_cfg = GenerationConfig(max_new_tokens=MAX_NEW, do_sample=False,
+                               eos_token_ids=(), pad_token_id=0)
+    s = ids.shape[1]
+    use_oracle = oracle is not None
+    if use_oracle:
+        orc = np.zeros(MAX_NEW + n_draft, np.int32)
+        orc[:len(oracle)] = oracle
+        n_orc = len(oracle)
+    else:
+        orc, n_orc = np.zeros(n_draft, np.int32), 0
+
+    def run(prompt):
+        _, tok0, cache = _spec_prefill(params, prompt, gen_cfg, n_draft)
+        ctx = [int(t) for t in prompt[0]]
+        buf = _fused_token_buffer(ctx, gen_cfg, n_draft, 3)
+        tw = time.perf_counter()
+        buf, out_len, cache, vc, dr, ac = _spec_fused_jit(
+            params, cache, jnp.asarray(buf), jnp.asarray(s, jnp.int32),
+            tok0.astype(jnp.int32), jnp.asarray(orc),
+            jnp.asarray(n_orc, jnp.int32), model_forward=lm_forward,
+            model_cfg=CFG, gen_cfg=gen_cfg, n_draft=n_draft, ngram=3,
+            use_oracle=use_oracle)
+        n = int(out_len)  # sync
+        dt = time.perf_counter() - tw
+        out = [int(t) for t in np.asarray(buf[s:s + n])]
+        stats = {"verify_calls": int(vc), "drafted": int(dr),
+                 "accepted": int(ac)}
+        return out, stats, dt
+
+    run(ids + 3)  # warm compile on a distinct prompt
+    out, stats, dt = run(ids)
     return len(out) / dt, stats, len(out), out
 
 
@@ -213,6 +278,21 @@ def main():
         params, prompts["random"], n_draft, draft_fn=oracle)
     assert out == greedy_out, "oracle drafts changed the output"
     report(f"spec k={n_draft} ORACLE [ best-case]", tok_s, stats, n)
+
+    # round 3: the FUSED speculative loop (one device program) — the
+    # host-RTT penalty disappears, so the worst case tracks the plain
+    # fused loop and the best case keeps the full amortization.
+    for name, ids in prompts.items():
+        tok_s, stats, n, out = bench_speculative_fused(
+            params, ids, n_draft)
+        if name == "random":
+            assert out == greedy_out, "fused lookup changed the output"
+        report(f"FUSED k={n_draft} lookup [{name:>10}]", tok_s, stats, n)
+
+    tok_s, stats, n, out = bench_speculative_fused(
+        params, prompts["random"], n_draft, oracle=greedy_out)
+    assert out == greedy_out, "fused oracle changed the output"
+    report(f"FUSED k={n_draft} ORACLE [ best-case]", tok_s, stats, n)
 
 
 if __name__ == "__main__":

@@ -11,7 +11,9 @@ import jax.numpy as jnp
 from mantis_tpu.generation.sampler import GenerationConfig, generate
 from mantis_tpu.generation.speculative import (
     prompt_lookup_draft,
+    prompt_lookup_draft_jax,
     speculative_generate,
+    speculative_generate_fused,
 )
 from mantis_tpu.models.configs import LlamaConfig, LlavaConfig, VisionConfig
 from mantis_tpu.models.mllava import model as mllava_model
@@ -40,8 +42,31 @@ def test_prompt_lookup_draft():
     assert prompt_lookup_draft([4, 4, 4, 4], 2, ngram=2) == [4, 4]
 
 
+def test_prompt_lookup_draft_jax_matches_host():
+    """The in-graph n-gram match reproduces the host implementation
+    (first occurrence wins, continuation truncated at the live length)
+    on random token streams of every length."""
+    rng = np.random.RandomState(7)
+    for trial in range(40):
+        n = rng.randint(1, 40)
+        vocab = rng.choice([3, 8, 50])  # small vocab => frequent matches
+        toks = rng.randint(0, vocab, size=n).tolist()
+        for ngram, k in ((2, 3), (3, 5)):
+            want = prompt_lookup_draft(toks, k, ngram=ngram)
+            buf = np.zeros(64, np.int32)
+            buf[:n] = toks
+            # junk beyond the live length must not influence the match
+            buf[n:] = rng.randint(0, vocab, size=64 - n)
+            drafts, dlen = prompt_lookup_draft_jax(
+                jnp.asarray(buf), jnp.asarray(n, jnp.int32),
+                n_draft=k, ngram=ngram)
+            got = [int(t) for t in np.asarray(drafts)[: int(dlen)]]
+            assert got == want, (trial, toks, ngram, k, got, want)
+
+
 @pytest.mark.parametrize("repetitive", [True, False])
-def test_speculative_matches_plain_greedy(repetitive):
+@pytest.mark.parametrize("fused", [True, False])
+def test_speculative_matches_plain_greedy(repetitive, fused):
     cfg = tiny_cfg()
     params = mllava_model.init_params(cfg, jax.random.PRNGKey(3))
     rng = np.random.RandomState(0)
@@ -63,7 +88,8 @@ def test_speculative_matches_plain_greedy(repetitive):
     stop = next((i for i, t in enumerate(ref) if t == 2), len(ref))
     ref = ref[:stop + 1] if stop < len(ref) else ref
 
-    out, stats = speculative_generate(
+    spec_fn = speculative_generate_fused if fused else speculative_generate
+    out, stats = spec_fn(
         params, cfg, mllava_model.forward, ids, pix, gen_cfg=gen_cfg,
         cache_dtype=jnp.float32, n_draft=4, ngram=3)
     assert out[:len(ref)] == ref, (out, ref)
@@ -71,6 +97,49 @@ def test_speculative_matches_plain_greedy(repetitive):
     assert stats["accepted"] <= stats["drafted"]
     # every verify emits at least one token: the call count is bounded
     assert stats["verify_calls"] <= len(out)
+
+
+def test_fused_and_host_speculative_agree_exactly():
+    """Fused and host-stepped speculative emit identical tokens AND
+    identical accept statistics (same draft source, same accept rule)."""
+    cfg = tiny_cfg()
+    params = mllava_model.init_params(cfg, jax.random.PRNGKey(3))
+    rng = np.random.RandomState(2)
+    block = rng.randint(2, 90, size=6).tolist()
+    ids = np.array([[1] + block * 5 + block[:3]])
+    gen_cfg = GenerationConfig(max_new_tokens=16, do_sample=False,
+                               eos_token_ids=(2,), pad_token_id=0)
+    host = speculative_generate(
+        params, cfg, mllava_model.forward, ids, gen_cfg=gen_cfg,
+        cache_dtype=jnp.float32, n_draft=3, ngram=2)
+    fused = speculative_generate_fused(
+        params, cfg, mllava_model.forward, ids, gen_cfg=gen_cfg,
+        cache_dtype=jnp.float32, n_draft=3, ngram=2)
+    assert fused[0] == host[0]
+    assert fused[1] == host[1], (fused[1], host[1])
+
+
+def test_fused_oracle_draft_exact():
+    """Oracle drafts through the fused loop: output still exactly the
+    greedy sequence, with near-total acceptance."""
+    cfg = tiny_cfg()
+    params = mllava_model.init_params(cfg, jax.random.PRNGKey(3))
+    rng = np.random.RandomState(1)
+    ids = np.array([rng.randint(2, 90, size=24).tolist()])
+    gen_cfg = GenerationConfig(max_new_tokens=12, do_sample=False,
+                               eos_token_ids=(), pad_token_id=0)
+    ref, _ = speculative_generate(
+        params, cfg, mllava_model.forward, ids, gen_cfg=gen_cfg,
+        cache_dtype=jnp.float32, n_draft=4)
+    out, stats = speculative_generate_fused(
+        params, cfg, mllava_model.forward, ids, gen_cfg=gen_cfg,
+        cache_dtype=jnp.float32, n_draft=4, oracle=ref)
+    assert out == ref
+    # oracle drafting: every verify call accepts its full window except
+    # possibly the tail one
+    assert stats["accepted"] >= stats["drafted"] - 4
+    assert stats["verify_calls"] <= -(-len(ref) // 1)  # sanity bound
+    assert stats["verify_calls"] <= (len(ref) + 4) // 5 + 1
 
 
 def test_injected_draft_fn_output_exact_and_capped():
