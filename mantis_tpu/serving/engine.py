@@ -251,6 +251,103 @@ def _decode_chunk_jit(params, cache: KVCache, toks, live, remaining,
     return out.T, tok, live, remaining, keys, cache
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("model_forward", "model_cfg", "chunk", "k", "ngram",
+                     "pad_id", "sampling"),
+    donate_argnames=("cache", "bufs"))
+def _spec_decode_chunk_jit(params, cache: KVCache, bufs, toks, live,
+                           remaining, eos_ids, temps, top_ps, keys, *,
+                           model_forward, model_cfg, chunk, k, ngram,
+                           pad_id, sampling=False):
+    """``chunk`` fused SPECULATIVE verify-steps over every slot at once
+    (continuous batching composed with the fused speculative loop of
+    generation/speculative.py).
+
+    Each step drafts up to ``k`` tokens per row by prompt-lookup over
+    the row's token-history buffer (a vectorized n-gram match — VPU
+    noise), verifies ``[pending ++ drafts]`` for ALL rows in ONE
+    (k+1)-token forward (per-row cache writes/positions, the same
+    machinery as the 1-token chunk), accepts per-row the longest prefix
+    matching the model's own greedy choice, rewinds per-row lengths
+    past rejected slots, and retires rows in-graph.  A row emits
+    between 1 and k+1 tokens per verify step at the HBM cost of ~one
+    decode step (weights dominate), so aggregate throughput rises with
+    draft acceptance and the worst case tracks the greedy chunk.
+
+    Sampling rows (temp>0) draft nothing and sample exactly one token
+    per verify step — one key split per emitted token, so their streams
+    are deterministic in (seed, prompt) and identical to the greedy
+    engine's cadence.  Greedy rows accept drafts even inside the
+    sampling program.
+
+    bufs [B, T]: per-row token history (prompt + generated, including
+    the pending token at index length[row]); invariant: row token count
+    == cache.length[row] + 1.  Returns (out [B, chunk, k+1] emitted
+    tokens pad-masked past the per-row count, counts [B, chunk], toks,
+    live, remaining, keys, cache, bufs).
+    """
+    from mantis_tpu.generation.speculative import prompt_lookup_draft_jax
+
+    k1 = k + 1
+    b = toks.shape[0]
+
+    def is_eos(t):
+        return jnp.any(t[..., None] == eos_ids, axis=-1)
+
+    def step(carry, _):
+        cache, tok, live, remaining, keys, bufs = carry
+        lens = cache.length                      # [B] KV-written counts
+        buf_len = lens + 1                       # + the pending token
+        drafts, dlen = jax.vmap(
+            lambda row, n: prompt_lookup_draft_jax(
+                row, n, n_draft=k, ngram=ngram))(bufs, buf_len)
+        if sampling:
+            dlen = jnp.where(temps > 0, 0, dlen)
+        chunk_ids = jnp.concatenate([tok[:, None], drafts], axis=1)
+        seg = jnp.broadcast_to(live.astype(jnp.int32)[:, None], (b, k1))
+        positions = (lens[:, None] + jnp.arange(k1)[None, :]) * seg
+        logits, _, cache = model_forward(
+            params, model_cfg, input_ids=chunk_ids, pixel_values=None,
+            positions=positions, segment_ids=seg, kv_cache=cache,
+            cache_attention=True)
+        lf = logits.astype(jnp.float32)          # [B, k1, V]
+        g = jnp.argmax(lf, -1).astype(jnp.int32)
+        if sampling:
+            split = jax.vmap(jax.random.split)(keys)
+            keys2, use = split[:, 0], split[:, 1]
+            s0 = _sample_rows(use, lf[:, 0], temps, top_ps)
+            keys = jnp.where((temps > 0)[:, None], keys2, keys)
+            g = g.at[:, 0].set(jnp.where(temps > 0, s0, g[:, 0]))
+        idx = jnp.arange(k)[None, :]
+        ok = ((idx < dlen[:, None]) & (drafts == g[:, :k])
+              & ~is_eos(g[:, :k]) & (idx < (remaining[:, None] - 1)))
+        a = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)
+        a = jnp.where(live, a, 0)
+        n_emit = jnp.where(live, a + 1, 0)
+        # the forward advanced every row by k1; rewind to the accepted
+        # prefix (stale KV past the new length stays causally masked)
+        cache = dataclasses.replace(cache, length=lens + n_emit)
+        nxt = jnp.take_along_axis(g, a[:, None], axis=1)[:, 0]
+        nxt = jnp.where(live, nxt, pad_id)
+        remaining = remaining - n_emit
+        live = live & ~is_eos(nxt) & (remaining > 0)
+        emit_mask = jnp.arange(k1)[None, :] < n_emit[:, None]
+        out_toks = jnp.where(emit_mask, g, pad_id)
+        bufs = jax.vmap(
+            lambda row, gi, o: jax.lax.dynamic_update_slice(
+                row, gi, (o,)))(bufs, g, buf_len)
+        return (cache, nxt, live, remaining, keys, bufs), \
+            (out_toks, n_emit)
+
+    (cache, tok, live, remaining, keys, bufs), (out, counts) = \
+        jax.lax.scan(step, (cache, toks, live, remaining, keys, bufs),
+                     None, length=chunk)
+    # out [chunk, B, k1] -> [B, chunk, k1]; counts [chunk, B] -> [B, chunk]
+    return (out.transpose(1, 0, 2), counts.T, tok, live, remaining,
+            keys, cache, bufs)
+
+
 # ---------------------------------------------------------------------------
 # engine
 # ---------------------------------------------------------------------------
@@ -295,7 +392,8 @@ class ContinuousBatchingEngine:
                  prefill_buckets=(64, 128, 256, 512, 1024, 2048),
                  max_admits_per_chunk: int = 2,
                  max_cached_prefixes: int = 2,
-                 min_prefix_tokens: int = 32):
+                 min_prefix_tokens: int = 32,
+                 spec_tokens: int = 0, spec_ngram: int = 3):
         from mantis_tpu.models.mllava import model as mllava_model
 
         self.model = model
@@ -303,6 +401,10 @@ class ContinuousBatchingEngine:
         self.max_slots = max_slots
         self.slot_ctx = slot_ctx
         self.chunk_tokens = chunk_tokens
+        # speculative verify-steps inside the shared decode chunk
+        # (greedy rows draft spec_tokens by prompt-lookup; 0 = off)
+        self.spec_tokens = spec_tokens
+        self.spec_ngram = spec_ngram
         # a bucket longer than slot_ctx could never be inserted
         self.prefill_buckets = tuple(
             b for b in sorted(prefill_buckets) if b <= slot_ctx)
@@ -322,7 +424,8 @@ class ContinuousBatchingEngine:
         self.counters = {"prefills": 0, "decode_chunks": 0,
                          "tokens_out": 0, "requests": 0,
                          "chunk_slot_steps": 0, "prefix_hits": 0,
-                         "prefix_tokens_reused": 0}
+                         "prefix_tokens_reused": 0,
+                         "spec_extra_tokens": 0}
         _, terminators = model.pick_conversation()
         self.eos_ids = jnp.asarray(
             list(terminators) or [model.processor.tokenizer.eos_token_id],
@@ -342,6 +445,11 @@ class ContinuousBatchingEngine:
         self.top_ps = jnp.ones((max_slots,), jnp.float32)
         self.keys = jnp.zeros((max_slots, 2), jnp.uint32)
         self._auto_seed = 0
+        # per-row token-history buffers for in-graph prompt-lookup;
+        # sized so the k1-token buffer write never clamps
+        self.buf_t = slot_ctx + spec_tokens + 2
+        self.bufs = (jnp.full((max_slots, self.buf_t), self.pad_id,
+                              jnp.int32) if spec_tokens else None)
 
         self.slots: List[Optional[_Slot]] = [None] * max_slots
         self.pending: "queue.Queue[_Request]" = queue.Queue()
@@ -355,7 +463,10 @@ class ContinuousBatchingEngine:
                    temperature: float = 0.0, top_p: float = 1.0,
                    seed: Optional[int] = None,
                    stream: bool = False) -> _Request:
-        need = len(ids) + max_new + 1
+        # speculative verify chunks need spec_tokens+1 KV headroom past
+        # the last decoded position (same invariant as the single-stream
+        # speculative loop)
+        need = len(ids) + max_new + 1 + self.spec_tokens
         if need > self.slot_ctx:
             raise ValueError(
                 f"prompt {len(ids)} + max_new {max_new} exceeds "
@@ -603,6 +714,11 @@ class ContinuousBatchingEngine:
         self.live = self.live.at[slot_idx].set(True)
         self.remaining = self.remaining.at[slot_idx].set(
             req.max_new - 1)
+        if self.spec_tokens:
+            row = np.full(self.buf_t, self.pad_id, np.int32)
+            row[:n] = req.ids
+            row[n] = first
+            self.bufs = self.bufs.at[slot_idx].set(jnp.asarray(row))
         self.temps = self.temps.at[slot_idx].set(req.temperature)
         self.top_ps = self.top_ps.at[slot_idx].set(req.top_p)
         self.keys = self.keys.at[slot_idx].set(kd)
@@ -667,6 +783,36 @@ class ContinuousBatchingEngine:
             # the program with no sampling ops at all
             sampling = any(s is not None and s.req.sampling
                            for s in self.slots)
+            if self.spec_tokens:
+                (out, counts, self.toks, live, self.remaining,
+                 self.keys, self.cache, self.bufs) = \
+                    _spec_decode_chunk_jit(
+                        model.params, self.cache, self.bufs, self.toks,
+                        self.live, self.remaining, self.eos_ids,
+                        self.temps, self.top_ps, self.keys,
+                        model_forward=self.forward, model_cfg=model.cfg,
+                        chunk=self.chunk_tokens, k=self.spec_tokens,
+                        ngram=self.spec_ngram, pad_id=self.pad_id,
+                        sampling=sampling)
+                out_np = np.asarray(out)       # one device sync / chunk
+                counts_np = np.asarray(counts)
+                live_np = np.asarray(live)
+                self.live = live
+                self.counters["decode_chunks"] += 1
+                self.counters["chunk_slot_steps"] += self.chunk_tokens
+                self.counters["spec_extra_tokens"] += int(
+                    (counts_np - (counts_np > 0)).sum())
+                for i in range(self.max_slots):
+                    if self.slots[i] is None:
+                        continue
+                    toks: List[int] = []
+                    for st in range(self.chunk_tokens):
+                        toks.extend(
+                            out_np[i, st, :counts_np[i, st]].tolist())
+                    self._deliver(i, toks)
+                    if self.slots[i] is not None and not live_np[i]:
+                        self._retire(i)
+                continue
             (out, self.toks, live, self.remaining, self.keys,
              self.cache) = _decode_chunk_jit(
                 model.params, self.cache, self.toks, self.live,

@@ -332,9 +332,6 @@ def main():
                         "(shared system prompts / few-shot headers; "
                         "0 = off)")
     args = p.parse_args()
-    if args.continuous_batching and args.speculative:
-        raise SystemExit("--continuous_batching and --speculative are "
-                         "mutually exclusive decode schedulers")
 
     from mantis_tpu.benchmark.adapters import MLLM_Models
 
@@ -354,7 +351,7 @@ def main():
         raise SystemExit(
             f"--kv_cache {args.kv_cache}: adapter "
             f"{type(adapter).__name__} has no cache_dtype")
-    if args.speculative:
+    if args.speculative and not args.continuous_batching:
         # same resolution order as --kv_cache: the adapter itself,
         # then its inner model (MantisTPUAdapter holds a MantisLlava)
         spec_target = (adapter if hasattr(adapter, "speculative")
@@ -378,7 +375,8 @@ def main():
             inner, max_new_tokens=args.max_new_tokens,
             max_slots=args.max_slots, slot_ctx=args.slot_ctx,
             chunk_tokens=args.chunk_tokens,
-            max_cached_prefixes=args.prefix_cache)
+            max_cached_prefixes=args.prefix_cache,
+            spec_tokens=args.speculative)
     srv = make_server(adapter, args.host, args.port,
                       model_id=args.model,
                       allow_local_files=args.allow_local_files)

@@ -611,3 +611,156 @@ def test_engine_with_tp_sharded_params():
            for t, s in prompts]
     assert got == expected
     eng_tp.engine.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Speculative decoding inside the engine (round 3)
+# ---------------------------------------------------------------------------
+
+def test_spec_engine_token_identity_under_load():
+    """Continuous batching composed with speculative verify-steps
+    (spec_tokens>0): every reply under concurrent load must be exactly
+    the non-speculative engine's greedy output (f32 CPU — greedy
+    verification makes acceptance invisible in the tokens)."""
+    from mantis_tpu.serving.engine import EngineAdapter
+
+    model = _tiny_mantis()
+
+    def msgs(text, seeds):
+        out = []
+        for part in text.split("<image>"):
+            out.append({"type": "text", "content": part})
+            if seeds:
+                out.append({"type": "image",
+                            "content": _img(seeds.pop(0))})
+        return [m for m in out if m.get("content") != ""]
+
+    plain = EngineAdapter(model, max_new_tokens=12, max_slots=2,
+                          slot_ctx=128, chunk_tokens=3,
+                          prefill_buckets=(32, 64))
+    expected = [plain(msgs(t, list(s) if s else None))
+                for t, s in PROMPTS]
+    plain.engine.shutdown()
+
+    eng = EngineAdapter(model, max_new_tokens=12, max_slots=2,
+                        slot_ctx=128, chunk_tokens=3,
+                        prefill_buckets=(32, 64), spec_tokens=3,
+                        spec_ngram=1)
+    results = [None] * len(PROMPTS)
+    errs = []
+
+    def worker(i):
+        t, s = PROMPTS[i]
+        try:
+            results[i] = eng(msgs(t, list(s) if s else None))
+        except Exception as e:
+            errs.append((i, e))
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(PROMPTS))]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errs, errs
+    assert results == expected
+    s = eng.engine.stats()
+    assert s["requests"] == len(PROMPTS)
+    # the accept counter is wired (>0 requires n-gram recurrence in the
+    # toy generations, asserted separately below)
+    assert s["spec_extra_tokens"] >= 0
+    eng.engine.shutdown()
+
+
+def test_spec_engine_accepts_drafts_on_repetitive_stream():
+    """A generation that repeats n-grams must actually accept drafts:
+    spec_extra_tokens > 0 and fewer decode chunks than the plain engine
+    for the same tokens."""
+    from mantis_tpu.serving.engine import ContinuousBatchingEngine
+
+    model = _tiny_mantis()
+    tok = model.processor.tokenizer
+    # a long repeated block primes prompt-lookup: the model's greedy
+    # continuation of a repeating context tends to repeat, and with
+    # ngram=1 any recurrence drafts
+    ids = tok("one two three four five one two three four five one two "
+              "three four five one two")["input_ids"]
+    eng = ContinuousBatchingEngine(model, max_slots=2, slot_ctx=256,
+                                   chunk_tokens=3,
+                                   prefill_buckets=(64,),
+                                   spec_tokens=3, spec_ngram=1)
+    out_spec = eng.generate_sync(ids, None, 24)
+    stats = eng.stats()
+    eng.shutdown()
+
+    plain = ContinuousBatchingEngine(model, max_slots=2, slot_ctx=256,
+                                     chunk_tokens=3,
+                                     prefill_buckets=(64,))
+    out_plain = plain.generate_sync(ids, None, 24)
+    plain.shutdown()
+    assert out_spec == out_plain
+    assert stats["spec_extra_tokens"] > 0, stats
+
+
+def test_spec_engine_sampling_determinism_and_greedy_isolation():
+    """Sampling composes with the speculative engine: sampled rows
+    draft nothing (one key split per emitted token — the same cadence
+    as the plain engine, so the same (seed, prompt) tokens), and a
+    greedy co-resident still accepts drafts and matches the plain
+    engine's greedy reply."""
+    from mantis_tpu.serving.engine import EngineAdapter
+
+    model = _tiny_mantis()
+    greedy_msgs = [{"type": "text", "content": "tell me more about it"}]
+    samp_msgs = [{"type": "text", "content": "hello there one two"}]
+
+    plain = EngineAdapter(model, max_new_tokens=8, max_slots=2,
+                          slot_ctx=128, chunk_tokens=3,
+                          prefill_buckets=(32, 64))
+    expected_greedy = plain(greedy_msgs)
+    expected_samp = plain(samp_msgs, temperature=0.9, top_p=0.95,
+                          seed=7)
+    plain.engine.shutdown()
+
+    eng = EngineAdapter(model, max_new_tokens=8, max_slots=2,
+                        slot_ctx=128, chunk_tokens=3,
+                        prefill_buckets=(32, 64), spec_tokens=3,
+                        spec_ngram=1)
+    results = {}
+
+    def run(name, msgs, **kw):
+        results[name] = eng(msgs, **kw)
+
+    threads = [
+        threading.Thread(target=run, args=("greedy", greedy_msgs)),
+        threading.Thread(target=run, args=("samp", samp_msgs),
+                         kwargs=dict(temperature=0.9, top_p=0.95,
+                                     seed=7)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert results["greedy"] == expected_greedy
+    assert results["samp"] == expected_samp
+    eng.engine.shutdown()
+
+
+def test_spec_engine_budget_and_headroom():
+    """max_new is respected exactly through multi-token emissions, and
+    the submit guard accounts for the speculative KV headroom."""
+    from mantis_tpu.serving.engine import ContinuousBatchingEngine
+
+    model = _tiny_mantis()
+    tok = model.processor.tokenizer
+    ids = tok("one two three four five one two three")["input_ids"]
+    eng = ContinuousBatchingEngine(model, max_slots=2, slot_ctx=64,
+                                   chunk_tokens=3,
+                                   prefill_buckets=(32,),
+                                   spec_tokens=3, spec_ngram=1)
+    out = eng.generate_sync(ids, None, 2)
+    assert len(out) <= 2
+    with pytest.raises(ValueError, match="exceeds"):
+        # 32-token prompt + 29 max_new + 1 + 3 spec headroom > 64
+        eng.submit_ids(list(range(3, 35)), None, 29)
+    eng.shutdown()
