@@ -171,6 +171,47 @@ def _prefill_suffix_jit(params, prefix: KVCache, suffix_ids,
     return tok0[0], cache
 
 
+@functools.partial(
+    jax.jit, static_argnames=("model_forward", "model_cfg", "tbucket",
+                              "cbucket", "sampling", "emit"),
+    donate_argnames=("cache",))
+def _prefill_piece_jit(params, cache: KVCache, piece_ids, pixel_values,
+                       offset, n_valid, temp, top_p, key, *,
+                       model_forward, model_cfg, tbucket, cbucket,
+                       sampling=False, emit=False):
+    """One CHUNKED-prefill piece: run ``piece_ids`` [1, cbucket] through
+    the model with ``cache_attention=True`` against the scratch cache's
+    first ``offset`` positions (incremental prefill — the same primitive
+    as multi-turn KV reuse), writing its KV at [offset, offset+cbucket).
+    Long prompts admit as a sequence of pieces with decode chunks
+    interleaved, so co-resident streams stall for at most one piece
+    instead of one full prompt.  ``emit`` (last piece) also returns the
+    prompt's first generated token.  Image features merge positionally
+    within the piece (cumsum over its own <image> tokens), so callers
+    must never split an image-token span across pieces and must pass
+    exactly the piece's images."""
+    assert cache.k.shape[2] == tbucket
+    seg_q = (jnp.arange(cbucket)[None, :] < n_valid).astype(jnp.int32)
+    positions = (offset + jnp.arange(cbucket)[None, :]) * seg_q
+    logits, _, cache = model_forward(
+        params, model_cfg, input_ids=piece_ids,
+        pixel_values=pixel_values, positions=positions,
+        segment_ids=seg_q, kv_cache=cache, cache_attention=True)
+    # the forward advanced length by cbucket; only n_valid are real
+    cache = dataclasses.replace(
+        cache, length=(offset + n_valid).astype(jnp.int32))
+    if not emit:
+        return None, cache
+    last = jnp.take_along_axis(
+        logits, jnp.reshape(n_valid - 1, (1, 1, 1)), axis=1)[:, 0]
+    last = last.astype(jnp.float32)
+    if sampling:
+        tok0 = _sample_rows(key[None, :], last, temp[None], top_p[None])
+    else:
+        tok0 = jnp.argmax(last, -1).astype(jnp.int32)
+    return tok0[0], cache
+
+
 @functools.partial(jax.jit, donate_argnames=("big",))
 def _insert_slot_jit(big: KVCache, small: KVCache, slot, true_len):
     """Scatter a scratch prefill cache into slot ``slot`` of the big
@@ -352,6 +393,23 @@ def _spec_decode_chunk_jit(params, cache: KVCache, bufs, toks, live,
 # engine
 # ---------------------------------------------------------------------------
 
+def _plan_pieces(n: int, runs, chunk: int):
+    """[(start, end)] covering [0, n) in ~chunk-token pieces that never
+    split an image-token run; a run longer than ``chunk`` becomes its
+    own piece (image features merge by cumsum WITHIN a forward, so a
+    split run would pair patches with the wrong image)."""
+    pieces, p = [], 0
+    while p < n:
+        q = min(p + chunk, n)
+        for (s, e) in runs:
+            if s < q < e:
+                q = s if s > p else min(e, n)
+                break
+        pieces.append((p, q))
+        p = q
+    return pieces
+
+
 class _Request:
     def __init__(self, ids: List[int], pixel_values, max_new: int,
                  temperature: float = 0.0, top_p: float = 1.0,
@@ -365,6 +423,9 @@ class _Request:
         self.tokens: List[int] = []
         self.error: Optional[Exception] = None
         self.done = threading.Event()
+        # set by the consumer (e.g. a stop-sequence hit) — the scheduler
+        # retires the slot at the next chunk boundary
+        self.cancelled = False
         # streaming consumers drain tokens as they are delivered;
         # None is the end-of-stream sentinel
         self.stream_q: Optional["queue.Queue"] = (
@@ -393,7 +454,8 @@ class ContinuousBatchingEngine:
                  max_admits_per_chunk: int = 2,
                  max_cached_prefixes: int = 2,
                  min_prefix_tokens: int = 32,
-                 spec_tokens: int = 0, spec_ngram: int = 3):
+                 spec_tokens: int = 0, spec_ngram: int = 3,
+                 prefill_chunk: int = 0):
         from mantis_tpu.models.mllava import model as mllava_model
 
         self.model = model
@@ -405,6 +467,11 @@ class ContinuousBatchingEngine:
         # (greedy rows draft spec_tokens by prompt-lookup; 0 = off)
         self.spec_tokens = spec_tokens
         self.spec_ngram = spec_ngram
+        # chunked prefill: admit prompts longer than this in pieces,
+        # running a decode chunk for co-residents between pieces so
+        # live streams stall at most one piece per admission (0 = off,
+        # whole-prompt prefill)
+        self.prefill_chunk = prefill_chunk
         # a bucket longer than slot_ctx could never be inserted
         self.prefill_buckets = tuple(
             b for b in sorted(prefill_buckets) if b <= slot_ctx)
@@ -425,7 +492,8 @@ class ContinuousBatchingEngine:
                          "tokens_out": 0, "requests": 0,
                          "chunk_slot_steps": 0, "prefix_hits": 0,
                          "prefix_tokens_reused": 0,
-                         "spec_extra_tokens": 0}
+                         "spec_extra_tokens": 0,
+                         "prefill_pieces": 0}
         _, terminators = model.pick_conversation()
         self.eos_ids = jnp.asarray(
             list(terminators) or [model.processor.tokenizer.eos_token_id],
@@ -683,6 +751,10 @@ class ContinuousBatchingEngine:
                 self.counters["prefix_hits"] += 1
                 self.counters["prefix_tokens_reused"] += mlen
                 bucket = tbucket
+            elif self.prefill_chunk and n > self.prefill_chunk:
+                bucket = self._bucket_for(n)
+                tok0, scratch = self._prefill_chunked(
+                    req, bucket, temp, top_p, kp)
             else:
                 bucket = self._bucket_for(n)
                 padded = req.ids + [self.pad_id] * (bucket - n)
@@ -723,6 +795,48 @@ class ContinuousBatchingEngine:
         self.top_ps = self.top_ps.at[slot_idx].set(req.top_p)
         self.keys = self.keys.at[slot_idx].set(kd)
 
+    def _prefill_chunked(self, req: _Request, tbucket: int, temp, top_p,
+                         kp):
+        """Admit a long prompt as a sequence of ~prefill_chunk-token
+        incremental-prefill pieces into one scratch cache, running a
+        decode chunk for co-resident streams between pieces — the
+        admission stall per live stream drops from one full-prompt
+        prefill to one piece.  Piece boundaries never split an image
+        span; each piece carries exactly its own images (features merge
+        positionally within a forward)."""
+        model = self.model
+        ids, n = req.ids, len(req.ids)
+        runs = self._image_runs(ids)
+        pieces = _plan_pieces(n, runs, self.prefill_chunk)
+        cache = KVCache.create(model.cfg.text_config, 1, tbucket,
+                               dtype=model.cache_dtype)
+        pix = (None if req.pixel_values is None
+               else np.asarray(req.pixel_values))
+        tok0 = None
+        for pi, (p, q) in enumerate(pieces):
+            last = pi == len(pieces) - 1
+            # cap the piece bucket to the scratch room at offset p: a
+            # bucket overflowing tbucket would clamp the KV write and
+            # corrupt earlier positions
+            cb = min(self._bucket_for(q - p), tbucket - p)
+            piece = ids[p:q] + [self.pad_id] * (cb - (q - p))
+            pp = None
+            if pix is not None:
+                lo = sum(1 for (_, e) in runs if e <= p)
+                hi = sum(1 for (_, e) in runs if e <= q)
+                if hi > lo:
+                    pp = jnp.asarray(pix[lo:hi])
+            tok0, cache = _prefill_piece_jit(
+                model.params, cache, jnp.asarray([piece]), pp,
+                jnp.asarray(p, jnp.int32), jnp.asarray(q - p, jnp.int32),
+                temp, top_p, kp, model_forward=self.forward,
+                model_cfg=model.cfg, tbucket=tbucket, cbucket=cb,
+                sampling=req.sampling, emit=last)
+            self.counters["prefill_pieces"] += 1
+            if not last and any(s is not None for s in self.slots):
+                self._decode_once()
+        return tok0, cache
+
     def _admit(self):
         admitted = 0
         any_live = any(s is not None for s in self.slots)
@@ -735,6 +849,9 @@ class ContinuousBatchingEngine:
                 req = self.pending.get_nowait()
             except queue.Empty:
                 return
+            if req.cancelled:
+                self._finish(req)
+                continue
             self._admit_one(req, i)
             admitted += 1
 
@@ -772,67 +889,77 @@ class ContinuousBatchingEngine:
         self._finish(slot.req)
 
     def _loop(self):
-        model = self.model
         while not self._stop:
             self._admit()
+            for i in range(self.max_slots):
+                s = self.slots[i]
+                if s is not None and s.req.cancelled:
+                    self._retire(i)
             if not any(s is not None for s in self.slots):
                 self._wake.wait(timeout=0.5)
                 self._wake.clear()
                 continue
-            # static program select: greedy-only populations dispatch
-            # the program with no sampling ops at all
-            sampling = any(s is not None and s.req.sampling
-                           for s in self.slots)
-            if self.spec_tokens:
-                (out, counts, self.toks, live, self.remaining,
-                 self.keys, self.cache, self.bufs) = \
-                    _spec_decode_chunk_jit(
-                        model.params, self.cache, self.bufs, self.toks,
-                        self.live, self.remaining, self.eos_ids,
-                        self.temps, self.top_ps, self.keys,
-                        model_forward=self.forward, model_cfg=model.cfg,
-                        chunk=self.chunk_tokens, k=self.spec_tokens,
-                        ngram=self.spec_ngram, pad_id=self.pad_id,
-                        sampling=sampling)
-                out_np = np.asarray(out)       # one device sync / chunk
-                counts_np = np.asarray(counts)
-                live_np = np.asarray(live)
-                self.live = live
-                self.counters["decode_chunks"] += 1
-                self.counters["chunk_slot_steps"] += self.chunk_tokens
-                self.counters["spec_extra_tokens"] += int(
-                    (counts_np - (counts_np > 0)).sum())
-                for i in range(self.max_slots):
-                    if self.slots[i] is None:
-                        continue
-                    toks: List[int] = []
-                    for st in range(self.chunk_tokens):
-                        toks.extend(
-                            out_np[i, st, :counts_np[i, st]].tolist())
-                    self._deliver(i, toks)
-                    if self.slots[i] is not None and not live_np[i]:
-                        self._retire(i)
-                continue
-            (out, self.toks, live, self.remaining, self.keys,
-             self.cache) = _decode_chunk_jit(
-                model.params, self.cache, self.toks, self.live,
-                self.remaining, self.eos_ids, self.temps, self.top_ps,
-                self.keys, model_forward=self.forward,
-                model_cfg=model.cfg, chunk=self.chunk_tokens,
-                pad_id=self.pad_id, sampling=sampling)
+            self._decode_once()
+
+    def _decode_once(self):
+        """One decode chunk for every live slot (also called between
+        chunked-prefill pieces so an admission stalls co-residents for
+        at most one piece)."""
+        model = self.model
+        # static program select: greedy-only populations dispatch
+        # the program with no sampling ops at all
+        sampling = any(s is not None and s.req.sampling
+                       for s in self.slots)
+        if self.spec_tokens:
+            (out, counts, self.toks, live, self.remaining,
+             self.keys, self.cache, self.bufs) = \
+                _spec_decode_chunk_jit(
+                    model.params, self.cache, self.bufs, self.toks,
+                    self.live, self.remaining, self.eos_ids,
+                    self.temps, self.top_ps, self.keys,
+                    model_forward=self.forward, model_cfg=model.cfg,
+                    chunk=self.chunk_tokens, k=self.spec_tokens,
+                    ngram=self.spec_ngram, pad_id=self.pad_id,
+                    sampling=sampling)
             out_np = np.asarray(out)           # one device sync / chunk
+            counts_np = np.asarray(counts)
             live_np = np.asarray(live)
             self.live = live
             self.counters["decode_chunks"] += 1
             self.counters["chunk_slot_steps"] += self.chunk_tokens
+            self.counters["spec_extra_tokens"] += int(
+                (counts_np - (counts_np > 0)).sum())
             for i in range(self.max_slots):
                 if self.slots[i] is None:
                     continue
-                self._deliver(i, out_np[i].tolist())
+                toks: List[int] = []
+                for st in range(self.chunk_tokens):
+                    toks.extend(
+                        out_np[i, st, :counts_np[i, st]].tolist())
+                self._deliver(i, toks)
                 if self.slots[i] is not None and not live_np[i]:
-                    # device retired it (eos/budget inside the chunk)
-                    # before _deliver saw the stop condition
                     self._retire(i)
+            return
+        (out, self.toks, live, self.remaining, self.keys,
+         self.cache) = _decode_chunk_jit(
+            model.params, self.cache, self.toks, self.live,
+            self.remaining, self.eos_ids, self.temps, self.top_ps,
+            self.keys, model_forward=self.forward,
+            model_cfg=model.cfg, chunk=self.chunk_tokens,
+            pad_id=self.pad_id, sampling=sampling)
+        out_np = np.asarray(out)               # one device sync / chunk
+        live_np = np.asarray(live)
+        self.live = live
+        self.counters["decode_chunks"] += 1
+        self.counters["chunk_slot_steps"] += self.chunk_tokens
+        for i in range(self.max_slots):
+            if self.slots[i] is None:
+                continue
+            self._deliver(i, out_np[i].tolist())
+            if self.slots[i] is not None and not live_np[i]:
+                # device retired it (eos/budget inside the chunk)
+                # before _deliver saw the stop condition
+                self._retire(i)
 
 
 # ---------------------------------------------------------------------------
@@ -851,6 +978,9 @@ class EngineAdapter:
     support_multi_image = True
     # tells serving/server.py to skip its serialization lock
     concurrent_safe = True
+    # stop sequences handled here (with early slot cancellation) rather
+    # than by post-truncation in the server
+    supports_stop = True
 
     def __init__(self, model, max_new_tokens: int = 512, **engine_kw):
         self.model = model
@@ -883,8 +1013,18 @@ class EngineAdapter:
         ids = [int(t) for t in np.asarray(enc["input_ids"][0])]
         return ids, enc.get("pixel_values")
 
+    @staticmethod
+    def _first_stop(text: str, stops) -> int:
+        cuts = [i for i in (text.find(s) for s in stops) if i >= 0]
+        return min(cuts) if cuts else -1
+
     def __call__(self, messages, max_new_tokens: Optional[int] = None,
-                 **sampling) -> str:
+                 stop=None, **sampling) -> str:
+        if stop:
+            # route through the streaming loop: it cancels the slot at
+            # the first stop-sequence hit instead of decoding to budget
+            return "".join(self.stream(
+                messages, max_new_tokens, stop=stop, **sampling)).strip()
         ids, pix = self._encode(messages)
         toks = self.engine.generate_sync(
             ids, pix, max_new_tokens or self.max_new_tokens, **sampling)
@@ -892,21 +1032,53 @@ class EngineAdapter:
             toks, skip_special_tokens=True).strip()
 
     def stream(self, messages, max_new_tokens: Optional[int] = None,
-               **sampling):
+               stop=None, **sampling):
         """Yield text deltas (SSE path).  Partial-codepoint decodes
         (dangling byte-level BPE, rendered as U+FFFD) are held back
         until the next token completes them, so the concatenated deltas
-        equal the non-streaming decode of the same tokens."""
+        equal the non-streaming decode of the same tokens.  ``stop``
+        (str or list of str): hold back len(longest stop)-1 chars,
+        truncate before the first occurrence, and CANCEL the slot so
+        the engine stops spending decode steps on the request."""
         ids, pix = self._encode(messages)
         decode = self.model.processor.tokenizer.decode
-        toks, prev = [], ""
-        for t in self.engine.generate_stream(
-                ids, pix, max_new_tokens or self.max_new_tokens,
-                **sampling):
+        stops = [stop] if isinstance(stop, str) else list(stop or [])
+        hold = max((len(s) for s in stops), default=1) - 1
+        req = self.engine.submit_ids(
+            ids, pix, max_new_tokens or self.max_new_tokens,
+            stream=True, **sampling)
+        toks, prev, text = [], "", ""
+        while True:
+            t = req.stream_q.get(timeout=600.0)
+            if t is None:
+                break
             toks.append(t)
             text = decode(toks, skip_special_tokens=True)
             if text.endswith("�"):
                 continue
-            if len(text) > len(prev):
-                yield text[len(prev):]
-                prev = text
+            if stops:
+                cut = self._first_stop(text, stops)
+                if cut >= 0:
+                    req.cancelled = True
+                    self.engine._wake.set()
+                    if cut > len(prev):
+                        yield text[len(prev):cut]
+                    return
+                limit = len(text) - hold
+            else:
+                limit = len(text)
+            if limit > len(prev):
+                yield text[len(prev):limit]
+                prev = text[:limit]
+        if req.error is not None:
+            raise req.error
+        # flush the stop holdback on normal end-of-stream (a stop hit
+        # in the very last tokens still truncates)
+        if text.endswith("�"):
+            return
+        if stops:
+            cut = self._first_stop(text, stops)
+            if cut >= 0:
+                text = text[:cut]
+        if len(text) > len(prev):
+            yield text[len(prev):]

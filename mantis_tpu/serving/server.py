@@ -16,14 +16,17 @@ Protocol subset (stdlib only, no external server deps):
                    --allow_local_files, "file:///path" | "/path"}} |
                   {"type": "video_url", "video_url": {"url": ...}}]}],
        "max_tokens": N, "temperature": T, "top_p": P, "seed": S,
-       "stream": false}
+       "stop": "str" | [up to 4 strs], "stream": false}
     -> {"choices": [{"message": {"role": "assistant", "content": ...},
                      "finish_reason": "stop"}]}
     With "stream": true -> text/event-stream of chat.completion.chunk
     events ending in `data: [DONE]` (token-level deltas on the engine
     path, one whole-reply chunk on serial adapters).  temperature>0
     (per-request nucleus sampling, deterministic in seed) requires
-    --continuous_batching; greedy requests stay bit-exact.
+    --continuous_batching; greedy requests stay bit-exact.  "stop"
+    truncates before the first hit; on the engine it also CANCELS the
+    slot (no decode spent past the stop), on serial adapters it
+    post-truncates.
   - GET /v1/models -> the loaded model id.
   - GET /v1/metrics -> engine occupancy/throughput counters
       (continuous-batching mode; serial mode reports {"mode": "serial"}).
@@ -141,6 +144,25 @@ class ChatAPIServer:
             out["seed"] = int(body["seed"])
         return out
 
+    @staticmethod
+    def _stop_list(body: dict):
+        """OpenAI ``stop``: a string or up to 4 strings."""
+        stop = body.get("stop")
+        if stop is None:
+            return []
+        if isinstance(stop, str):
+            stop = [stop]
+        if not isinstance(stop, list) or not all(
+                isinstance(s, str) and s for s in stop):
+            raise ValueError(
+                "stop must be a non-empty string or a list of them")
+        return stop[:4]
+
+    @staticmethod
+    def _truncate_at_stop(text: str, stops) -> str:
+        cuts = [i for i in (text.find(s) for s in stops) if i >= 0]
+        return text[:min(cuts)].rstrip() if cuts else text
+
     def handle_chat(self, body: dict) -> dict:
         msgs = messages_to_adapter(
             body.get("messages", []),
@@ -148,10 +170,14 @@ class ChatAPIServer:
         max_tokens = body.get("max_tokens") or body.get(
             "max_completion_tokens")
         sampling = self._sampling_kwargs(body)
+        stops = self._stop_list(body)
         if getattr(self.adapter, "concurrent_safe", False):
             # continuous-batching engine (serving/engine.py): handler
             # threads submit concurrently, the engine batches their
             # decodes on one shared KV cache — no serialization lock
+            if stops and getattr(self.adapter, "supports_stop", False):
+                sampling["stop"] = stops
+                stops = []          # handled (with early cancel) inside
             text = self.adapter(
                 msgs, max_new_tokens=int(max_tokens)
                 if max_tokens else None, **sampling)
@@ -170,6 +196,10 @@ class ChatAPIServer:
                 finally:
                     if max_tokens and saved is not None:
                         self.adapter.max_new_tokens = saved
+        if stops:
+            # adapters without native stop support: post-truncate (no
+            # early exit, but protocol-correct output)
+            text = self._truncate_at_stop(text, stops)
         return {
             "id": f"chatcmpl-{int(time.time() * 1000)}",
             "object": "chat.completion",
@@ -197,10 +227,13 @@ class ChatAPIServer:
                 allow_local_files=self.allow_local_files)
             max_tokens = body.get("max_tokens") or body.get(
                 "max_completion_tokens")
+            kw = self._sampling_kwargs(body)
+            stops = self._stop_list(body)
+            if stops:
+                kw["stop"] = stops
             deltas = self.adapter.stream(
                 msgs, max_new_tokens=int(max_tokens)
-                if max_tokens else None,
-                **self._sampling_kwargs(body))
+                if max_tokens else None, **kw)
         else:
             reply = self.handle_chat(body)
             deltas = iter(
@@ -325,6 +358,11 @@ def main():
                    help="per-stream context (prompt + generation)")
     p.add_argument("--chunk_tokens", type=int, default=8,
                    help="decode steps fused per engine iteration")
+    p.add_argument("--prefill_chunk", type=int, default=0,
+                   help="admit prompts longer than this in incremental-"
+                        "prefill pieces, interleaving decode chunks so "
+                        "co-resident streams stall at most one piece "
+                        "per admission (0 = whole-prompt prefill)")
     p.add_argument("--prefix_cache", type=int, default=2,
                    help="keep the last N prompts' KV on device and "
                         "prefill only the suffix for new prompts "
@@ -376,7 +414,8 @@ def main():
             max_slots=args.max_slots, slot_ctx=args.slot_ctx,
             chunk_tokens=args.chunk_tokens,
             max_cached_prefixes=args.prefix_cache,
-            spec_tokens=args.speculative)
+            spec_tokens=args.speculative,
+            prefill_chunk=args.prefill_chunk)
     srv = make_server(adapter, args.host, args.port,
                       model_id=args.model,
                       allow_local_files=args.allow_local_files)

@@ -764,3 +764,166 @@ def test_spec_engine_budget_and_headroom():
         # 32-token prompt + 29 max_new + 1 + 3 spec headroom > 64
         eng.submit_ids(list(range(3, 35)), None, 29)
     eng.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Chunked prefill (round 3)
+# ---------------------------------------------------------------------------
+
+def test_plan_pieces_never_splits_image_runs():
+    from mantis_tpu.serving.engine import _plan_pieces
+
+    # no images: plain chunking
+    assert _plan_pieces(10, [], 4) == [(0, 4), (4, 8), (8, 10)]
+    # a run straddling the cut moves the cut to the run start
+    assert _plan_pieces(12, [(3, 7)], 4) == [(0, 3), (3, 7), (7, 11),
+                                             (11, 12)]
+    # a run longer than the chunk becomes its own piece
+    assert _plan_pieces(14, [(2, 11)], 4) == [(0, 2), (2, 11), (11, 14)]
+    # run exactly at a boundary is untouched
+    assert _plan_pieces(8, [(4, 8)], 4) == [(0, 4), (4, 8)]
+    # pieces tile [0, n) exactly
+    for n, runs, c in ((37, [(5, 14), (20, 29)], 8), (9, [(0, 9)], 4)):
+        pieces = _plan_pieces(n, runs, c)
+        assert pieces[0][0] == 0 and pieces[-1][1] == n
+        assert all(a[1] == b[0] for a, b in zip(pieces, pieces[1:]))
+        for (p, q) in pieces:
+            assert q > p
+            for (s, e) in runs:
+                assert not (p < s < q < e) and not (s < p < e < q)
+
+
+def test_chunked_prefill_token_identity():
+    """Chunked admission (prefill_chunk smaller than the prompts) must
+    emit exactly the whole-prompt engine's replies — text-only AND
+    multi-image prompts whose image spans sit near piece boundaries."""
+    from mantis_tpu.serving.engine import EngineAdapter
+
+    model = _tiny_mantis()
+
+    def msgs(text, seeds):
+        out = []
+        for part in text.split("<image>"):
+            out.append({"type": "text", "content": part})
+            if seeds:
+                out.append({"type": "image",
+                            "content": _img(seeds.pop(0))})
+        return [m for m in out if m.get("content") != ""]
+
+    prompts = [
+        ("what is in this <image> ?", [0]),
+        ("tell me more about it hello there one two three four five "
+         "what is in this the answer is", None),
+        ("the answer is <image> and <image> tell me more", [1, 2]),
+    ]
+    plain = EngineAdapter(model, max_new_tokens=8, max_slots=2,
+                          slot_ctx=128, chunk_tokens=3,
+                          prefill_buckets=(32, 64))
+    expected = [plain(msgs(t, list(s) if s else None))
+                for t, s in prompts]
+    plain.engine.shutdown()
+
+    eng = EngineAdapter(model, max_new_tokens=8, max_slots=2,
+                        slot_ctx=128, chunk_tokens=3,
+                        prefill_buckets=(32, 64), prefill_chunk=8)
+    got = [eng(msgs(t, list(s) if s else None)) for t, s in prompts]
+    stats = eng.engine.stats()
+    eng.engine.shutdown()
+    assert got == expected
+    # every prompt here exceeds 8 tokens, so each admitted in pieces
+    assert stats["prefill_pieces"] > stats["prefills"], stats
+
+
+def test_chunked_prefill_interleaves_decode_chunks():
+    """A live stream keeps decoding while a long prompt admits in
+    pieces: decode chunks run between pieces (counter-visible)."""
+    from mantis_tpu.serving.engine import ContinuousBatchingEngine
+
+    model = _tiny_mantis()
+    tok = model.processor.tokenizer
+    short = tok("hello there")["input_ids"]
+    long = tok("one two three four five what is in this tell me more "
+               "about it the answer is one two three four five")["input_ids"]
+    eng = ContinuousBatchingEngine(model, max_slots=2, slot_ctx=128,
+                                   chunk_tokens=2,
+                                   prefill_buckets=(32, 64),
+                                   prefill_chunk=8)
+    r1 = eng.submit_ids(short, None, 24)
+    while not r1.tokens:          # wait until the stream is decoding
+        import time as _t
+        _t.sleep(0.01)
+    chunks_before = eng.counters["decode_chunks"]
+    r2 = eng.submit_ids(long, None, 4)
+    r2.done.wait(120)
+    pieces = eng.counters["prefill_pieces"]
+    chunks_during = eng.counters["decode_chunks"] - chunks_before
+    r1.done.wait(120)
+    eng.shutdown()
+    assert pieces >= 3            # long prompt admitted in pieces
+    # at least one decode chunk ran between pieces (the stall bound)
+    assert chunks_during >= pieces - 1, (pieces, chunks_during)
+    assert r2.error is None and len(r2.tokens) <= 4
+
+
+# ---------------------------------------------------------------------------
+# Stop sequences (round 3)
+# ---------------------------------------------------------------------------
+
+def test_engine_adapter_stop_sequences():
+    """stop= truncates before the first hit, cancels the slot (freeing
+    it early), and streaming deltas concatenate to the same text."""
+    from mantis_tpu.serving.engine import EngineAdapter
+
+    model = _tiny_mantis()
+    msgs = [{"type": "text", "content": "tell me more about it"}]
+    eng = EngineAdapter(model, max_new_tokens=16, max_slots=2,
+                        slot_ctx=128, chunk_tokens=2,
+                        prefill_buckets=(32, 64))
+    full = eng(msgs)
+    words = full.split()
+    assert len(words) >= 2, full
+    stop_word = words[1]
+    expected = full[:full.find(stop_word)].strip()
+
+    got = eng(msgs, stop=[stop_word])
+    assert got == expected, (got, expected, full)
+    # string form too
+    assert eng(msgs, stop=stop_word) == expected
+
+    streamed = "".join(eng.stream(msgs, stop=[stop_word])).strip()
+    assert streamed == expected
+
+    # a stop that never occurs leaves the reply untouched
+    assert eng(msgs, stop=["@@nohit@@"]) == full
+    streamed_all = "".join(eng.stream(msgs, stop=["@@nohit@@"])).strip()
+    assert streamed_all == full
+
+    # cancelled slots are freed (no stuck occupancy)
+    import time as _t
+    deadline = _t.time() + 10
+    while _t.time() < deadline and eng.engine.stats()["occupancy"]:
+        _t.sleep(0.05)
+    assert eng.engine.stats()["occupancy"] == 0
+    eng.engine.shutdown()
+
+
+def test_server_stop_postprocess_for_serial_adapters():
+    """Serial adapters get protocol-correct stop handling by server-
+    side truncation; invalid stop types 400 as ValueError."""
+    from mantis_tpu.serving.server import ChatAPIServer
+
+    class Dummy:
+        def __call__(self, msgs):
+            return "alpha beta gamma delta"
+
+    srv = ChatAPIServer(Dummy())
+    body = {"messages": [{"role": "user", "content": "hi"}],
+            "stop": ["gamma", "beta"]}
+    out = srv.handle_chat(body)
+    assert out["choices"][0]["message"]["content"] == "alpha"
+
+    out = srv.handle_chat({**body, "stop": "delta"})
+    assert out["choices"][0]["message"]["content"] == "alpha beta gamma"
+
+    with pytest.raises(ValueError):
+        srv.handle_chat({**body, "stop": [1, 2]})
