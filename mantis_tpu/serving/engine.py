@@ -39,6 +39,18 @@ scheduler pushes tokens into as each chunk retires; ``None`` is the
 end-of-stream sentinel (EngineAdapter.stream turns this into text
 deltas for the server's SSE path).
 
+Round-3 composition layers (each measured in docs/SERVING.md):
+  - ``spec_tokens``: speculative verify-steps inside the shared decode
+    chunk (per-slot prompt-lookup drafts, one batched (k+1)-token
+    verify, per-row accept/rewind) — _spec_decode_chunk_jit;
+  - ``prefill_chunk``: long admissions as incremental-prefill pieces
+    with decode chunks interleaved (bounded co-resident stalls) —
+    _prefill_piece_jit;
+  - ``max_cached_prefixes``: prefix cache with suffix-only prefill;
+  - request cancellation (stop sequences / client abort): consumers
+    set ``req.cancelled``; the scheduler retires the slot at the next
+    chunk boundary.
+
 The reference has no serving stack at all (its demo is an external HF
 Space, reference .gitmodules:1-3); the protocol surface this feeds is
 serving/server.py.
