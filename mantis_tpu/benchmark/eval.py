@@ -94,7 +94,18 @@ def main(
     sub_sample_size: Optional[int] = None,
     seed: int = 42,
     model_instance=None,
+    workers: int = 1,
+    use_engine: bool = False,
+    engine_opts: Optional[dict] = None,
 ):
+    """workers > 1 runs the generation loop with a thread pool — only
+    effective on a ``concurrent_safe`` adapter (the continuous-batching
+    EngineAdapter), where co-submitted examples share decode chunks on
+    one KV cache instead of running serially.  ``use_engine`` wraps a
+    MantisLlava-style adapter in the engine automatically
+    (``engine_opts`` forwards slot/bucket sizing).  The resume protocol
+    is unchanged: JSONL lines may land out of dataset order, resume
+    matches by id."""
     random.seed(42)
     templates = load_templates()
     results_dir = Path(results_dir)
@@ -123,7 +134,27 @@ def main(
             model = model_instance
         elif model_name != "random":
             model = MLLM_Models(model_name)()
+        owned_engine = None
+        if use_engine and model is not None:
+            from mantis_tpu.serving.engine import EngineAdapter
+
+            inner = getattr(model, "model", None)
+            if inner is None or not hasattr(inner, "pick_conversation"):
+                raise ValueError(
+                    "use_engine requires a MantisLlava-style adapter "
+                    f"(got {type(model).__name__})")
+            model = EngineAdapter(
+                inner,
+                max_new_tokens=getattr(model, "max_new_tokens", 512),
+                **(engine_opts or {}))
+            owned_engine = model.engine
+
+        import threading
+
+        results_by_id = {}
         with open(results_path, "a+") as result_f:
+            write_lock = threading.Lock()
+            todo = []
             for d in dataset:
                 if d["id"] in existing_by_id and not overwrite:
                     r = existing_by_id[d["id"]]
@@ -132,8 +163,11 @@ def main(
                         d["question_type"],
                         r["prediction"]["raw_answer"], d["answer"],
                         d["options"], dataset_name)
-                    all_results.append(r)
-                    continue
+                    results_by_id[d["id"]] = r
+                else:
+                    todo.append(d)
+
+            def run_one(d):
                 question_type = d["question_type"]
                 question = d["question"]
                 messages = None
@@ -167,8 +201,26 @@ def main(
                     "messages": messages,
                     "prediction": prediction,
                 }
-                result_f.write(json.dumps(item) + "\n")
-                all_results.append(item)
+                with write_lock:
+                    result_f.write(json.dumps(item) + "\n")
+                    result_f.flush()
+                    results_by_id[d["id"]] = item
+
+            try:
+                if workers > 1 and getattr(model, "concurrent_safe",
+                                           False):
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(max_workers=workers) as ex:
+                        list(ex.map(run_one, todo))
+                else:
+                    for d in todo:
+                        run_one(d)
+            finally:
+                if owned_engine is not None:
+                    owned_engine.shutdown()
+        # summary/json in dataset order regardless of completion order
+        all_results = [results_by_id[d["id"]] for d in dataset]
 
     print(Counter(r["prediction"]["parsed_answer"] for r in all_results
                   if r["question_type"] == "multi-choice"))
@@ -205,6 +257,13 @@ def cli():
     p.add_argument("--check_existing", action="store_true")
     p.add_argument("--sub_sample_size", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--workers", type=int, default=1,
+                   help="concurrent eval examples (effective with "
+                        "--use_engine: examples share decode chunks on "
+                        "the continuous-batching engine)")
+    p.add_argument("--use_engine", action="store_true",
+                   help="wrap the adapter in the continuous-batching "
+                        "engine (mantis-tpu family)")
     args = p.parse_args()
     main(**vars(args))
 

@@ -1030,6 +1030,16 @@ class EngineAdapter:
         cuts = [i for i in (text.find(s) for s in stops) if i >= 0]
         return min(cuts) if cuts else -1
 
+    def _fit_budget(self, ids, max_new: int) -> int:
+        """Clamp a decode budget to what the slot can hold past this
+        prompt.  The serial adapters have no static ceiling (their cache
+        is sized per request), so callers like the eval protocol ask for
+        4096 and rely on EOS; only a prompt that itself doesn't fit is
+        an error (submit_ids still raises for that)."""
+        eng = self.engine
+        room = eng.slot_ctx - len(ids) - 1 - eng.spec_tokens
+        return max(min(max_new, room), 1)
+
     def __call__(self, messages, max_new_tokens: Optional[int] = None,
                  stop=None, **sampling) -> str:
         if stop:
@@ -1039,7 +1049,9 @@ class EngineAdapter:
                 messages, max_new_tokens, stop=stop, **sampling)).strip()
         ids, pix = self._encode(messages)
         toks = self.engine.generate_sync(
-            ids, pix, max_new_tokens or self.max_new_tokens, **sampling)
+            ids, pix,
+            self._fit_budget(ids, max_new_tokens or self.max_new_tokens),
+            **sampling)
         return self.model.processor.tokenizer.decode(
             toks, skip_special_tokens=True).strip()
 
@@ -1057,7 +1069,8 @@ class EngineAdapter:
         stops = [stop] if isinstance(stop, str) else list(stop or [])
         hold = max((len(s) for s in stops), default=1) - 1
         req = self.engine.submit_ids(
-            ids, pix, max_new_tokens or self.max_new_tokens,
+            ids, pix,
+            self._fit_budget(ids, max_new_tokens or self.max_new_tokens),
             stream=True, **sampling)
         toks, prev, text = [], "", ""
         while True:

@@ -145,6 +145,81 @@ def test_eval_driver_end_to_end_and_resume(bench_fixture, tmp_path):
     assert summary2 == summary
 
 
+class ConcurrentStub(StubModel):
+    """Stub that advertises engine-style thread safety and records the
+    peak number of in-flight calls."""
+
+    concurrent_safe = True
+
+    def __init__(self, reply="A"):
+        super().__init__(reply)
+        import threading
+        self._lock = threading.Lock()
+        self.in_flight = 0
+        self.peak = 0
+
+    def __call__(self, messages):
+        import time
+        with self._lock:
+            self.calls += 1
+            self.in_flight += 1
+            self.peak = max(self.peak, self.in_flight)
+        time.sleep(0.05)  # long enough for workers to overlap
+        with self._lock:
+            self.in_flight -= 1
+        return self.reply
+
+
+def test_eval_driver_concurrent_workers(bench_fixture, tmp_path):
+    """workers>1 on a concurrent_safe adapter: results land complete
+    and in dataset order, and calls actually overlapped."""
+    stub = ConcurrentStub("A")
+    summary, results = eval_lib.main(
+        model_name="stub-conc", dataset_path=bench_fixture,
+        dataset_name="toyc", results_dir=str(tmp_path / "res"),
+        model_instance=stub, workers=2)
+    assert stub.calls == 2
+    assert stub.peak == 2  # the pool really ran them concurrently
+    assert [r["id"] for r in results] == ["q0", "q1"]
+    assert summary["multi-choice"] == 1.0
+
+    # non-concurrent adapters ignore workers (stay serial)
+    stub2 = StubModel("A")
+    eval_lib.main(
+        model_name="stub-serial", dataset_path=bench_fixture,
+        dataset_name="toyc2", results_dir=str(tmp_path / "res"),
+        model_instance=stub2, workers=4)
+    assert stub2.calls == 2
+
+
+def test_eval_use_engine_matches_serial_adapter(bench_fixture, tmp_path):
+    """--use_engine wraps the adapter in the continuous-batching
+    engine; on CPU f32 the engine replies must be identical to the
+    serial adapter's, so the scored JSONLs must agree line for line."""
+    from mantis_tpu.benchmark.adapters import MantisTPUAdapter
+    from tests.test_engine import _tiny_mantis
+
+    model = _tiny_mantis()
+    serial = MantisTPUAdapter("", max_new_tokens=4, model=model)
+    _, serial_results = eval_lib.main(
+        model_name="tiny-serial", dataset_path=bench_fixture,
+        dataset_name="toye", results_dir=str(tmp_path / "res"),
+        model_instance=serial)
+
+    engine_side = MantisTPUAdapter("", max_new_tokens=4, model=model)
+    _, engine_results = eval_lib.main(
+        model_name="tiny-engine", dataset_path=bench_fixture,
+        dataset_name="toye", results_dir=str(tmp_path / "res"),
+        model_instance=engine_side, use_engine=True, workers=2,
+        engine_opts=dict(max_slots=2, slot_ctx=128, chunk_tokens=3,
+                         prefill_buckets=(32, 64)))
+    assert [r["id"] for r in engine_results] == \
+        [r["id"] for r in serial_results]
+    for a, b in zip(serial_results, engine_results):
+        assert a["prediction"]["raw_answer"] == \
+            b["prediction"]["raw_answer"]
+
+
 def test_random_baseline(bench_fixture, tmp_path):
     summary, results = eval_lib.main(
         model_name="random", dataset_path=bench_fixture,
