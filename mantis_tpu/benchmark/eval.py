@@ -136,17 +136,9 @@ def main(
             model = MLLM_Models(model_name)()
         owned_engine = None
         if use_engine and model is not None:
-            from mantis_tpu.serving.engine import EngineAdapter
+            from mantis_tpu.serving.engine import wrap_adapter_in_engine
 
-            inner = getattr(model, "model", None)
-            if inner is None or not hasattr(inner, "pick_conversation"):
-                raise ValueError(
-                    "use_engine requires a MantisLlava-style adapter "
-                    f"(got {type(model).__name__})")
-            model = EngineAdapter(
-                inner,
-                max_new_tokens=getattr(model, "max_new_tokens", 512),
-                **(engine_opts or {}))
+            model = wrap_adapter_in_engine(model, engine_opts)
             owned_engine = model.engine
 
         import threading

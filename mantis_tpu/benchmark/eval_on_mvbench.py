@@ -139,9 +139,22 @@ def check_answer(pred: str, gt: str) -> bool:
 def main(model_name: str, json_dir: str, video_dir: str,
          num_frames: int = 4, resolution: int = 224,
          results_dir: str = "results/mvbench", max_size=None,
-         model_instance=None):
+         model_instance=None, workers: int = 1, use_engine: bool = False,
+         engine_opts=None):
+    """workers > 1 runs examples through a thread pool on a
+    ``concurrent_safe`` adapter (see benchmark/eval.py — same
+    protocol); frame decode (cv2, host-side) also overlaps.  Resume is
+    keyed on (task, idx), so out-of-order JSONL lines are fine."""
+    import threading
+
     model = model_instance or (MLLM_Models(model_name)()
                                if model_name != "random" else None)
+    owned_engine = None
+    if use_engine and model is not None:
+        from mantis_tpu.serving.engine import wrap_adapter_in_engine
+
+        model = wrap_adapter_in_engine(model, engine_opts)
+        owned_engine = model.engine
     os.makedirs(results_dir, exist_ok=True)
     results_path = Path(results_dir) / (
         f"{model_name.replace('/', '_').replace(':', '_')}"
@@ -153,62 +166,83 @@ def main(model_name: str, json_dir: str, video_dir: str,
                 r = json.loads(line)
                 existing[(r["task"], r["idx"])] = r
 
-    per_task = {}
+    tasks = []    # (task, items) in DATA_LIST order, for the summary
+    todo = []     # (task, idx, item, prefix, media, has_bounds)
+    for task, json_file, prefix, media, has_bounds in DATA_LIST:
+        jp = os.path.join(json_dir, json_file)
+        if not os.path.exists(jp):
+            continue
+        with open(jp) as f:
+            items = json.load(f)
+        if max_size:
+            items = items[:max_size]
+        tasks.append((task, items))
+        for idx, item in enumerate(items):
+            if (task, idx) not in existing:
+                todo.append((task, idx, item, prefix, media, has_bounds))
+
+    results = dict(existing)
     with open(results_path, "a+") as out_f:
-        for task, json_file, prefix, media, has_bounds in DATA_LIST:
-            jp = os.path.join(json_dir, json_file)
-            if not os.path.exists(jp):
-                continue
-            with open(jp) as f:
-                items = json.load(f)
-            if max_size:
-                items = items[:max_size]
-            correct = total = 0
-            for idx, item in enumerate(items):
-                key = (task, idx)
-                if key in existing:
-                    r = existing[key]
-                else:
-                    bound = None
-                    if has_bounds and "start" in item:
-                        bound = (item["start"], item["end"])
-                    vpath = os.path.join(video_dir, prefix, item["video"])
-                    if media == "frame":
-                        frames = read_frame_dir(
-                            vpath, num_frames, bound,
-                            resolution=resolution)
-                    else:
-                        frames = read_video_frames(
-                            vpath, num_frames, bound,
-                            resolution=resolution)
-                    question = item["question"]
-                    options = item["candidates"]
-                    q = question + "\nOptions:\n"
-                    answer_opt = None
-                    for i, c in enumerate(options):
-                        q += f"({chr(ord('A') + i)}) {c}\n"
-                        if c == item["answer"]:
-                            answer_opt = \
-                                f"({chr(ord('A') + i)}) {c}"
-                    prompt = (
-                        "Carefully watch the video and pay attention to "
-                        "the cause and sequence of events, the detail and "
-                        "movement of objects, and the action and pose of "
-                        "persons. Based on your observations, select the "
-                        "best option that accurately addresses the "
-                        "question.\n" + q
-                        + "Only give the best option.\nBest option:(")
-                    messages = [{"type": "image", "content": fr}
-                                for fr in frames]
-                    messages.append({"type": "text", "content": prompt})
-                    raw = model(messages) if model else "(A)"
-                    r = {"task": task, "idx": idx,
-                         "pred": raw, "gt": answer_opt,
-                         "correct": check_answer(raw, answer_opt)}
-                    out_f.write(json.dumps(r) + "\n")
-                correct += int(r["correct"])
-                total += 1
-            per_task[task] = (correct, total)
+        write_lock = threading.Lock()
+
+        def run_one(job):
+            task, idx, item, prefix, media, has_bounds = job
+            bound = None
+            if has_bounds and "start" in item:
+                bound = (item["start"], item["end"])
+            vpath = os.path.join(video_dir, prefix, item["video"])
+            if media == "frame":
+                frames = read_frame_dir(
+                    vpath, num_frames, bound, resolution=resolution)
+            else:
+                frames = read_video_frames(
+                    vpath, num_frames, bound, resolution=resolution)
+            question = item["question"]
+            options = item["candidates"]
+            q = question + "\nOptions:\n"
+            answer_opt = None
+            for i, c in enumerate(options):
+                q += f"({chr(ord('A') + i)}) {c}\n"
+                if c == item["answer"]:
+                    answer_opt = f"({chr(ord('A') + i)}) {c}"
+            prompt = (
+                "Carefully watch the video and pay attention to "
+                "the cause and sequence of events, the detail and "
+                "movement of objects, and the action and pose of "
+                "persons. Based on your observations, select the "
+                "best option that accurately addresses the "
+                "question.\n" + q
+                + "Only give the best option.\nBest option:(")
+            messages = [{"type": "image", "content": fr}
+                        for fr in frames]
+            messages.append({"type": "text", "content": prompt})
+            raw = model(messages) if model else "(A)"
+            r = {"task": task, "idx": idx,
+                 "pred": raw, "gt": answer_opt,
+                 "correct": check_answer(raw, answer_opt)}
+            with write_lock:
+                out_f.write(json.dumps(r) + "\n")
+                out_f.flush()
+                results[(task, idx)] = r
+
+        try:
+            if workers > 1 and getattr(model, "concurrent_safe", False):
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=workers) as ex:
+                    list(ex.map(run_one, todo))
+            else:
+                for job in todo:
+                    run_one(job)
+        finally:
+            if owned_engine is not None:
+                owned_engine.shutdown()
+
+    per_task = {}
+    for task, items in tasks:
+        correct = sum(int(results[(task, i)]["correct"])
+                      for i in range(len(items)))
+        per_task[task] = (correct, len(items))
 
     print("MVBench results:")
     all_c = sum(c for c, _ in per_task.values())
@@ -229,5 +263,11 @@ if __name__ == "__main__":
     p.add_argument("--resolution", type=int, default=224)
     p.add_argument("--results_dir", default="results/mvbench")
     p.add_argument("--max_size", type=int, default=None)
+    p.add_argument("--workers", type=int, default=1,
+                   help="concurrent examples (effective with "
+                        "--use_engine; frame decode overlaps too)")
+    p.add_argument("--use_engine", action="store_true",
+                   help="wrap the adapter in the continuous-batching "
+                        "engine (mantis-tpu family)")
     a = p.parse_args()
     main(**vars(a))

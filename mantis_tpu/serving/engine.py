@@ -978,6 +978,21 @@ class ContinuousBatchingEngine:
 # adapter facade for serving/server.py
 # ---------------------------------------------------------------------------
 
+def wrap_adapter_in_engine(adapter, engine_opts=None):
+    """Rebuild a MantisLlava-style eval adapter as an EngineAdapter so
+    benchmark drivers can co-schedule examples (--use_engine).  Returns
+    the wrapped adapter; callers own `wrapped.engine` and should
+    shutdown() it when done."""
+    inner = getattr(adapter, "model", None)
+    if inner is None or not hasattr(inner, "pick_conversation"):
+        raise ValueError(
+            "use_engine requires a MantisLlava-style adapter "
+            f"(got {type(adapter).__name__})")
+    return EngineAdapter(
+        inner, max_new_tokens=getattr(adapter, "max_new_tokens", 512),
+        **(engine_opts or {}))
+
+
 class EngineAdapter:
     """Adapter-protocol facade (messages -> str) over a shared engine.
 

@@ -84,6 +84,58 @@ def test_mvbench_check_answer():
     assert not check_answer("(b) dog", "(a) cat.")
 
 
+@pytest.fixture
+def mvbench_fixture(tmp_path):
+    """Tiny MVBench layout using the frame-dir media type (Episodic
+    Reasoning), so no video codec is needed."""
+    json_dir = tmp_path / "json"
+    json_dir.mkdir()
+    video_dir = tmp_path / "videos"
+    items = []
+    for i in range(4):
+        vd = video_dir / "tvqa/frames_fps3_hq" / f"vid{i}"
+        vd.mkdir(parents=True)
+        for f in range(6):
+            Image.new("RGB", (48, 48), (i * 50, f * 40, 0)).save(
+                vd / f"{f:05d}.jpg")
+        items.append({"video": f"vid{i}", "question": f"What {i}?",
+                      "candidates": ["cat", "dog"], "answer": "cat",
+                      "start": 0.0, "end": 2.0})
+    (json_dir / "episodic_reasoning.json").write_text(json.dumps(items))
+    return str(json_dir), str(video_dir)
+
+
+def test_mvbench_driver_end_to_end_resume_and_workers(
+        mvbench_fixture, tmp_path):
+    from mantis_tpu.benchmark import eval_on_mvbench
+
+    json_dir, video_dir = mvbench_fixture
+    res = str(tmp_path / "res")
+    # random baseline answers "(A)" which letter-matches "(A) cat"
+    per_task = eval_on_mvbench.main(
+        model_name="random", json_dir=json_dir, video_dir=video_dir,
+        num_frames=2, results_dir=res)
+    assert per_task["Episodic Reasoning"] == (4, 4)
+
+    # resume: a counting stub must see zero new work
+    stub = StubModel("(B)")
+    per_task2 = eval_on_mvbench.main(
+        model_name="random", json_dir=json_dir, video_dir=video_dir,
+        num_frames=2, results_dir=res, model_instance=stub)
+    assert stub.calls == 0
+    assert per_task2 == per_task
+
+    # concurrent path on a concurrent_safe adapter (fresh results dir):
+    # frames arrive in the messages, pool really overlaps
+    conc = ConcurrentStub("(b) dog")
+    per_task3 = eval_on_mvbench.main(
+        model_name="random", json_dir=json_dir, video_dir=video_dir,
+        num_frames=2, results_dir=str(tmp_path / "res2"),
+        model_instance=conc, workers=2)
+    assert conc.calls == 4 and conc.peak == 2
+    assert per_task3["Episodic Reasoning"] == (0, 4)
+
+
 def test_merge_images():
     a = Image.new("RGB", (10, 20), "red")
     b = Image.new("RGB", (30, 40), "blue")
