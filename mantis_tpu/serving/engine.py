@@ -133,6 +133,77 @@ def _prefill_jit(params, ids, pixel_values, true_len, temp, top_p, key,
 
 
 @functools.partial(
+    jax.jit, static_argnames=("model_forward", "model_cfg", "cache_dtype",
+                              "bucket", "sampling"))
+def _prefill_batch_jit(params, ids, true_lens, temps, top_ps, keys, *,
+                       model_forward, model_cfg, cache_dtype, bucket,
+                       sampling=False):
+    """Batched TEXT-ONLY prompt prefill: k same-bucket prompts run as
+    ONE forward into a fresh [k, bucket] scratch cache — a burst of
+    admissions costs one dispatch + one weight read instead of k
+    (the per-admission RTT dominates short-decode workloads like
+    engine-backed evaluation).  ids [k, bucket] (padded), true_lens
+    [k]; returns per-row first tokens + the batched scratch cache."""
+    k = ids.shape[0]
+    seg = (jnp.arange(bucket)[None, :]
+           < true_lens[:, None]).astype(jnp.int32)
+    positions = jnp.arange(bucket)[None, :] * seg
+    cache = KVCache.create(model_cfg.text_config, k, bucket,
+                           dtype=cache_dtype)
+    logits, _, cache = model_forward(
+        params, model_cfg, input_ids=ids, positions=positions,
+        segment_ids=seg, kv_cache=cache)
+    last = jnp.take_along_axis(
+        logits, (true_lens - 1).reshape(k, 1, 1), axis=1)[:, 0]
+    last = last.astype(jnp.float32)
+    if sampling:
+        toks = _sample_rows(keys, last, temps, top_ps)
+    else:
+        toks = jnp.argmax(last, -1).astype(jnp.int32)
+    return toks, cache
+
+
+@functools.partial(jax.jit, donate_argnames=("big",))
+def _insert_batch_jit(big: KVCache, small: KVCache, slots, true_lens):
+    """Scatter the k rows of a batched scratch cache into slots
+    ``slots`` of the big cache in one program (row semantics identical
+    to _insert_slot_jit)."""
+    m_big = big.k.shape[2]
+
+    def body(i, carry):
+        k, v, seg, length, ks, vs = carry
+        zero = jnp.zeros((), jnp.int32)
+        slot = slots[i]
+        start5 = (zero, slot, zero, zero, zero)
+        row_k = jax.lax.dynamic_slice_in_dim(small.k, i, 1, axis=1)
+        row_v = jax.lax.dynamic_slice_in_dim(small.v, i, 1, axis=1)
+        k = jax.lax.dynamic_update_slice(k, row_k.astype(k.dtype),
+                                         start5)
+        v = jax.lax.dynamic_update_slice(v, row_v.astype(v.dtype),
+                                         start5)
+        seg_row = jnp.zeros((1, m_big), jnp.int32)
+        seg_row = jax.lax.dynamic_update_slice(
+            seg_row, jax.lax.dynamic_slice_in_dim(small.seg, i, 1,
+                                                  axis=0), (0, 0))
+        seg = jax.lax.dynamic_update_slice(seg, seg_row, (slot, zero))
+        if ks is not None:
+            ks = jax.lax.dynamic_update_slice(
+                ks, jax.lax.dynamic_slice_in_dim(small.k_scale, i, 1,
+                                                 axis=1), start5[:4])
+            vs = jax.lax.dynamic_update_slice(
+                vs, jax.lax.dynamic_slice_in_dim(small.v_scale, i, 1,
+                                                 axis=1), start5[:4])
+        length = length.at[slot].set(true_lens[i])
+        return (k, v, seg, length, ks, vs)
+
+    k, v, seg, length, ks, vs = jax.lax.fori_loop(
+        0, slots.shape[0], body,
+        (big.k, big.v, big.seg, big.length, big.k_scale, big.v_scale))
+    return KVCache(k=k, v=v, seg=seg, length=length, k_scale=ks,
+                   v_scale=vs)
+
+
+@functools.partial(
     jax.jit, static_argnames=("model_forward", "model_cfg",
                               "cache_dtype", "pbucket", "tbucket",
                               "sbucket", "sampling"))
@@ -505,7 +576,7 @@ class ContinuousBatchingEngine:
                          "chunk_slot_steps": 0, "prefix_hits": 0,
                          "prefix_tokens_reused": 0,
                          "spec_extra_tokens": 0,
-                         "prefill_pieces": 0}
+                         "prefill_pieces": 0, "prefill_batches": 0}
         _, terminators = model.pick_conversation()
         self.eos_ids = jnp.asarray(
             list(terminators) or [model.processor.tokenizer.eos_token_id],
@@ -726,15 +797,7 @@ class ContinuousBatchingEngine:
     def _admit_one(self, req: _Request, slot_idx: int):
         model = self.model
         n = len(req.ids)
-        if req.sampling:
-            seed = req.seed
-            if seed is None:
-                # distinct auto seeds so unseeded requests differ
-                self._auto_seed += 1
-                seed = self._auto_seed
-            kp, kd = jax.random.split(jax.random.PRNGKey(seed))
-        else:
-            kp = kd = jnp.zeros((2,), jnp.uint32)
+        kp, kd = self._sampling_keys(req)
         temp = jnp.asarray(req.temperature, jnp.float32)
         top_p = jnp.asarray(req.top_p, jnp.float32)
         hashes, plan = [], None
@@ -788,7 +851,13 @@ class ContinuousBatchingEngine:
         self.cache = _insert_slot_jit(
             self.cache, scratch, jnp.asarray(slot_idx, jnp.int32),
             jnp.asarray(n, jnp.int32))
-        first = int(tok0)
+        self._activate_slot(req, slot_idx, int(tok0), kd)
+
+    def _activate_slot(self, req: _Request, slot_idx: int, first: int,
+                       kd):
+        """Post-prefill host bookkeeping shared by single and batched
+        admission: slot record, first-token delivery, per-row decode
+        state."""
         slot = _Slot(req)
         self.slots[slot_idx] = slot
         self._deliver(slot_idx, [first])
@@ -799,6 +868,7 @@ class ContinuousBatchingEngine:
         self.remaining = self.remaining.at[slot_idx].set(
             req.max_new - 1)
         if self.spec_tokens:
+            n = len(req.ids)
             row = np.full(self.buf_t, self.pad_id, np.int32)
             row[:n] = req.ids
             row[n] = first
@@ -806,6 +876,63 @@ class ContinuousBatchingEngine:
         self.temps = self.temps.at[slot_idx].set(req.temperature)
         self.top_ps = self.top_ps.at[slot_idx].set(req.top_p)
         self.keys = self.keys.at[slot_idx].set(kd)
+
+    def _sampling_keys(self, req: _Request):
+        """(prefill key, decode key) for a request; greedy requests get
+        inert zero keys (the greedy program compiles without sampling
+        ops, and greedy rows take argmax even in the sampling one)."""
+        if req.sampling:
+            seed = req.seed
+            if seed is None:
+                self._auto_seed += 1
+                seed = self._auto_seed
+            return jax.random.split(jax.random.PRNGKey(seed))
+        z = jnp.zeros((2,), jnp.uint32)
+        return z, z
+
+    def _admit_batch(self, pairs, bucket: int):
+        """Admit k same-bucket TEXT-ONLY requests with ONE batched
+        prefill forward + ONE batched slot insert (vs one dispatch
+        pair per request): a burst of arrivals — the engine-backed
+        eval workload — pays one RTT + one weight read.  Only taken
+        when the prefix cache is off (per-row scratch caches are not
+        stored) and no request needs chunked prefill."""
+        ids = np.full((len(pairs), bucket), self.pad_id, np.int32)
+        lens, temps, tps, kps, kds = [], [], [], [], []
+        sampling = any(r.sampling for r, _ in pairs)
+        for j, (req, _) in enumerate(pairs):
+            n = len(req.ids)
+            ids[j, :n] = req.ids
+            lens.append(n)
+            temps.append(req.temperature)
+            tps.append(req.top_p)
+            kp, kd = self._sampling_keys(req)
+            kps.append(kp)
+            kds.append(kd)
+        model = self.model
+        try:
+            toks, scratch = _prefill_batch_jit(
+                model.params, jnp.asarray(ids),
+                jnp.asarray(lens, jnp.int32),
+                jnp.asarray(temps, jnp.float32),
+                jnp.asarray(tps, jnp.float32), jnp.stack(kps),
+                model_forward=self.forward, model_cfg=model.cfg,
+                cache_dtype=model.cache_dtype, bucket=bucket,
+                sampling=sampling)
+            self.cache = _insert_batch_jit(
+                self.cache, scratch,
+                jnp.asarray([i for _, i in pairs], jnp.int32),
+                jnp.asarray(lens, jnp.int32))
+            firsts = np.asarray(toks)
+        except Exception as e:
+            for req, _ in pairs:
+                req.error = e
+                self._finish(req)
+            return
+        self.counters["prefills"] += len(pairs)
+        self.counters["prefill_batches"] += 1
+        for j, (req, slot_idx) in enumerate(pairs):
+            self._activate_slot(req, slot_idx, int(firsts[j]), kds[j])
 
     def _prefill_chunked(self, req: _Request, tbucket: int, temp, top_p,
                          kp):
@@ -850,22 +977,41 @@ class ContinuousBatchingEngine:
         return tok0, cache
 
     def _admit(self):
-        admitted = 0
         any_live = any(s is not None for s in self.slots)
+        picked = []
         for i in range(self.max_slots):
             if self.slots[i] is not None:
                 continue
-            if any_live and admitted >= self.max_admits_per_chunk:
-                return          # live streams get a decode chunk first
+            if any_live and len(picked) >= self.max_admits_per_chunk:
+                break           # live streams get a decode chunk first
             try:
                 req = self.pending.get_nowait()
             except queue.Empty:
-                return
+                break
             if req.cancelled:
                 self._finish(req)
                 continue
+            picked.append((req, i))
+        # group text-only admissions by prefill bucket: >=2 in the same
+        # bucket run as ONE batched prefill + insert (not composable
+        # with the prefix cache — per-row scratches aren't stored — or
+        # with chunked prefill)
+        singles, groups = [], {}
+        for req, i in picked:
+            if (req.pixel_values is None and not self.max_cached_prefixes
+                    and not (self.prefill_chunk
+                             and len(req.ids) > self.prefill_chunk)):
+                groups.setdefault(
+                    self._bucket_for(len(req.ids)), []).append((req, i))
+            else:
+                singles.append((req, i))
+        for bucket, pairs in groups.items():
+            if len(pairs) == 1:
+                singles.append(pairs[0])
+            else:
+                self._admit_batch(pairs, bucket)
+        for req, i in singles:
             self._admit_one(req, i)
-            admitted += 1
 
     def _deliver(self, slot_idx: int, toks: List[int]):
         """Append generated tokens to the slot's request, retiring on
@@ -982,15 +1128,21 @@ def wrap_adapter_in_engine(adapter, engine_opts=None):
     """Rebuild a MantisLlava-style eval adapter as an EngineAdapter so
     benchmark drivers can co-schedule examples (--use_engine).  Returns
     the wrapped adapter; callers own `wrapped.engine` and should
-    shutdown() it when done."""
+    shutdown() it when done.
+
+    Defaults the prefix cache OFF (overridable via engine_opts):
+    benchmark questions rarely share a usable prefix, and with it off a
+    burst of text-only examples admits as ONE batched prefill."""
     inner = getattr(adapter, "model", None)
     if inner is None or not hasattr(inner, "pick_conversation"):
         raise ValueError(
             "use_engine requires a MantisLlava-style adapter "
             f"(got {type(adapter).__name__})")
+    opts = dict(engine_opts or {})
+    opts.setdefault("max_cached_prefixes", 0)
     return EngineAdapter(
         inner, max_new_tokens=getattr(adapter, "max_new_tokens", 512),
-        **(engine_opts or {}))
+        **opts)
 
 
 class EngineAdapter:

@@ -927,3 +927,141 @@ def test_server_stop_postprocess_for_serial_adapters():
 
     with pytest.raises(ValueError):
         srv.handle_chat({**body, "stop": [1, 2]})
+
+
+# ---------------------------------------------------------------------------
+# batched admissions
+# ---------------------------------------------------------------------------
+
+def _stopped_engine(model, **kw):
+    """Engine with its scheduler thread stopped so tests can drive
+    _admit/_decode_once deterministically (same sequence as _loop)."""
+    from mantis_tpu.serving.engine import ContinuousBatchingEngine
+
+    eng = ContinuousBatchingEngine(model, **kw)
+    eng._stop = True
+    eng._wake.set()
+    eng._thread.join()
+    eng._stop = False
+    return eng
+
+
+def _drive(eng):
+    """Run the scheduler inline until every request retires."""
+    eng._admit()
+    while any(s is not None for s in eng.slots):
+        eng._decode_once()
+        eng._admit()
+
+
+def test_batched_admission_identity():
+    """A burst of text-only requests (prefix cache off) admits through
+    ONE batched prefill + insert, and every reply is exactly the
+    serial one-at-a-time engine's (f32 CPU: bitwise)."""
+    model = _tiny_mantis()
+    rng = np.random.RandomState(3)
+    prompts = [rng.randint(2, 40, size=n).tolist()
+               for n in (5, 9, 7, 12)]
+    kw = dict(max_slots=4, slot_ctx=64, chunk_tokens=3,
+              prefill_buckets=(16, 32), max_cached_prefixes=0)
+
+    serial = _stopped_engine(model, **kw)
+    expected = []
+    for p in prompts:
+        req = serial.submit_ids(p, None, 6)
+        _drive(serial)
+        expected.append(req.tokens)
+    assert serial.counters["prefill_batches"] == 0  # singles path
+    assert serial.counters["prefills"] == 4
+
+    eng = _stopped_engine(model, **kw)
+    reqs = [eng.submit_ids(p, None, 6) for p in prompts]
+    _drive(eng)
+    assert [r.tokens for r in reqs] == expected
+    # all four prompts fit the 16-bucket -> one batch of 4
+    assert eng.counters["prefill_batches"] == 1
+    assert eng.counters["prefills"] == 4
+
+
+def test_batched_admission_buckets_images_and_prefix_cache():
+    """Bucket grouping: mixed lengths split into per-bucket batches;
+    image requests and prefix-cache engines stay on the single path."""
+    model = _tiny_mantis()
+    rng = np.random.RandomState(5)
+    short = [rng.randint(2, 40, size=n).tolist() for n in (4, 6)]
+    long = [rng.randint(2, 40, size=n).tolist() for n in (20, 25)]
+    kw = dict(max_slots=4, slot_ctx=64, chunk_tokens=3,
+              prefill_buckets=(16, 32), max_cached_prefixes=0)
+    eng = _stopped_engine(model, **kw)
+    reqs = [eng.submit_ids(p, None, 4) for p in short + long]
+    _drive(eng)
+    assert eng.counters["prefill_batches"] == 2  # one per bucket
+    assert all(len(r.tokens) >= 1 for r in reqs)
+
+    # image request: single path (batched prefill is text-only)
+    proc = model.processor
+    enc = proc("USER: <image> hello ASSISTANT:",
+               [_img(0)], truncation=True, max_length=None)
+    ids = [int(t) for t in np.asarray(enc["input_ids"][0])]
+    eng2 = _stopped_engine(model, **kw)
+    r_img = eng2.submit_ids(ids, enc["pixel_values"], 4)
+    r_txt = eng2.submit_ids(short[0], None, 4)
+    _drive(eng2)
+    assert eng2.counters["prefill_batches"] == 0
+    assert len(r_img.tokens) >= 1 and r_txt.tokens == reqs[0].tokens
+
+    # prefix cache on: batching disabled (scratches must be stored)
+    eng3 = _stopped_engine(model, **{**kw, "max_cached_prefixes": 2})
+    reqs3 = [eng3.submit_ids(p, None, 4) for p in short]
+    _drive(eng3)
+    assert eng3.counters["prefill_batches"] == 0
+    assert [r.tokens for r in reqs3] == [r.tokens for r in reqs[:2]]
+
+
+def test_batched_admission_sampling_determinism_and_greedy_isolation():
+    """A batch mixing greedy and sampled rows: greedy rows equal the
+    serial greedy reply exactly; sampled rows are deterministic in
+    (seed, prompt) whether admitted batched or alone."""
+    model = _tiny_mantis()
+    rng = np.random.RandomState(7)
+    p_greedy = rng.randint(2, 40, size=6).tolist()
+    p_sample = rng.randint(2, 40, size=8).tolist()
+    kw = dict(max_slots=4, slot_ctx=64, chunk_tokens=3,
+              prefill_buckets=(16,), max_cached_prefixes=0)
+
+    alone = _stopped_engine(model, **kw)
+    rg = alone.submit_ids(p_greedy, None, 5)
+    _drive(alone)
+    rs = alone.submit_ids(p_sample, None, 5, temperature=0.9, seed=11)
+    _drive(alone)
+
+    eng = _stopped_engine(model, **kw)
+    bg = eng.submit_ids(p_greedy, None, 5)
+    bs = eng.submit_ids(p_sample, None, 5, temperature=0.9, seed=11)
+    _drive(eng)
+    assert eng.counters["prefill_batches"] == 1
+    assert bg.tokens == rg.tokens
+    assert bs.tokens == rs.tokens
+
+
+def test_batched_admission_composes_with_speculative():
+    """spec_tokens on: batch-admitted greedy streams still reply
+    exactly like the serial plain engine (drafts verified per row)."""
+    model = _tiny_mantis()
+    rng = np.random.RandomState(9)
+    prompts = [rng.randint(2, 40, size=n).tolist() for n in (6, 10)]
+    base = dict(max_slots=2, slot_ctx=64, chunk_tokens=3,
+                prefill_buckets=(16,), max_cached_prefixes=0)
+
+    plain = _stopped_engine(model, **base)
+    expected = []
+    for p in prompts:
+        req = plain.submit_ids(p, None, 8)
+        _drive(plain)
+        expected.append(req.tokens)
+
+    spec = _stopped_engine(model, **{**base, "spec_tokens": 2})
+    reqs = [spec.submit_ids(p, None, 8) for p in prompts]
+    _drive(spec)
+    assert spec.counters["prefill_batches"] == 1
+    assert [r.tokens for r in reqs] == expected
