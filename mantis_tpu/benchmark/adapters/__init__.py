@@ -32,7 +32,7 @@ def MLLM_Models(model_name: str):
     """
     if model_name.startswith(("mantis-tpu:", "mllava:")):
         path = model_name.split(":", 1)[1]
-        return lambda: MantisTPUAdapter(path)
+        return lambda **kw: MantisTPUAdapter(path, **kw)
     if ":" in model_name:
         arch, path = model_name.split(":", 1)
         from mantis_tpu.benchmark.adapters.chat_models import (
@@ -110,13 +110,14 @@ class MantisTPUAdapter:
     support_multi_image = True
 
     def __init__(self, checkpoint_dir: str, max_new_tokens: int = 4096,
-                 model=None):
+                 model=None, quantize=None):
         if model is not None:
             self.model = model
         else:
             from mantis_tpu.models.mllava import MantisLlava
 
-            self.model = MantisLlava.from_pretrained(checkpoint_dir)
+            self.model = MantisLlava.from_pretrained(
+                checkpoint_dir, quantize=quantize)
         self.max_new_tokens = max_new_tokens
 
     def __call__(self, messages: List[dict]) -> str:

@@ -90,16 +90,38 @@ def _stack(src: TensorSource, tmpl: str, n: int, transpose: bool,
     return jnp.asarray(np.stack(arrs), dtype=dtype)
 
 
+def _maybe_quantize(w, quantize_bits, group_size=128):
+    """On-load weight-only quantization: the stacked bf16 tensor is a
+    transient (freed after this call), so device peak memory stays at
+    int8-total + one stack — an 8B checkpoint quantizes onto a 16 GB
+    chip that its bf16 form does not fit."""
+    if not quantize_bits:
+        return w
+    from mantis_tpu.ops.quant import quantize
+
+    din = w.shape[-2]
+    gs = group_size if din % group_size == 0 else din
+    return quantize(w, bits=quantize_bits, group_size=gs)
+
+
 def llama_params_from_hf(src: TensorSource, cfg: LlamaConfig,
                          prefix: str = "model.",
                          lm_head_key: Optional[str] = "lm_head.weight",
-                         dtype=jnp.float32):
+                         dtype=jnp.float32, quantize_bits=None):
+    """quantize_bits (8 or 4): group-wise weight-only quantization of
+    the LM linears + lm_head at load time (the measured serving
+    config, docs/PERF.md — same policy as ops.quant.quantize_tree plus
+    the head; embeddings and norms stay in ``dtype``)."""
     L = cfg.num_hidden_layers
     p = prefix
 
     def get(k, transpose=False):
         a = src.get(p + k)
         return jnp.asarray(a.T if transpose else a, dtype=dtype)
+
+    def qstack(tmpl):
+        return _maybe_quantize(
+            _stack(src, lt + tmpl, L, True, dtype), quantize_bits)
 
     lt = p + "layers.{i}."
     params = {
@@ -110,20 +132,13 @@ def llama_params_from_hf(src: TensorSource, cfg: LlamaConfig,
                 src, lt + "input_layernorm.weight", L, False, dtype),
             "post_attention_layernorm": _stack(
                 src, lt + "post_attention_layernorm.weight", L, False, dtype),
-            "q_proj": _stack(
-                src, lt + "self_attn.q_proj.weight", L, True, dtype),
-            "k_proj": _stack(
-                src, lt + "self_attn.k_proj.weight", L, True, dtype),
-            "v_proj": _stack(
-                src, lt + "self_attn.v_proj.weight", L, True, dtype),
-            "o_proj": _stack(
-                src, lt + "self_attn.o_proj.weight", L, True, dtype),
-            "gate_proj": _stack(
-                src, lt + "mlp.gate_proj.weight", L, True, dtype),
-            "up_proj": _stack(
-                src, lt + "mlp.up_proj.weight", L, True, dtype),
-            "down_proj": _stack(
-                src, lt + "mlp.down_proj.weight", L, True, dtype),
+            "q_proj": qstack("self_attn.q_proj.weight"),
+            "k_proj": qstack("self_attn.k_proj.weight"),
+            "v_proj": qstack("self_attn.v_proj.weight"),
+            "o_proj": qstack("self_attn.o_proj.weight"),
+            "gate_proj": qstack("mlp.gate_proj.weight"),
+            "up_proj": qstack("mlp.up_proj.weight"),
+            "down_proj": qstack("mlp.down_proj.weight"),
         },
     }
     if cfg.attention_bias:
@@ -137,10 +152,10 @@ def llama_params_from_hf(src: TensorSource, cfg: LlamaConfig,
         })
     if not cfg.tie_word_embeddings and lm_head_key is not None:
         if lm_head_key in src.keys:
-            params["lm_head"] = jnp.asarray(
-                src.get(lm_head_key).T, dtype=dtype)
+            head = jnp.asarray(src.get(lm_head_key).T, dtype=dtype)
         else:  # tied in checkpoint
-            params["lm_head"] = params["embed_tokens"].T
+            head = params["embed_tokens"].T
+        params["lm_head"] = _maybe_quantize(head, quantize_bits)
     return params
 
 
@@ -199,7 +214,7 @@ def vit_params_from_hf(src: TensorSource, cfg: VisionConfig,
 
 
 def llava_params_from_hf(src: TensorSource, cfg: LlavaConfig,
-                         dtype=jnp.float32):
+                         dtype=jnp.float32, quantize_bits=None):
     """Map a Mantis/LLaVA HF checkpoint onto our MLlava param tree.
 
     Handles both legacy key layout (``language_model.model.*``,
@@ -230,17 +245,23 @@ def llava_params_from_hf(src: TensorSource, cfg: LlavaConfig,
         },
         "language_model": llama_params_from_hf(
             src, cfg.text_config, prefix=lm_prefix, lm_head_key=lm_head,
-            dtype=dtype),
+            dtype=dtype, quantize_bits=quantize_bits),
     }
 
 
-def load_llava(checkpoint_dir: str, dtype=jnp.bfloat16):
-    """Load config + params from a local HF checkpoint directory."""
+def load_llava(checkpoint_dir: str, dtype=jnp.bfloat16,
+               quantize_bits=None):
+    """Load config + params from a local HF checkpoint directory.
+
+    quantize_bits=8 quantizes the LM linears + head at load (one stack
+    at a time), so an 8B-class checkpoint fits a 16 GB chip its bf16
+    form does not — the standard single-v5e serving path."""
     with open(os.path.join(checkpoint_dir, "config.json")) as f:
         hf_cfg = json.load(f)
     cfg = LlavaConfig.from_hf_config(hf_cfg)
     src = TensorSource.from_safetensors_dir(checkpoint_dir)
-    params = llava_params_from_hf(src, cfg, dtype=dtype)
+    params = llava_params_from_hf(src, cfg, dtype=dtype,
+                                  quantize_bits=quantize_bits)
     return cfg, params
 
 

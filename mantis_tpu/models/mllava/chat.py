@@ -39,15 +39,23 @@ class MantisLlava:
         self.speculative = 0
 
     @classmethod
-    def from_pretrained(cls, path: str, dtype=jnp.bfloat16):
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16,
+                        quantize=None):
+        """quantize: None, "int8"/"int4" (or 8/4) — weight-only
+        quantization of the LM at load time.  int8 + an int8 KV cache
+        is the measured single-v5e serving config (docs/PERF.md): an
+        8B bf16 checkpoint does not fit the 16 GB chip."""
         from mantis_tpu.io.hf_loader import load_llava
 
-        cfg, params = load_llava(path, dtype=dtype)
+        bits = {None: None, "int8": 8, "int4": 4, 8: 8, 4: 4}[quantize]
+        cfg, params = load_llava(path, dtype=dtype, quantize_bits=bits)
         processor = MLlavaProcessor.from_pretrained(
             path, num_image_tokens=cfg.num_image_tokens,
             tower_type=cfg.vision_config.tower_type,
             image_size=cfg.vision_config.image_size)
-        return cls(cfg, params, processor, model_name=path)
+        cache_dtype = jnp.int8 if bits else jnp.bfloat16
+        return cls(cfg, params, processor, model_name=path,
+                   cache_dtype=cache_dtype)
 
     # ------------------------------------------------------------------
     def pick_conversation(self):

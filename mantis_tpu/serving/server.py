@@ -344,6 +344,13 @@ def main():
                    help="KV cache dtype; int8 halves KV memory "
                         "(~+14%% decode, 2x batch capacity, "
                         "docs/PERF.md)")
+    p.add_argument("--quantize", default=None,
+                   choices=["int8", "int4"],
+                   help="weight-only LM quantization at load "
+                        "(mantis-tpu/mllava adapter): int8 is the "
+                        "measured serving config — an 8B bf16 "
+                        "checkpoint does not fit one 16 GB v5e; "
+                        "implies --kv_cache int8 unless overridden")
     p.add_argument("--allow_local_files", action="store_true",
                    help="let clients reference server-filesystem paths "
                         "in image_url/video_url (trusted networks only)")
@@ -375,7 +382,21 @@ def main():
 
     import jax.numpy as jnp
 
-    adapter = MLLM_Models(args.model)()
+    factory = MLLM_Models(args.model)
+    if args.quantize:
+        try:
+            adapter = factory(quantize=args.quantize)
+        except TypeError:
+            raise SystemExit(
+                f"--quantize: adapter for {args.model!r} does not "
+                f"support on-load quantization (supported: "
+                f"mantis-tpu/mllava)")
+        # quantized loads default the KV cache to int8 (the measured
+        # serving pairing); an explicit --kv_cache still overrides
+        if args.kv_cache == "bfloat16":
+            args.kv_cache = "int8"
+    else:
+        adapter = factory()
     if hasattr(adapter, "max_new_tokens"):
         adapter.max_new_tokens = args.max_new_tokens
     # MantisTPUAdapter holds the dtype on its inner MantisLlava model
