@@ -40,7 +40,7 @@ def MLLM_Models(model_name: str):
 
         if arch in ARCH_CHAT_CLASSES:
             cls = ARCH_CHAT_CLASSES[arch]
-            return lambda: cls.from_pretrained(path)
+            return lambda **kw: cls.from_pretrained(path, **kw)
         from mantis_tpu.benchmark.adapters.torch_baselines import (
             TORCH_BASELINES)
 

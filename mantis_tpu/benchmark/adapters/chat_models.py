@@ -97,19 +97,26 @@ class GenericChat:
     # ------------------------------------------------------------------
     @classmethod
     def from_pretrained(cls, path: str, dtype=jnp.bfloat16,
-                        max_new_tokens: int = 4096):
+                        max_new_tokens: int = 4096, quantize=None):
+        """quantize: None or "int8"/"int4" (or 8/4) — weight-only LM
+        quantization at load time, paired with an int8 KV cache (the
+        single-16GB-chip serving config for every 8B family)."""
         import transformers
 
         from mantis_tpu.io.hf_loader import load_checkpoint
         from mantis_tpu.train.archs import get_arch
 
-        arch, cfg, params = load_checkpoint(path, dtype=dtype)
+        bits = {None: None, "int8": 8, "int4": 4, 8: 8, 4: 4}[quantize]
+        arch, cfg, params = load_checkpoint(path, dtype=dtype,
+                                            quantize_bits=bits)
         if arch != cls.arch:
             raise ValueError(
                 f"checkpoint {path} is {arch!r}, adapter is {cls.arch!r}")
         tok = transformers.AutoTokenizer.from_pretrained(path)
         processor = get_arch(arch).make_processor(tok, cfg)
-        return cls(cfg, params, processor, max_new_tokens=max_new_tokens)
+        cache_dtype = jnp.int8 if bits else jnp.bfloat16
+        return cls(cfg, params, processor, max_new_tokens=max_new_tokens,
+                   cache_dtype=cache_dtype)
 
     # ------------------------------------------------------------------
     def build_prompt(self, messages: List[dict]):

@@ -265,7 +265,8 @@ def load_llava(checkpoint_dir: str, dtype=jnp.bfloat16,
     return cfg, params
 
 
-def idefics2_params_from_hf(src: TensorSource, cfg, dtype=jnp.float32):
+def idefics2_params_from_hf(src: TensorSource, cfg, dtype=jnp.float32,
+                            quantize_bits=None):
     """Map an HF Idefics2 checkpoint (reference fork or upstream) onto
     our param tree.  cfg: mantis_tpu.models.idefics2.model.Idefics2Config.
     """
@@ -318,14 +319,16 @@ def idefics2_params_from_hf(src: TensorSource, cfg, dtype=jnp.float32):
         },
         "language_model": llama_params_from_hf(
             src, cfg.text_config, prefix="model.text_model.",
-            lm_head_key="lm_head.weight", dtype=dtype),
+            lm_head_key="lm_head.weight", dtype=dtype,
+            quantize_bits=quantize_bits),
     }
     if "score.weight" in src.keys:
         params["score"] = get("score.weight", True)
     return params
 
 
-def qwen2_vl_params_from_hf(src: TensorSource, cfg, dtype=jnp.float32):
+def qwen2_vl_params_from_hf(src: TensorSource, cfg, dtype=jnp.float32,
+                            quantize_bits=None):
     """Map an HF Qwen2-VL checkpoint onto our param tree.
     cfg: mantis_tpu.models.qwen2_vl.model.Qwen2VLConfig."""
     vcfg = cfg.vision_config
@@ -375,7 +378,7 @@ def qwen2_vl_params_from_hf(src: TensorSource, cfg, dtype=jnp.float32):
         "visual": visual,
         "language_model": llama_params_from_hf(
             src, cfg.text_config, prefix=lp, lm_head_key=head,
-            dtype=dtype),
+            dtype=dtype, quantize_bits=quantize_bits),
     }
     if "score.weight" in src.keys:
         params["score"] = get("score.weight", True)
@@ -385,7 +388,7 @@ def qwen2_vl_params_from_hf(src: TensorSource, cfg, dtype=jnp.float32):
 def persimmon_params_from_hf(src: TensorSource, cfg,
                              prefix: str = "model.",
                              lm_head_key: str = "lm_head.weight",
-                             dtype=jnp.float32):
+                             dtype=jnp.float32, quantize_bits=None):
     """Persimmon with fused per-head-interleaved QKV de-fused into
     q/k/v (HF layout: weight.view(H, 3, dh, D))."""
     L = cfg.num_hidden_layers
@@ -417,7 +420,9 @@ def persimmon_params_from_hf(src: TensorSource, cfg,
         "embed_tokens": get("embed_tokens.weight"),
         "final_ln_scale": get("final_layernorm.weight"),
         "final_ln_bias": get("final_layernorm.bias"),
-        "lm_head": jnp.asarray(src.get(lm_head_key).T, dtype=dtype),
+        "lm_head": _maybe_quantize(
+            jnp.asarray(src.get(lm_head_key).T, dtype=dtype),
+            quantize_bits),
         "layers": {
             "ln1_scale": _stack(src, lt + "input_layernorm.weight", L,
                                 False, dtype),
@@ -429,19 +434,25 @@ def persimmon_params_from_hf(src: TensorSource, cfg,
             "ln2_bias": _stack(
                 src, lt + "post_attention_layernorm.bias", L, False,
                 dtype),
-            "q_proj": st(qs), "q_b": st(qbs),
-            "k_proj": st(ks), "k_b": st(kbs),
-            "v_proj": st(vs), "v_b": st(vbs),
-            "dense": _stack(src, lt + "self_attn.dense.weight", L, True,
-                            dtype),
+            "q_proj": _maybe_quantize(st(qs), quantize_bits),
+            "q_b": st(qbs),
+            "k_proj": _maybe_quantize(st(ks), quantize_bits),
+            "k_b": st(kbs),
+            "v_proj": _maybe_quantize(st(vs), quantize_bits),
+            "v_b": st(vbs),
+            "dense": _maybe_quantize(_stack(
+                src, lt + "self_attn.dense.weight", L, True, dtype),
+                quantize_bits),
             "dense_b": _stack(src, lt + "self_attn.dense.bias", L, False,
                               dtype),
-            "h_to_4h": _stack(src, lt + "mlp.dense_h_to_4h.weight", L,
-                              True, dtype),
+            "h_to_4h": _maybe_quantize(_stack(
+                src, lt + "mlp.dense_h_to_4h.weight", L, True, dtype),
+                quantize_bits),
             "h_to_4h_b": _stack(src, lt + "mlp.dense_h_to_4h.bias", L,
                                 False, dtype),
-            "4h_to_h": _stack(src, lt + "mlp.dense_4h_to_h.weight", L,
-                              True, dtype),
+            "4h_to_h": _maybe_quantize(_stack(
+                src, lt + "mlp.dense_4h_to_h.weight", L, True, dtype),
+                quantize_bits),
             "4h_to_h_b": _stack(src, lt + "mlp.dense_4h_to_h.bias", L,
                                 False, dtype),
         },
@@ -462,7 +473,8 @@ def persimmon_params_from_hf(src: TensorSource, cfg,
     return params
 
 
-def mfuyu_params_from_hf(src: TensorSource, cfg, dtype=jnp.float32):
+def mfuyu_params_from_hf(src: TensorSource, cfg, dtype=jnp.float32,
+                         quantize_bits=None):
     """Fuyu/MFuyu: linear patch embed + Persimmon LM."""
     if any(k.startswith("language_model.model.") for k in src.keys):
         lm_prefix, head = ("language_model.model.",
@@ -481,11 +493,12 @@ def mfuyu_params_from_hf(src: TensorSource, cfg, dtype=jnp.float32):
         "vision_embed_bias": get(ve + "bias"),
         "language_model": persimmon_params_from_hf(
             src, cfg.text_config, prefix=lm_prefix, lm_head_key=head,
-            dtype=dtype),
+            dtype=dtype, quantize_bits=quantize_bits),
     }
 
 
-def internvl_params_from_hf(src: TensorSource, cfg, dtype=jnp.float32):
+def internvl_params_from_hf(src: TensorSource, cfg, dtype=jnp.float32,
+                            quantize_bits=None):
     """Map an HF InternVL checkpoint onto our param tree.
     cfg: mantis_tpu.models.intern_vl.model.InternVLConfig."""
     vcfg = cfg.vision_config
@@ -554,7 +567,8 @@ def internvl_params_from_hf(src: TensorSource, cfg, dtype=jnp.float32):
         },
         "language_model": llama_params_from_hf(
             src, cfg.text_config, prefix="model.language_model.",
-            lm_head_key="lm_head.weight", dtype=dtype),
+            lm_head_key="lm_head.weight", dtype=dtype,
+            quantize_bits=quantize_bits),
     }
 
 
@@ -562,7 +576,7 @@ def internlm2_llama_params_from_hf(src: TensorSource, cfg,
                                    prefix: str = "language_model.model.",
                                    lm_head_key: str =
                                    "language_model.output.weight",
-                                   dtype=jnp.float32):
+                                   dtype=jnp.float32, quantize_bits=None):
     """Original InternLM2 checkpoints (the Mantis InternVL-2.5 fork):
     fused grouped wqkv (per kv-group layout [g q-heads, 1 k, 1 v]) and
     w1/w3/w2 MLP naming, mapped onto our LLaMA layout."""
@@ -589,26 +603,35 @@ def internlm2_llama_params_from_hf(src: TensorSource, cfg,
     return {
         "embed_tokens": get("tok_embeddings.weight"),
         "norm": get("norm.weight"),
-        "lm_head": jnp.asarray(src.get(lm_head_key).T, dtype=dtype),
+        "lm_head": _maybe_quantize(
+            jnp.asarray(src.get(lm_head_key).T, dtype=dtype),
+            quantize_bits),
         "layers": {
             "input_layernorm": _stack(
                 src, lt + "attention_norm.weight", L, False, dtype),
             "post_attention_layernorm": _stack(
                 src, lt + "ffn_norm.weight", L, False, dtype),
-            "q_proj": st(qs), "k_proj": st(ks_), "v_proj": st(vs),
-            "o_proj": _stack(src, lt + "attention.wo.weight", L, True,
-                             dtype),
-            "gate_proj": _stack(src, lt + "feed_forward.w1.weight", L,
-                                True, dtype),
-            "up_proj": _stack(src, lt + "feed_forward.w3.weight", L,
-                              True, dtype),
-            "down_proj": _stack(src, lt + "feed_forward.w2.weight", L,
-                                True, dtype),
+            "q_proj": _maybe_quantize(st(qs), quantize_bits),
+            "k_proj": _maybe_quantize(st(ks_), quantize_bits),
+            "v_proj": _maybe_quantize(st(vs), quantize_bits),
+            "o_proj": _maybe_quantize(_stack(
+                src, lt + "attention.wo.weight", L, True, dtype),
+                quantize_bits),
+            "gate_proj": _maybe_quantize(_stack(
+                src, lt + "feed_forward.w1.weight", L, True, dtype),
+                quantize_bits),
+            "up_proj": _maybe_quantize(_stack(
+                src, lt + "feed_forward.w3.weight", L, True, dtype),
+                quantize_bits),
+            "down_proj": _maybe_quantize(_stack(
+                src, lt + "feed_forward.w2.weight", L, True, dtype),
+                quantize_bits),
         },
     }
 
 
-def idefics3_params_from_hf(src: TensorSource, cfg, dtype=jnp.float32):
+def idefics3_params_from_hf(src: TensorSource, cfg, dtype=jnp.float32,
+                            quantize_bits=None):
     """Map an HF Idefics3 checkpoint onto our param tree."""
     return {
         "vision_tower": vit_params_from_hf(
@@ -621,12 +644,13 @@ def idefics3_params_from_hf(src: TensorSource, cfg, dtype=jnp.float32):
         },
         "language_model": llama_params_from_hf(
             src, cfg.text_config, prefix="model.text_model.",
-            lm_head_key="lm_head.weight", dtype=dtype),
+            lm_head_key="lm_head.weight", dtype=dtype,
+            quantize_bits=quantize_bits),
     }
 
 
 def videollava_params_from_hf(src: TensorSource, cfg,
-                              dtype=jnp.float32):
+                              dtype=jnp.float32, quantize_bits=None):
     """Map an HF Video-LLaVA checkpoint onto our param tree.
 
     Handles both the legacy layout (``image_tower.*``,
@@ -662,7 +686,8 @@ def videollava_params_from_hf(src: TensorSource, cfg,
         },
         "language_model": llama_params_from_hf(
             src, cfg.text_config, prefix=lm_prefix,
-            lm_head_key=lm_head, dtype=dtype),
+            lm_head_key=lm_head, dtype=dtype,
+            quantize_bits=quantize_bits),
     }
 
 
@@ -670,12 +695,17 @@ def videollava_params_from_hf(src: TensorSource, cfg,
 # Generic directory loader (dispatch on config.json model_type)
 # ---------------------------------------------------------------------------
 
-def load_checkpoint(checkpoint_dir: str, dtype=jnp.bfloat16):
+def load_checkpoint(checkpoint_dir: str, dtype=jnp.bfloat16,
+                    quantize_bits=None):
     """(arch_name, cfg, params) from a local HF checkpoint directory.
 
     Dispatches on config.json's model_type/architectures the way the
     reference resolves model classes per adapter
     (reference: mantis/mllm_tools/__init__.py:61-174).
+
+    quantize_bits (8/4): weight-only LM quantization at load — each
+    linear stack quantizes as it is assembled, so an 8B-class
+    checkpoint serves from one 16 GB chip (see llama_params_from_hf).
     """
     with open(os.path.join(checkpoint_dir, "config.json")) as f:
         hf_cfg = json.load(f)
@@ -690,32 +720,33 @@ def load_checkpoint(checkpoint_dir: str, dtype=jnp.bfloat16):
         from mantis_tpu.models.idefics3.model import Idefics3Config
 
         cfg = Idefics3Config.from_hf_config(hf_cfg)
-        return "idefics3", cfg, idefics3_params_from_hf(src, cfg, dtype)
+        return "idefics3", cfg, idefics3_params_from_hf(src, cfg, dtype, quantize_bits)
     if is_("idefics2"):
         from mantis_tpu.models.idefics2.model import Idefics2Config
 
         cfg = Idefics2Config.from_hf_config(hf_cfg)
-        return "idefics2", cfg, idefics2_params_from_hf(src, cfg, dtype)
+        return "idefics2", cfg, idefics2_params_from_hf(src, cfg, dtype, quantize_bits)
     if is_("qwen2_vl", "qwen2vl"):
         from mantis_tpu.models.qwen2_vl.model import Qwen2VLConfig
 
         cfg = Qwen2VLConfig.from_hf_config(hf_cfg)
-        return "qwen2_vl", cfg, qwen2_vl_params_from_hf(src, cfg, dtype)
+        return "qwen2_vl", cfg, qwen2_vl_params_from_hf(src, cfg, dtype, quantize_bits)
     if is_("fuyu"):
         from mantis_tpu.models.mfuyu.model import MFuyuConfig
 
         cfg = MFuyuConfig.from_hf_config(hf_cfg)
-        return "mfuyu", cfg, mfuyu_params_from_hf(src, cfg, dtype)
+        return "mfuyu", cfg, mfuyu_params_from_hf(src, cfg, dtype, quantize_bits)
     if is_("internvl"):
         from mantis_tpu.models.intern_vl.model import InternVLConfig
 
         cfg = InternVLConfig.from_hf_config(hf_cfg)
-        return "internvl", cfg, internvl_params_from_hf(src, cfg, dtype)
+        return "internvl", cfg, internvl_params_from_hf(src, cfg, dtype, quantize_bits)
     if is_("llava_next", "llavanext", "llava-next"):
         from mantis_tpu.models.mllava_next.model import LlavaNextConfig
 
         cfg = LlavaNextConfig.from_hf_config(hf_cfg)
-        params = llava_params_from_hf(src, cfg, dtype)
+        params = llava_params_from_hf(src, cfg, dtype,
+                                      quantize_bits=quantize_bits)
         nl_key = ("image_newline"
                   if "image_newline" in src.keys
                   else "model.image_newline")
@@ -727,10 +758,11 @@ def load_checkpoint(checkpoint_dir: str, dtype=jnp.bfloat16):
 
         cfg = VideoLlavaConfig.from_hf_config(hf_cfg)
         return ("videollava", cfg,
-                videollava_params_from_hf(src, cfg, dtype))
+                videollava_params_from_hf(src, cfg, dtype, quantize_bits))
     if is_("llava"):
         cfg = LlavaConfig.from_hf_config(hf_cfg)
-        return "mllava", cfg, llava_params_from_hf(src, cfg, dtype)
+        return "mllava", cfg, llava_params_from_hf(
+            src, cfg, dtype, quantize_bits=quantize_bits)
     raise ValueError(
         f"Unrecognized checkpoint type: model_type={mt!r}, "
         f"architectures={archs!r}")

@@ -358,9 +358,10 @@ def decoder_forward(
             lp = scanned
         residual = h
         x = rms_norm(h, lp["input_layernorm"], tcfg.rms_norm_eps)
-        q = (x @ lp["q_proj"]).reshape(b, s, hq, dh)
-        k = (x @ lp["k_proj"]).reshape(b, s, hk, dh)
-        v = (x @ lp["v_proj"]).reshape(b, s, hk, dh)
+        _mm = llama._mm   # QuantTensor-aware (int8/int4 serving)
+        q = _mm(x, lp["q_proj"]).reshape(b, s, hq, dh)
+        k = _mm(x, lp["k_proj"]).reshape(b, s, hk, dh)
+        v = _mm(x, lp["v_proj"]).reshape(b, s, hk, dh)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         new_kv = None
@@ -399,7 +400,7 @@ def decoder_forward(
                                    segment_ids=segment_ids,
                                    softmax_scale=scale,
                                    implementation=attn_impl)
-        h = residual + attn.reshape(b, s, hq * dh) @ lp["o_proj"]
+        h = residual + _mm(attn.reshape(b, s, hq * dh), lp["o_proj"])
 
         if xattn is not None and encoder_hidden is not None:
             residual = h
@@ -430,8 +431,9 @@ def decoder_forward(
 
         residual = h
         x = rms_norm(h, lp["post_attention_layernorm"], tcfg.rms_norm_eps)
-        gated = jax.nn.silu(x @ lp["gate_proj"]) * (x @ lp["up_proj"])
-        h = residual + gated @ lp["down_proj"]
+        gated = jax.nn.silu(_mm(x, lp["gate_proj"])) \
+            * _mm(x, lp["up_proj"])
+        h = residual + _mm(gated, lp["down_proj"])
         return h, new_kv
 
     layer_fn = remat(layer_fn, use_remat)
@@ -452,8 +454,8 @@ def decoder_forward(
                             k_scale=kvs[2] if quant_cache else None,
                             v_scale=kvs[3] if quant_cache else None)
     h = rms_norm(h, lm["norm"], tcfg.rms_norm_eps)
-    logits = h @ (lm["lm_head"] if "lm_head" in lm
-                  else lm["embed_tokens"].T)
+    logits = llama._mm(h, lm["lm_head"] if "lm_head" in lm
+                       else lm["embed_tokens"].T)
     return logits, new_cache
 
 

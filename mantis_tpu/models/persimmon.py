@@ -191,9 +191,10 @@ def forward(
         residual = h
         x = layer_norm(h, lp["ln1_scale"], lp["ln1_bias"],
                        cfg.layer_norm_eps)
-        q = (x @ lp["q_proj"] + lp["q_b"]).reshape(b, s, H, dh)
-        k = (x @ lp["k_proj"] + lp["k_b"]).reshape(b, s, H, dh)
-        v = (x @ lp["v_proj"] + lp["v_b"]).reshape(b, s, H, dh)
+        _mm = llama_mod._mm   # QuantTensor-aware (int8/int4 serving)
+        q = (_mm(x, lp["q_proj"]) + lp["q_b"]).reshape(b, s, H, dh)
+        k = (_mm(x, lp["k_proj"]) + lp["k_b"]).reshape(b, s, H, dh)
+        v = (_mm(x, lp["v_proj"]) + lp["v_b"]).reshape(b, s, H, dh)
         if cfg.qk_layernorm:
             q = layer_norm(q, lp["q_ln_scale"], lp["q_ln_bias"],
                            cfg.layer_norm_eps)
@@ -223,14 +224,14 @@ def forward(
                                    segment_ids=segment_ids,
                                    softmax_scale=scale,
                                    implementation=attn_impl)
-        h = residual + (attn.reshape(b, s, d) @ lp["dense"]
+        h = residual + (_mm(attn.reshape(b, s, d), lp["dense"])
                         + lp["dense_b"])
 
         residual = h
         x = layer_norm(h, lp["ln2_scale"], lp["ln2_bias"],
                        cfg.layer_norm_eps)
-        x = relu2(x @ lp["h_to_4h"] + lp["h_to_4h_b"])
-        h = residual + (x @ lp["4h_to_h"] + lp["4h_to_h_b"])
+        x = relu2(_mm(x, lp["h_to_4h"]) + lp["h_to_4h_b"])
+        h = residual + (_mm(x, lp["4h_to_h"]) + lp["4h_to_h_b"])
         return h, new_kv
 
     layer_fn = remat(layer_fn, use_remat)
@@ -252,4 +253,4 @@ def forward(
                    cfg.layer_norm_eps)
     if return_hidden:
         return h, new_cache
-    return h @ params["lm_head"], new_cache
+    return llama_mod._mm(h, params["lm_head"]), new_cache

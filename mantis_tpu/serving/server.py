@@ -346,11 +346,11 @@ def main():
                         "docs/PERF.md)")
     p.add_argument("--quantize", default=None,
                    choices=["int8", "int4"],
-                   help="weight-only LM quantization at load "
-                        "(mantis-tpu/mllava adapter): int8 is the "
-                        "measured serving config — an 8B bf16 "
-                        "checkpoint does not fit one 16 GB v5e; "
-                        "implies --kv_cache int8 unless overridden")
+                   help="weight-only LM quantization at load (any "
+                        "in-repo family adapter): int8 is the measured "
+                        "serving config — an 8B bf16 checkpoint does "
+                        "not fit one 16 GB v5e; implies --kv_cache "
+                        "int8 unless overridden")
     p.add_argument("--allow_local_files", action="store_true",
                    help="let clients reference server-filesystem paths "
                         "in image_url/video_url (trusted networks only)")
@@ -389,8 +389,9 @@ def main():
         except TypeError:
             raise SystemExit(
                 f"--quantize: adapter for {args.model!r} does not "
-                f"support on-load quantization (supported: "
-                f"mantis-tpu/mllava)")
+                f"support on-load quantization (supported: the in-repo "
+                f"family adapters, e.g. mantis-tpu:/ idefics2:/ "
+                f"qwen2_vl:/)")
         # quantized loads default the KV cache to int8 (the measured
         # serving pairing); an explicit --kv_cache still overrides
         if args.kv_cache == "bfloat16":

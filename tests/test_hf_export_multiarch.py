@@ -111,3 +111,37 @@ def test_export_roundtrip(arch, tmp_path):
     ours = our_text_logits(arch, params, cfg, ids)
     rel = (np.abs(ours - ref).max() / (np.abs(ref).max() + 1e-9))
     assert rel < 2e-3, (arch, rel)
+
+
+@pytest.mark.parametrize("arch", ARCHS)
+def test_quantized_reload(arch, tmp_path):
+    """load_checkpoint(quantize_bits=8) — the single-16GB-chip serving
+    path for every family: LM linears come back as QuantTensors and
+    text-only logits track the dense load within group-wise int8
+    error."""
+    from mantis_tpu.ops.quant import QuantTensor
+
+    cfg, params, tok, spec = build_tiny(arch)
+    out = str(tmp_path / arch)
+
+    class _Shim:
+        tokenizer = tok
+
+    save_checkpoint(arch, params, cfg, out, processor=_Shim())
+    arch2, cfg2, p_q = load_checkpoint(out, dtype=jnp.float32,
+                                       quantize_bits=8)
+    assert arch2 == arch
+    lm = p_q["language_model"]
+    assert isinstance(lm["layers"]["q_proj"], QuantTensor)
+    assert not isinstance(lm["embed_tokens"], QuantTensor)
+
+    rng = np.random.RandomState(1)
+    ids = rng.randint(1, min(cfg.text_config.vocab_size, 60),
+                      size=(1, 16))
+    ref = our_text_logits(arch, params, cfg, ids)
+    got = our_text_logits(arch, p_q, cfg2, ids)
+    a = ref[0, -1].astype(np.float64)
+    b = got[0, -1].astype(np.float64)
+    cos = float(np.dot(a, b)
+                / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    assert cos > 0.99, (arch, cos)
