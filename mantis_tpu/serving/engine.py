@@ -1209,21 +1209,41 @@ class EngineAdapter:
 
     def __call__(self, messages, max_new_tokens: Optional[int] = None,
                  stop=None, **sampling) -> str:
+        return self.complete(messages, max_new_tokens, stop=stop,
+                             **sampling)["text"]
+
+    def complete(self, messages, max_new_tokens: Optional[int] = None,
+                 stop=None, **sampling) -> dict:
+        """Reply plus protocol metadata: real token counts (OpenAI
+        ``usage``) and ``finish_reason`` ("stop" for EOS/stop-sequence,
+        "length" when the decode budget ran out)."""
         if stop:
             # route through the streaming loop: it cancels the slot at
             # the first stop-sequence hit instead of decoding to budget
-            return "".join(self.stream(
-                messages, max_new_tokens, stop=stop, **sampling)).strip()
+            usage = {}
+            text = "".join(self.stream(
+                messages, max_new_tokens, stop=stop,
+                _usage_out=usage, **sampling)).strip()
+            return {"text": text, **usage}
         ids, pix = self._encode(messages)
-        toks = self.engine.generate_sync(
-            ids, pix,
-            self._fit_budget(ids, max_new_tokens or self.max_new_tokens),
-            **sampling)
-        return self.model.processor.tokenizer.decode(
-            toks, skip_special_tokens=True).strip()
+        budget = self._fit_budget(
+            ids, max_new_tokens or self.max_new_tokens)
+        toks = self.engine.generate_sync(ids, pix, budget, **sampling)
+        # EOS never lands in req.tokens (_deliver retires on it), so a
+        # reply shorter than its budget means EOS; budget-length means
+        # the decode ran out
+        finish = "stop" if len(toks) < budget else "length"
+        return {
+            "text": self.model.processor.tokenizer.decode(
+                toks, skip_special_tokens=True).strip(),
+            "prompt_tokens": len(ids),
+            "completion_tokens": len(toks),
+            "finish_reason": finish,
+        }
 
     def stream(self, messages, max_new_tokens: Optional[int] = None,
-               stop=None, **sampling):
+               stop=None, _usage_out: Optional[dict] = None,
+               **sampling):
         """Yield text deltas (SSE path).  Partial-codepoint decodes
         (dangling byte-level BPE, rendered as U+FFFD) are held back
         until the next token completes them, so the concatenated deltas
@@ -1235,10 +1255,17 @@ class EngineAdapter:
         decode = self.model.processor.tokenizer.decode
         stops = [stop] if isinstance(stop, str) else list(stop or [])
         hold = max((len(s) for s in stops), default=1) - 1
-        req = self.engine.submit_ids(
-            ids, pix,
-            self._fit_budget(ids, max_new_tokens or self.max_new_tokens),
-            stream=True, **sampling)
+        budget = self._fit_budget(
+            ids, max_new_tokens or self.max_new_tokens)
+        req = self.engine.submit_ids(ids, pix, budget, stream=True,
+                                     **sampling)
+
+        def fill_usage(finish):
+            if _usage_out is not None:
+                _usage_out.update(
+                    prompt_tokens=len(ids), completion_tokens=len(toks),
+                    finish_reason=finish)
+
         toks, prev, text = [], "", ""
         while True:
             t = req.stream_q.get(timeout=600.0)
@@ -1253,6 +1280,7 @@ class EngineAdapter:
                 if cut >= 0:
                     req.cancelled = True
                     self.engine._wake.set()
+                    fill_usage("stop")
                     if cut > len(prev):
                         yield text[len(prev):cut]
                     return
@@ -1264,6 +1292,7 @@ class EngineAdapter:
                 prev = text[:limit]
         if req.error is not None:
             raise req.error
+        fill_usage("stop" if len(toks) < budget else "length")
         # flush the stop holdback on normal end-of-stream (a stop hit
         # in the very last tokens still truncates)
         if text.endswith("�"):

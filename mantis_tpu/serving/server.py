@@ -169,8 +169,13 @@ class ChatAPIServer:
             allow_local_files=self.allow_local_files)
         max_tokens = body.get("max_tokens") or body.get(
             "max_completion_tokens")
+        n = int(body.get("n") or 1)
+        if not 1 <= n <= 8:
+            raise ValueError(f"n must be in [1, 8], got {n}")
         sampling = self._sampling_kwargs(body)
         stops = self._stop_list(body)
+        usage = None
+        finishes = ["stop"]
         if getattr(self.adapter, "concurrent_safe", False):
             # continuous-batching engine (serving/engine.py): handler
             # threads submit concurrently, the engine batches their
@@ -178,10 +183,40 @@ class ChatAPIServer:
             if stops and getattr(self.adapter, "supports_stop", False):
                 sampling["stop"] = stops
                 stops = []          # handled (with early cancel) inside
-            text = self.adapter(
-                msgs, max_new_tokens=int(max_tokens)
-                if max_tokens else None, **sampling)
+            mnt = int(max_tokens) if max_tokens else None
+
+            def one(i):
+                kw = dict(sampling)
+                # n>1 choices draw from distinct streams: offset the
+                # seed per choice (unseeded sampled requests already
+                # differ via the engine's auto-seed)
+                if i and kw.get("seed") is not None:
+                    kw["seed"] = int(kw["seed"]) + i
+                return self.adapter.complete(msgs, max_new_tokens=mnt,
+                                             **kw)
+
+            if n == 1:
+                outs = [one(0)]
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=n) as ex:
+                    outs = list(ex.map(one, range(n)))
+            texts = [o["text"] for o in outs]
+            finishes = [o.get("finish_reason", "stop") for o in outs]
+            if all("prompt_tokens" in o for o in outs):
+                usage = {
+                    "prompt_tokens": outs[0]["prompt_tokens"],
+                    "completion_tokens": sum(
+                        o["completion_tokens"] for o in outs),
+                    "total_tokens": outs[0]["prompt_tokens"] + sum(
+                        o["completion_tokens"] for o in outs),
+                }
         else:
+            if n != 1:
+                raise ValueError(
+                    "n > 1 requires the continuous-batching engine "
+                    "(--continuous_batching)")
             if sampling.get("temperature", 0.0) > 0.0:
                 raise ValueError(
                     "temperature sampling requires the continuous-"
@@ -192,27 +227,30 @@ class ChatAPIServer:
                 if max_tokens and saved is not None:
                     self.adapter.max_new_tokens = int(max_tokens)
                 try:
-                    text = self.adapter(msgs)
+                    texts = [self.adapter(msgs)]
                 finally:
                     if max_tokens and saved is not None:
                         self.adapter.max_new_tokens = saved
         if stops:
             # adapters without native stop support: post-truncate (no
             # early exit, but protocol-correct output)
-            text = self._truncate_at_stop(text, stops)
-        return {
+            texts = [self._truncate_at_stop(t, stops) for t in texts]
+        out = {
             "id": f"chatcmpl-{int(time.time() * 1000)}",
             "object": "chat.completion",
             "created": int(time.time()),
             "model": body.get("model", self.model_id),
             "choices": [{
-                "index": 0,
-                "message": {"role": "assistant", "content": text},
-                "finish_reason": "stop",
-            }],
-            # usage omitted: the spec makes it optional, and null token
-            # counts break typed clients (pydantic CompletionUsage)
+                "index": i,
+                "message": {"role": "assistant", "content": t},
+                "finish_reason": f,
+            } for i, (t, f) in enumerate(zip(texts, finishes))],
         }
+        if usage is not None:
+            # real counts from the engine; omitted (spec-optional) for
+            # serial adapters, where null counts break typed clients
+            out["usage"] = usage
+        return out
 
     def handle_chat_stream(self, body: dict):
         """Return an iterator of chat.completion.chunk payloads (SSE).

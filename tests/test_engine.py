@@ -1065,3 +1065,60 @@ def test_batched_admission_composes_with_speculative():
     _drive(spec)
     assert spec.counters["prefill_batches"] == 1
     assert [r.tokens for r in reqs] == expected
+
+
+def test_complete_usage_and_n_choices():
+    """OpenAI protocol metadata: real usage counts + finish_reason from
+    the engine, n>1 choices via the server handler."""
+    from mantis_tpu.serving.engine import EngineAdapter
+    from mantis_tpu.serving.server import ChatAPIServer
+
+    model = _tiny_mantis()
+    eng = EngineAdapter(model, max_new_tokens=6, max_slots=2,
+                        slot_ctx=64, chunk_tokens=3,
+                        prefill_buckets=(16, 32))
+    msgs = [{"type": "text", "content": "hello there one two"}]
+    out = eng.complete(msgs)
+    assert out["prompt_tokens"] > 0
+    assert 1 <= out["completion_tokens"] <= 6
+    assert out["finish_reason"] in ("stop", "length")
+    if out["completion_tokens"] == 6:
+        assert out["finish_reason"] == "length"
+    assert out["text"] == eng(msgs)
+
+    srv = ChatAPIServer(eng)
+    body = {"messages": [{"role": "user",
+                          "content": "hello there one two"}],
+            "max_tokens": 4, "n": 2}
+    reply = srv.handle_chat(body)
+    assert len(reply["choices"]) == 2
+    assert [c["index"] for c in reply["choices"]] == [0, 1]
+    # greedy n=2: identical texts, usage sums both completions
+    assert (reply["choices"][0]["message"]["content"]
+            == reply["choices"][1]["message"]["content"])
+    u = reply["usage"]
+    assert u["total_tokens"] == u["prompt_tokens"] + u["completion_tokens"]
+    assert u["completion_tokens"] <= 8
+
+    # stop-sequence path reports usage too (finish_reason "stop")
+    full = eng(msgs, max_new_tokens=6)
+    if len(full.split()) > 1:
+        stop_word = full.split()[-1]
+        out2 = eng.complete(msgs, max_new_tokens=6, stop=[stop_word])
+        assert out2["finish_reason"] == "stop"
+        assert out2["prompt_tokens"] == out["prompt_tokens"]
+
+    eng.engine.shutdown()
+
+
+def test_n_choices_requires_engine():
+    from mantis_tpu.serving.server import ChatAPIServer
+
+    class Dummy:
+        def __call__(self, msgs):
+            return "x"
+
+    srv = ChatAPIServer(Dummy())
+    body = {"messages": [{"role": "user", "content": "hi"}], "n": 2}
+    with pytest.raises(ValueError):
+        srv.handle_chat(body)
