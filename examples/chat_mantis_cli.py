@@ -35,11 +35,16 @@ def main():
     p.add_argument("--speculative", type=int, default=0,
                    help="prompt-lookup speculative decoding: drafts "
                         "per verify pass (0 = off; greedy only)")
+    p.add_argument("--quantize", default=None, choices=["int8", "int4"],
+                   help="weight-only LM quantization at load + int8 KV "
+                        "— an 8B bf16 checkpoint does not fit one "
+                        "16 GB v5e (docs/SERVING.md)")
     args = p.parse_args()
     if args.speculative and args.stream:
         p.error("--speculative and --stream are mutually exclusive "
                 "(the streaming loop decodes one token at a time)")
-    model = MantisLlava.from_pretrained(args.model)
+    model = MantisLlava.from_pretrained(args.model,
+                                        quantize=args.quantize)
     model.speculative = args.speculative
     session = None
     if args.kv_reuse:
