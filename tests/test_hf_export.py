@@ -122,3 +122,18 @@ def test_quantized_load_serving_path(tmp_path):
     reply_eng = eng([{"type": "text", "content": "hello"}])
     assert isinstance(reply_eng, str)
     eng.engine.shutdown()
+
+    # int4: true packed storage (2 weights/byte) through the same path
+    _, p4 = load_llava(out_dir, dtype=jnp.float32, quantize_bits=4)
+    q4 = p4["language_model"]["layers"]["q_proj"]
+    assert isinstance(q4, QuantTensor) and q4.bits == 4
+    # packed axis is half the group length
+    assert q4.q.shape[-2] * 2 == (
+        p_q["language_model"]["layers"]["q_proj"].q.shape[-2])
+    got4, _, _ = mllava_model.forward(
+        p4, cfg_q, input_ids=jnp.asarray(ids), attn_impl="xla")
+    assert np.isfinite(np.asarray(got4)).all()
+    got4_l = np.asarray(got4[0, -1], np.float64)
+    cos4 = float(np.dot(ref_l, got4_l)
+                 / (np.linalg.norm(ref_l) * np.linalg.norm(got4_l)))
+    assert cos4 > 0.95, cos4   # 4-bit: looser but still aligned
