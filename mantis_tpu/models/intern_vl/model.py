@@ -329,8 +329,16 @@ def decoder_forward(
     offset = kv_cache.length if kv_cache is not None else None
     kv_seg_full = None
     if kv_cache is not None:
-        kv_seg_full = jax.lax.dynamic_update_slice(
-            kv_cache.seg, segment_ids, (0, offset))
+        if getattr(offset, "ndim", 0) == 1:
+            # per-row lengths (continuous batching, models/llama.py
+            # semantics): each row's seg chunk lands at its own offset
+            kv_seg_full = jax.vmap(
+                lambda row, seg_row, o:
+                jax.lax.dynamic_update_slice(row, seg_row, (o,)))(
+                kv_cache.seg, segment_ids, offset)
+        else:
+            kv_seg_full = jax.lax.dynamic_update_slice(
+                kv_cache.seg, segment_ids, (0, offset))
 
     q_seg = jnp.ones((b, s), jnp.int32)
     img_group_ids = None

@@ -174,8 +174,16 @@ def forward(
     offset = kv_cache.length if kv_cache is not None else None
     kv_seg_full = None
     if kv_cache is not None:
-        kv_seg_full = jax.lax.dynamic_update_slice(
-            kv_cache.seg, segment_ids, (0, offset))
+        if getattr(offset, "ndim", 0) == 1:
+            # per-row lengths (continuous batching, models/llama.py
+            # semantics): each row's seg chunk lands at its own offset
+            kv_seg_full = jax.vmap(
+                lambda row, seg_row, o:
+                jax.lax.dynamic_update_slice(row, seg_row, (o,)))(
+                kv_cache.seg, segment_ids, offset)
+        else:
+            kv_seg_full = jax.lax.dynamic_update_slice(
+                kv_cache.seg, segment_ids, (0, offset))
 
     quant_cache = kv_cache is not None and kv_cache.k.dtype == jnp.int8
 

@@ -538,11 +538,17 @@ class ContinuousBatchingEngine:
                  max_cached_prefixes: int = 2,
                  min_prefix_tokens: int = 32,
                  spec_tokens: int = 0, spec_ngram: int = 3,
-                 prefill_chunk: int = 0):
+                 prefill_chunk: int = 0, forward=None, eos_ids=None):
+        """``forward``/``eos_ids`` generalize the engine beyond the
+        flagship: any forward with the shared contract
+        (input_ids/pixel_values/positions/segment_ids/kv_cache ->
+        (logits, loss, cache), llama-style per-row cache lengths) can
+        drive it — see GenericEngineAdapter."""
         from mantis_tpu.models.mllava import model as mllava_model
 
         self.model = model
-        self.forward = mllava_model.forward
+        self.forward = forward if forward is not None \
+            else mllava_model.forward
         self.max_slots = max_slots
         self.slot_ctx = slot_ctx
         self.chunk_tokens = chunk_tokens
@@ -577,9 +583,10 @@ class ContinuousBatchingEngine:
                          "prefix_tokens_reused": 0,
                          "spec_extra_tokens": 0,
                          "prefill_pieces": 0, "prefill_batches": 0}
-        _, terminators = model.pick_conversation()
+        if eos_ids is None:
+            _, eos_ids = model.pick_conversation()
         self.eos_ids = jnp.asarray(
-            list(terminators) or [model.processor.tokenizer.eos_token_id],
+            list(eos_ids) or [model.processor.tokenizer.eos_token_id],
             jnp.int32)
         self.pad_id = int(model.processor.tokenizer.pad_token_id or 0)
 
@@ -835,7 +842,9 @@ class ContinuousBatchingEngine:
                 padded = req.ids + [self.pad_id] * (bucket - n)
                 pix = None
                 if req.pixel_values is not None:
-                    pix = jnp.asarray(req.pixel_values)
+                    # plain array (mllava) or a media pytree (generic
+                    # adapters: pixel_values + per-arch extras)
+                    pix = jax.tree.map(jnp.asarray, req.pixel_values)
                 tok0, scratch = _prefill_jit(
                     model.params, jnp.asarray([padded]), pix,
                     jnp.asarray(n, jnp.int32), temp, top_p, kp,
@@ -1125,24 +1134,29 @@ class ContinuousBatchingEngine:
 # ---------------------------------------------------------------------------
 
 def wrap_adapter_in_engine(adapter, engine_opts=None):
-    """Rebuild a MantisLlava-style eval adapter as an EngineAdapter so
-    benchmark drivers can co-schedule examples (--use_engine).  Returns
-    the wrapped adapter; callers own `wrapped.engine` and should
-    shutdown() it when done.
+    """Rebuild an eval adapter as an engine-backed one so benchmark
+    drivers can co-schedule examples (--use_engine): MantisLlava-style
+    adapters get EngineAdapter, GenericChat family adapters (idefics2,
+    idefics3, internvl, mfuyu, videollava, ...) get
+    GenericEngineAdapter.  Returns the wrapped adapter; callers own
+    `wrapped.engine` and should shutdown() it when done.
 
     Defaults the prefix cache OFF (overridable via engine_opts):
     benchmark questions rarely share a usable prefix, and with it off a
     burst of text-only examples admits as ONE batched prefill."""
-    inner = getattr(adapter, "model", None)
-    if inner is None or not hasattr(inner, "pick_conversation"):
-        raise ValueError(
-            "use_engine requires a MantisLlava-style adapter "
-            f"(got {type(adapter).__name__})")
     opts = dict(engine_opts or {})
     opts.setdefault("max_cached_prefixes", 0)
-    return EngineAdapter(
-        inner, max_new_tokens=getattr(adapter, "max_new_tokens", 512),
-        **opts)
+    inner = getattr(adapter, "model", None)
+    if inner is not None and hasattr(inner, "pick_conversation"):
+        return EngineAdapter(
+            inner,
+            max_new_tokens=getattr(adapter, "max_new_tokens", 512),
+            **opts)
+    if hasattr(adapter, "gen_forward"):
+        return GenericEngineAdapter(adapter, **opts)
+    raise ValueError(
+        "use_engine requires a MantisLlava-style or GenericChat "
+        f"family adapter (got {type(adapter).__name__})")
 
 
 class EngineAdapter:
@@ -1303,3 +1317,73 @@ class EngineAdapter:
                 text = text[:cut]
         if len(text) > len(prev):
             yield text[len(prev):]
+
+
+class GenericEngineAdapter(EngineAdapter):
+    """Continuous batching for ANY GenericChat family adapter
+    (idefics2 / idefics3 / internvl / mfuyu / videollava /
+    mllava_next ...), not just the flagship.
+
+    The engine's device programs are already arch-agnostic: they call
+    a ``model_forward`` static argument with the shared contract
+    (input_ids / pixel_values / positions / segment_ids / kv_cache ->
+    (logits, loss, cache)) over llama-style per-row cache lengths,
+    which every in-repo text tower implements (models/llama.py,
+    models/persimmon.py, intern_vl).  This facade supplies the chat
+    adapter's ``gen_forward`` — wrapped so per-arch media extras
+    (NaViT patch masks, fuyu image patches, ...) ride the engine's
+    pixel_values slot as one pytree — plus its prompt rendering and
+    terminators.
+
+    Exclusions (flagship-engine-only features):
+    - prefix cache / chunked prefill need ``cache_attention=True``
+      incremental prefill, which only the flagship forward implements;
+    - speculative drafts need (k+1)-wide cached verify forwards;
+    - qwen2_vl decodes with 3-axis M-RoPE positions that do not reduce
+      to the engine's scalar per-row lengths.
+    """
+
+    def __init__(self, chat, max_new_tokens: Optional[int] = None,
+                 **engine_kw):
+        if getattr(chat, "arch", "") == "qwen2_vl":
+            raise ValueError(
+                "qwen2_vl is not engine-servable: M-RoPE decode "
+                "positions are 3-axis per row (use the serial adapter)")
+        for opt in ("prefill_chunk", "spec_tokens"):
+            if engine_kw.get(opt):
+                raise ValueError(
+                    f"{opt} requires the flagship mllava engine "
+                    f"(cache_attention / chunk-verify forwards)")
+        engine_kw.setdefault("max_cached_prefixes", 0)
+        if engine_kw["max_cached_prefixes"]:
+            raise ValueError(
+                "the prefix cache requires the flagship mllava engine "
+                "(cache_attention suffix prefill)")
+        self.chat = chat
+
+        def fwd(params, cfg, *, input_ids, pixel_values=None,
+                positions=None, segment_ids=None, kv_cache=None):
+            media = (pixel_values if isinstance(pixel_values, dict)
+                     else {"pixel_values": pixel_values})
+            return chat.gen_forward(
+                params, cfg, input_ids=input_ids,
+                pixel_values=media.get("pixel_values"),
+                positions=positions, segment_ids=segment_ids,
+                kv_cache=kv_cache,
+                **{k: v for k, v in media.items()
+                   if k != "pixel_values"})
+
+        super().__init__(
+            chat,
+            max_new_tokens=(max_new_tokens
+                            or getattr(chat, "max_new_tokens", 512)),
+            forward=fwd, eos_ids=chat.terminators(), **engine_kw)
+
+    def _encode(self, messages):
+        prompt, images = self.chat.build_prompt(messages)
+        ids_arr, _mask, pix, extra = self.chat.prepare_inputs(
+            prompt, images)
+        ids = [int(t) for t in np.asarray(ids_arr)[0]]
+        media = {k: v for k, v in {"pixel_values": pix, **extra}.items()
+                 if v is not None}
+        return ids, (media or None)

@@ -461,21 +461,38 @@ def main():
                 f"has no speculative decode path")
         spec_target.speculative = args.speculative
     if args.continuous_batching:
-        from mantis_tpu.serving.engine import EngineAdapter
+        from mantis_tpu.serving.engine import (
+            EngineAdapter, GenericEngineAdapter)
 
         inner = getattr(adapter, "model", None)
-        if inner is None or not hasattr(inner, "pick_conversation"):
+        if inner is not None and hasattr(inner, "pick_conversation"):
+            adapter = EngineAdapter(
+                inner, max_new_tokens=args.max_new_tokens,
+                max_slots=args.max_slots, slot_ctx=args.slot_ctx,
+                chunk_tokens=args.chunk_tokens,
+                max_cached_prefixes=args.prefix_cache,
+                spec_tokens=args.speculative,
+                prefill_chunk=args.prefill_chunk)
+        elif hasattr(adapter, "gen_forward"):
+            # non-flagship families: the engine core is arch-agnostic;
+            # flagship-only layers (prefix cache / chunked prefill /
+            # speculative) are rejected or disabled
+            if args.speculative or args.prefill_chunk:
+                raise SystemExit(
+                    "--speculative/--prefill_chunk require the "
+                    "flagship mantis-tpu adapter's engine")
+            if args.prefix_cache:
+                print(f"note: the prefix cache is flagship-only; "
+                      f"disabled for {type(adapter).__name__}")
+            adapter = GenericEngineAdapter(
+                adapter, max_new_tokens=args.max_new_tokens,
+                max_slots=args.max_slots, slot_ctx=args.slot_ctx,
+                chunk_tokens=args.chunk_tokens)
+        else:
             raise SystemExit(
                 f"--continuous_batching: adapter "
-                f"{type(adapter).__name__} exposes no MantisLlava-style "
-                f"model (supported: mantis-tpu)")
-        adapter = EngineAdapter(
-            inner, max_new_tokens=args.max_new_tokens,
-            max_slots=args.max_slots, slot_ctx=args.slot_ctx,
-            chunk_tokens=args.chunk_tokens,
-            max_cached_prefixes=args.prefix_cache,
-            spec_tokens=args.speculative,
-            prefill_chunk=args.prefill_chunk)
+                f"{type(adapter).__name__} is not engine-servable "
+                f"(supported: mantis-tpu and the GenericChat families)")
     srv = make_server(adapter, args.host, args.port,
                       model_id=args.model,
                       allow_local_files=args.allow_local_files)

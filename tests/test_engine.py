@@ -1122,3 +1122,88 @@ def test_n_choices_requires_engine():
     body = {"messages": [{"role": "user", "content": "hi"}], "n": 2}
     with pytest.raises(ValueError):
         srv.handle_chat(body)
+
+
+# ---------------------------------------------------------------------------
+# generic engine (continuous batching beyond the flagship)
+# ---------------------------------------------------------------------------
+
+GENERIC_ARCHS = ["idefics2", "idefics3", "internvl", "mfuyu",
+                 "videollava", "mllava_next"]
+
+
+def _arch_msgs(seed):
+    return [
+        [{"type": "text", "content": "Is this bright yes no ?"}],
+        [{"type": "image", "content": _img(seed)},
+         {"type": "text", "content": "Compare and same ?"}],
+    ]
+
+
+@pytest.mark.parametrize("arch", GENERIC_ARCHS)
+def test_generic_engine_matches_serial_adapter(arch):
+    """GenericEngineAdapter(chat) replies exactly like the serial
+    GenericChat adapter on CPU f32, text and image prompts, serial and
+    concurrent."""
+    from tests.test_eval_adapters import make_adapter
+    from mantis_tpu.serving.engine import GenericEngineAdapter
+
+    chat = make_adapter(arch)
+    msgs = _arch_msgs(3)
+    expected = [chat(m) for m in msgs]
+
+    eng = GenericEngineAdapter(chat, max_new_tokens=4, max_slots=2,
+                               slot_ctx=256, chunk_tokens=2,
+                               prefill_buckets=(64, 128, 256))
+    serial_eng = [eng(m) for m in msgs]
+    assert serial_eng == expected
+
+    # concurrent burst: co-residency must not perturb any stream
+    results = [None] * len(msgs)
+    errs = []
+
+    def worker(i):
+        try:
+            results[i] = eng(msgs[i])
+        except Exception as e:   # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(msgs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert results == expected
+    eng.engine.shutdown()
+
+
+def test_generic_engine_exclusions():
+    from tests.test_eval_adapters import make_adapter
+    from mantis_tpu.serving.engine import GenericEngineAdapter
+
+    chat = make_adapter("qwen2_vl")
+    with pytest.raises(ValueError, match="M-RoPE"):
+        GenericEngineAdapter(chat)
+    chat2 = make_adapter("idefics3")
+    with pytest.raises(ValueError, match="prefix cache"):
+        GenericEngineAdapter(chat2, max_cached_prefixes=2)
+    with pytest.raises(ValueError, match="spec_tokens"):
+        GenericEngineAdapter(chat2, spec_tokens=3)
+
+
+def test_wrap_adapter_in_engine_generic_path():
+    """--use_engine on a GenericChat adapter routes through the generic
+    engine and the eval driver scores with it."""
+    from tests.test_eval_adapters import make_adapter
+    from mantis_tpu.serving.engine import (
+        GenericEngineAdapter, wrap_adapter_in_engine)
+
+    chat = make_adapter("idefics3")
+    wrapped = wrap_adapter_in_engine(chat)
+    assert isinstance(wrapped, GenericEngineAdapter)
+    assert wrapped.concurrent_safe
+    out = wrapped([{"type": "text", "content": "Is this bright ?"}])
+    assert out == chat([{"type": "text", "content": "Is this bright ?"}])
+    wrapped.engine.shutdown()
