@@ -30,7 +30,8 @@ jax.config.update("jax_platforms", "cpu")
 # auto-marked from the recorded per-test wall times in
 # tests/durations.json (regenerate with
 # `pytest tests/ --durations=0 | <extract> > tests/durations.json`);
-# anything above SLOW_THRESHOLD_S is marked slow.  Unrecorded (new)
+# anything above SLOW_THRESHOLD_S is marked slow (5 s keeps the
+# default profile near the 5-minute budget at the round-3 test count).  Unrecorded (new)
 # tests default to fast until the next regeneration.  Explicit
 # @pytest.mark.slow still works for tests that are known-slow from
 # birth (multi-process drives, engine concurrency).
@@ -40,7 +41,7 @@ import json  # noqa: E402
 
 import pytest  # noqa: E402
 
-SLOW_THRESHOLD_S = 10.0
+SLOW_THRESHOLD_S = 5.0
 
 _dur_path = os.path.join(os.path.dirname(__file__), "durations.json")
 try:
