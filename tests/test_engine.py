@@ -954,11 +954,13 @@ def _drive(eng):
         eng._admit()
 
 
-def test_batched_admission_identity():
+@pytest.mark.parametrize("cache_dtype", [jnp.float32, jnp.int8])
+def test_batched_admission_identity(cache_dtype):
     """A burst of text-only requests (prefix cache off) admits through
     ONE batched prefill + insert, and every reply is exactly the
-    serial one-at-a-time engine's (f32 CPU: bitwise)."""
-    model = _tiny_mantis()
+    serial one-at-a-time engine's (CPU: bitwise; int8 covers the
+    batched insert's per-row scale scatter)."""
+    model = _tiny_mantis(cache_dtype)
     rng = np.random.RandomState(3)
     prompts = [rng.randint(2, 40, size=n).tolist()
                for n in (5, 9, 7, 12)]
