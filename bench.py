@@ -458,6 +458,16 @@ def _bounded(fn, seconds=300):
 
 
 def main():
+    # fail loudly (not hang) if the device goes away mid-run.  Note:
+    # a tunnel wedged at PROCESS START blocks inside sitecustomize's
+    # axon register() before any user code (SIGALRM cannot preempt
+    # that); this guard covers stalls that happen after init.
+    if _bounded(jax.devices, 300) is None:
+        print(json.dumps({
+            "metric": "siglip_so400m_encode_images_per_sec_per_chip",
+            "value": 0.0, "unit": "images/sec", "vs_baseline": 0.0,
+            "error": "device init timed out (tunnel wedged?)"}))
+        return
     imgs_per_sec, imgs_per_sec_int8 = bench_encode()
     mfu_res = _bounded(bench_train_mfu, 480)
     dec_res = _bounded(bench_decode, 480)
