@@ -121,7 +121,10 @@ def main(
         else:
             with open(results_path) as f:
                 existing = [json.loads(x) for x in f]
-    existing_by_id = {r["id"]: r for r in existing}
+    # error records (per-example containment below) are retried on
+    # resume rather than cached as wrong answers
+    existing_by_id = {r["id"]: r for r in existing
+                      if not r.get("error")}
     all_results = []
 
     if check_existing:
@@ -163,6 +166,7 @@ def main(
                 question_type = d["question_type"]
                 question = d["question"]
                 messages = None
+                error = None
                 if model_name == "random" and model is None:
                     if question_type == "multi-choice":
                         raw_answer = random.choice(d["options"])
@@ -175,7 +179,15 @@ def main(
                         question=question)
                     messages = build_messages(
                         question, d["images"], model.support_multi_image)
-                    raw_answer = model(messages)
+                    try:
+                        raw_answer = model(messages)
+                    except Exception as e:
+                        # per-example containment: one prompt exceeding
+                        # e.g. the engine's static limits must not abort
+                        # the run; error records retry on resume
+                        print(f"[eval] {d['id']} failed: "
+                              f"{type(e).__name__}: {e}", flush=True)
+                        raw_answer, error = "", f"{type(e).__name__}: {e}"
                     for m in messages:
                         if m["type"] == "image":
                             m["content"] = str(m["content"])
@@ -193,6 +205,8 @@ def main(
                     "messages": messages,
                     "prediction": prediction,
                 }
+                if error is not None:
+                    item["error"] = error
                 with write_lock:
                     result_f.write(json.dumps(item) + "\n")
                     result_f.flush()

@@ -164,7 +164,8 @@ def main(model_name: str, json_dir: str, video_dir: str,
         with open(results_path) as f:
             for line in f:
                 r = json.loads(line)
-                existing[(r["task"], r["idx"])] = r
+                if not r.get("error"):   # error records retry on resume
+                    existing[(r["task"], r["idx"])] = r
 
     tasks = []    # (task, items) in DATA_LIST order, for the summary
     todo = []     # (task, idx, item, prefix, media, has_bounds)
@@ -216,10 +217,20 @@ def main(model_name: str, json_dir: str, video_dir: str,
             messages = [{"type": "image", "content": fr}
                         for fr in frames]
             messages.append({"type": "text", "content": prompt})
-            raw = model(messages) if model else "(A)"
+            error = None
+            try:
+                raw = model(messages) if model else "(A)"
+            except Exception as e:
+                # per-example containment (see benchmark/eval.py)
+                print(f"[mvbench] {task}/{idx} failed: "
+                      f"{type(e).__name__}: {e}", flush=True)
+                raw, error = "", f"{type(e).__name__}: {e}"
             r = {"task": task, "idx": idx,
                  "pred": raw, "gt": answer_opt,
-                 "correct": check_answer(raw, answer_opt)}
+                 # "" would letter-match everything ("" in x is True)
+                 "correct": bool(raw) and check_answer(raw, answer_opt)}
+            if error is not None:
+                r["error"] = error
             with write_lock:
                 out_f.write(json.dumps(r) + "\n")
                 out_f.flush()

@@ -905,19 +905,37 @@ class ContinuousBatchingEngine:
         pair per request): a burst of arrivals — the engine-backed
         eval workload — pays one RTT + one weight read.  Only taken
         when the prefix cache is off (per-row scratch caches are not
-        stored) and no request needs chunked prefill."""
-        ids = np.full((len(pairs), bucket), self.pad_id, np.int32)
-        lens, temps, tps, kps, kds = [], [], [], [], []
+        stored) and no request needs chunked prefill.
+
+        The batch is padded up a power-of-two ladder so XLA compiles
+        one program per (bucket, padded-k) instead of one per burst
+        size; dummy rows (1 pad token) come FIRST and alias the first
+        real slot, whose real row overwrites them in the ascending
+        insert loop."""
+        k = len(pairs)
+        kpad = 2
+        while kpad < k:
+            kpad *= 2
+        pad_rows = kpad - k
+        ids = np.full((kpad, bucket), self.pad_id, np.int32)
+        lens = [1] * pad_rows
+        temps = [0.0] * pad_rows
+        tps = [1.0] * pad_rows
+        zero_key = jnp.zeros((2,), jnp.uint32)
+        kps = [zero_key] * pad_rows
+        slots = [pairs[0][1]] * pad_rows
+        kds = []
         sampling = any(r.sampling for r, _ in pairs)
-        for j, (req, _) in enumerate(pairs):
+        for j, (req, slot_idx) in enumerate(pairs):
             n = len(req.ids)
-            ids[j, :n] = req.ids
+            ids[pad_rows + j, :n] = req.ids
             lens.append(n)
             temps.append(req.temperature)
             tps.append(req.top_p)
             kp, kd = self._sampling_keys(req)
             kps.append(kp)
             kds.append(kd)
+            slots.append(slot_idx)
         model = self.model
         try:
             toks, scratch = _prefill_batch_jit(
@@ -929,8 +947,7 @@ class ContinuousBatchingEngine:
                 cache_dtype=model.cache_dtype, bucket=bucket,
                 sampling=sampling)
             self.cache = _insert_batch_jit(
-                self.cache, scratch,
-                jnp.asarray([i for _, i in pairs], jnp.int32),
+                self.cache, scratch, jnp.asarray(slots, jnp.int32),
                 jnp.asarray(lens, jnp.int32))
             firsts = np.asarray(toks)
         except Exception as e:
@@ -938,10 +955,11 @@ class ContinuousBatchingEngine:
                 req.error = e
                 self._finish(req)
             return
-        self.counters["prefills"] += len(pairs)
+        self.counters["prefills"] += k
         self.counters["prefill_batches"] += 1
         for j, (req, slot_idx) in enumerate(pairs):
-            self._activate_slot(req, slot_idx, int(firsts[j]), kds[j])
+            self._activate_slot(req, slot_idx,
+                                int(firsts[pad_rows + j]), kds[j])
 
     def _prefill_chunked(self, req: _Request, tbucket: int, temp, top_p,
                          kp):

@@ -258,6 +258,10 @@ class ChatAPIServer:
         a .stream generator fall back to one whole-reply chunk.
         Request parsing is eager so malformed requests 400 before any
         SSE bytes go out."""
+        if int(body.get("n") or 1) != 1:
+            raise ValueError("n > 1 is not supported with stream=true")
+        usage = {}
+        final = {}
         if hasattr(self.adapter, "stream") and getattr(
                 self.adapter, "concurrent_safe", False):
             msgs = messages_to_adapter(
@@ -271,11 +275,14 @@ class ChatAPIServer:
                 kw["stop"] = stops
             deltas = self.adapter.stream(
                 msgs, max_new_tokens=int(max_tokens)
-                if max_tokens else None, **kw)
+                if max_tokens else None, _usage_out=usage, **kw)
         else:
             reply = self.handle_chat(body)
             deltas = iter(
                 [reply["choices"][0]["message"]["content"]])
+            final = reply["choices"][0]
+        include_usage = bool(
+            (body.get("stream_options") or {}).get("include_usage"))
 
         def gen():
             cid = f"chatcmpl-{int(time.time() * 1000)}"
@@ -289,8 +296,18 @@ class ChatAPIServer:
                 yield {**base, "choices": [{
                     "index": 0, "delta": {"content": d},
                     "finish_reason": None}]}
+            # the engine fills `usage` (incl. the real finish_reason)
+            # as its stream drains; serial fallbacks reuse handle_chat's
+            finish = usage.get("finish_reason",
+                               final.get("finish_reason", "stop"))
             yield {**base, "choices": [{
-                "index": 0, "delta": {}, "finish_reason": "stop"}]}
+                "index": 0, "delta": {}, "finish_reason": finish}]}
+            if include_usage and "prompt_tokens" in usage:
+                yield {**base, "choices": [], "usage": {
+                    "prompt_tokens": usage["prompt_tokens"],
+                    "completion_tokens": usage["completion_tokens"],
+                    "total_tokens": usage["prompt_tokens"]
+                    + usage["completion_tokens"]}}
 
         return gen()
 
@@ -377,10 +394,11 @@ def main():
                    help="prompt-lookup speculative decoding drafts per "
                         "verify pass (flagship mllava/mantis-tpu "
                         "adapter, greedy only; 0 = off)")
-    p.add_argument("--kv_cache", default="bfloat16",
+    p.add_argument("--kv_cache", default=None,
                    choices=["bfloat16", "float32", "int8"],
-                   help="KV cache dtype; int8 halves KV memory "
-                        "(~+14%% decode, 2x batch capacity, "
+                   help="KV cache dtype (default bfloat16, or int8 "
+                        "when --quantize is set); int8 halves KV "
+                        "memory (~+14%% decode, 2x batch capacity, "
                         "docs/PERF.md)")
     p.add_argument("--quantize", default=None,
                    choices=["int8", "int4"],
@@ -422,20 +440,29 @@ def main():
 
     factory = MLLM_Models(args.model)
     if args.quantize:
+        import inspect
+
         try:
-            adapter = factory(quantize=args.quantize)
-        except TypeError:
+            takes_kwargs = any(
+                p.kind is inspect.Parameter.VAR_KEYWORD
+                or p.name == "quantize"
+                for p in inspect.signature(factory).parameters.values())
+        except (TypeError, ValueError):
+            takes_kwargs = False
+        if not takes_kwargs:
             raise SystemExit(
                 f"--quantize: adapter for {args.model!r} does not "
                 f"support on-load quantization (supported: the in-repo "
                 f"family adapters, e.g. mantis-tpu:/ idefics2:/ "
                 f"qwen2_vl:/)")
+        adapter = factory(quantize=args.quantize)
         # quantized loads default the KV cache to int8 (the measured
         # serving pairing); an explicit --kv_cache still overrides
-        if args.kv_cache == "bfloat16":
+        if args.kv_cache is None:
             args.kv_cache = "int8"
     else:
         adapter = factory()
+    args.kv_cache = args.kv_cache or "bfloat16"
     if hasattr(adapter, "max_new_tokens"):
         adapter.max_new_tokens = args.max_new_tokens
     # MantisTPUAdapter holds the dtype on its inner MantisLlava model

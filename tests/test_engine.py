@@ -414,7 +414,10 @@ def test_engine_streaming_matches_sync():
             events.append(json.loads(payload))
     assert events[-1] is None
     assert events[0]["choices"][0]["delta"] == {"role": "assistant"}
-    assert events[-2]["choices"][0]["finish_reason"] == "stop"
+    # the final chunk reports the REAL finish_reason ("length" when
+    # the budget ran out — the usual case on random weights)
+    assert events[-2]["choices"][0]["finish_reason"] in ("stop",
+                                                         "length")
     text = "".join(
         e["choices"][0]["delta"].get("content", "")
         for e in events[:-1] if e is not None).strip()
@@ -1209,3 +1212,39 @@ def test_wrap_adapter_in_engine_generic_path():
     out = wrapped([{"type": "text", "content": "Is this bright ?"}])
     assert out == chat([{"type": "text", "content": "Is this bright ?"}])
     wrapped.engine.shutdown()
+
+
+def test_stream_finish_reason_and_usage_chunk():
+    """SSE: the final chunk carries the REAL finish_reason (length on
+    budget exhaustion) and stream_options.include_usage appends a
+    usage chunk; n>1 with stream is rejected."""
+    from mantis_tpu.serving.engine import EngineAdapter
+    from mantis_tpu.serving.server import ChatAPIServer
+
+    model = _tiny_mantis()
+    eng = EngineAdapter(model, max_new_tokens=4, max_slots=2,
+                        slot_ctx=64, chunk_tokens=2,
+                        prefill_buckets=(16, 32))
+    srv = ChatAPIServer(eng)
+    body = {"messages": [{"role": "user",
+                          "content": "hello there one two"}],
+            "max_tokens": 3, "stream": True,
+            "stream_options": {"include_usage": True}}
+    chunks = list(srv.handle_chat_stream(body))
+    finals = [c for c in chunks
+              if c["choices"] and c["choices"][0]["finish_reason"]]
+    ref = eng.complete(
+        [{"type": "text", "content": "hello there one two"}],
+        max_new_tokens=3)
+    assert finals[-1]["choices"][0]["finish_reason"] == \
+        ref["finish_reason"]
+    usage_chunks = [c for c in chunks if "usage" in c]
+    assert len(usage_chunks) == 1
+    u = usage_chunks[0]["usage"]
+    assert u["completion_tokens"] == ref["completion_tokens"]
+    assert u["total_tokens"] == u["prompt_tokens"] + \
+        u["completion_tokens"]
+
+    with pytest.raises(ValueError):
+        list(srv.handle_chat_stream({**body, "n": 2}))
+    eng.engine.shutdown()

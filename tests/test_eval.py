@@ -350,3 +350,79 @@ def test_blink_conversion_and_eval(tmp_path):
         model_name="random", dataset_path=f"{out_dir}/val.json",
         dataset_name="blink-mini", results_dir=str(tmp_path / "res"))
     assert len(results) == 3
+
+
+class FlakyStub(StubModel):
+    """Fails on a specific example id's question text."""
+
+    concurrent_safe = True
+
+    def __init__(self, reply="A", fail_on="say hi"):
+        super().__init__(reply)
+        self.fail_on = fail_on
+
+    def __call__(self, messages):
+        self.calls += 1
+        if any(self.fail_on in m["content"] for m in messages
+               if m["type"] == "text"):
+            raise ValueError("prompt exceeds the largest prefill bucket")
+        return self.reply
+
+
+def test_eval_per_example_error_containment(bench_fixture, tmp_path):
+    """One failing example must not abort the run; the error is
+    recorded (scored wrong) and RETRIED on resume."""
+    stub = FlakyStub("A")
+    summary, results = eval_lib.main(
+        model_name="flaky", dataset_path=bench_fixture,
+        dataset_name="toyf", results_dir=str(tmp_path / "res"),
+        model_instance=stub, workers=2)
+    assert stub.calls == 2
+    assert len(results) == 2
+    by_id = {r["id"]: r for r in results}
+    assert "error" in by_id["q1"] and not by_id["q1"]["prediction"][
+        "correct"]
+    assert by_id["q0"]["prediction"]["correct"]
+
+    # resume: only the errored example re-runs, and a now-healthy
+    # model heals the record
+    stub2 = FlakyStub("hi", fail_on="@@never@@")
+    summary2, results2 = eval_lib.main(
+        model_name="flaky", dataset_path=bench_fixture,
+        dataset_name="toyf", results_dir=str(tmp_path / "res"),
+        model_instance=stub2)
+    assert stub2.calls == 1
+    by_id2 = {r["id"]: r for r in results2}
+    assert "error" not in by_id2["q1"]
+    assert by_id2["q1"]["prediction"]["correct"]  # "hi" == answer
+
+
+def test_mvbench_per_example_error_containment(mvbench_fixture,
+                                               tmp_path):
+    from mantis_tpu.benchmark import eval_on_mvbench
+
+    json_dir, video_dir = mvbench_fixture
+
+    class Boom(StubModel):
+        def __call__(self, messages):
+            self.calls += 1
+            if self.calls == 2:
+                raise RuntimeError("boom")
+            return "(a) cat"
+
+    boom = Boom()
+    per_task = eval_on_mvbench.main(
+        model_name="boom", json_dir=json_dir, video_dir=video_dir,
+        num_frames=2, results_dir=str(tmp_path / "res"),
+        model_instance=boom)
+    assert boom.calls == 4
+    assert per_task["Episodic Reasoning"] == (3, 4)  # errored one wrong
+
+    # resume retries only the errored item
+    heal = StubModel("(a) cat")
+    per_task2 = eval_on_mvbench.main(
+        model_name="boom", json_dir=json_dir, video_dir=video_dir,
+        num_frames=2, results_dir=str(tmp_path / "res"),
+        model_instance=heal)
+    assert heal.calls == 1
+    assert per_task2["Episodic Reasoning"] == (4, 4)
