@@ -613,6 +613,14 @@ class ContinuousBatchingEngine:
         self.pending: "queue.Queue[_Request]" = queue.Queue()
         self._wake = threading.Event()
         self._stop = False
+        # host-side copy: _deliver runs per live slot per chunk and
+        # must not pay a device fetch each time
+        self._eos_host = frozenset(
+            int(t) for t in np.asarray(self.eos_ids))
+        self._counter_lock = threading.Lock()
+        # set to the fatal exception if the scheduler thread dies;
+        # submit_ids refuses new work once set
+        self._dead: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -635,10 +643,14 @@ class ContinuousBatchingEngine:
                 f"{max(self.prefill_buckets)}")
         if not 0.0 < top_p <= 1.0:
             raise ValueError(f"top_p must be in (0, 1], got {top_p}")
+        if self._dead is not None:
+            raise RuntimeError(
+                f"engine scheduler died: {self._dead!r}")
         req = _Request(list(ids), pixel_values, max_new,
                        temperature=temperature, top_p=top_p, seed=seed,
                        stream=stream)
-        self.counters["requests"] += 1
+        with self._counter_lock:   # += on a dict entry is not atomic
+            self.counters["requests"] += 1
         self.pending.put(req)
         self._wake.set()
         return req
@@ -664,6 +676,9 @@ class ContinuousBatchingEngine:
                       timeout: float = 600.0, **sampling) -> List[int]:
         req = self.submit_ids(ids, pixel_values, max_new, **sampling)
         if not req.done.wait(timeout):
+            # stop spending decode chunks on a result nobody will read
+            req.cancelled = True
+            self._wake.set()
             raise TimeoutError("engine request timed out")
         if req.error is not None:
             raise req.error
@@ -672,11 +687,25 @@ class ContinuousBatchingEngine:
     def generate_stream(self, ids, pixel_values, max_new,
                         timeout: float = 600.0, **sampling):
         """Yield token ids as the scheduler produces them; raises the
-        request's error (if any) after the stream drains."""
+        request's error (if any) after the stream drains.  Abandoning
+        the generator cancels the request (the slot frees at the next
+        chunk boundary)."""
         req = self.submit_ids(ids, pixel_values, max_new, stream=True,
                               **sampling)
+        try:
+            yield from self._drain_stream(req, timeout)
+        finally:
+            if not req.done.is_set():
+                req.cancelled = True
+                self._wake.set()
+
+    def _drain_stream(self, req: _Request, timeout: float):
         while True:
-            t = req.stream_q.get(timeout=timeout)
+            try:
+                t = req.stream_q.get(timeout=timeout)
+            except queue.Empty:
+                raise TimeoutError(
+                    "engine stream stalled") from None
             if t is None:
                 break
             yield t
@@ -686,6 +715,10 @@ class ContinuousBatchingEngine:
     def shutdown(self):
         self._stop = True
         self._wake.set()
+        self._thread.join(timeout=30.0)
+        # waiters on queued/live requests must not block to their own
+        # timeouts after the scheduler is gone
+        self._fail_all(RuntimeError("engine shut down"))
         self._thread.join(timeout=30)
 
     # ------------------------------------------------------------------
@@ -1044,7 +1077,7 @@ class ContinuousBatchingEngine:
         """Append generated tokens to the slot's request, retiring on
         EOS or budget exhaustion."""
         slot = self.slots[slot_idx]
-        eos = set(int(t) for t in np.asarray(self.eos_ids))
+        eos = self._eos_host
         for t in toks:
             t = int(t)
             if slot.generated >= slot.req.max_new:
@@ -1074,17 +1107,39 @@ class ContinuousBatchingEngine:
         self._finish(slot.req)
 
     def _loop(self):
-        while not self._stop:
-            self._admit()
-            for i in range(self.max_slots):
-                s = self.slots[i]
-                if s is not None and s.req.cancelled:
-                    self._retire(i)
-            if not any(s is not None for s in self.slots):
-                self._wake.wait(timeout=0.5)
-                self._wake.clear()
-                continue
-            self._decode_once()
+        try:
+            while not self._stop:
+                self._admit()
+                for i in range(self.max_slots):
+                    s = self.slots[i]
+                    if s is not None and s.req.cancelled:
+                        self._retire(i)
+                if not any(s is not None for s in self.slots):
+                    self._wake.wait(timeout=0.5)
+                    self._wake.clear()
+                    continue
+                self._decode_once()
+        except BaseException as e:   # noqa: BLE001 — a dead scheduler
+            # must FAIL every waiter, not hang them until timeout
+            self._dead = e
+            import traceback
+            traceback.print_exc()
+            self._fail_all(e)
+
+    def _fail_all(self, e: BaseException):
+        for i in range(self.max_slots):
+            slot = self.slots[i]
+            if slot is not None:
+                slot.req.error = e
+                self.slots[i] = None
+                self._finish(slot.req)
+        while True:
+            try:
+                req = self.pending.get_nowait()
+            except queue.Empty:
+                break
+            req.error = e
+            self._finish(req)
 
     def _decode_once(self):
         """One decode chunk for every live slot (also called between
@@ -1106,9 +1161,8 @@ class ContinuousBatchingEngine:
                     chunk=self.chunk_tokens, k=self.spec_tokens,
                     ngram=self.spec_ngram, pad_id=self.pad_id,
                     sampling=sampling)
-            out_np = np.asarray(out)           # one device sync / chunk
-            counts_np = np.asarray(counts)
-            live_np = np.asarray(live)
+            out_np, counts_np, live_np = jax.device_get(
+                (out, counts, live))           # ONE device sync / chunk
             self.live = live
             self.counters["decode_chunks"] += 1
             self.counters["chunk_slot_steps"] += self.chunk_tokens
@@ -1132,8 +1186,7 @@ class ContinuousBatchingEngine:
             self.keys, model_forward=self.forward,
             model_cfg=model.cfg, chunk=self.chunk_tokens,
             pad_id=self.pad_id, sampling=sampling)
-        out_np = np.asarray(out)               # one device sync / chunk
-        live_np = np.asarray(live)
+        out_np, live_np = jax.device_get((out, live))  # ONE fetch
         self.live = live
         self.counters["decode_chunks"] += 1
         self.counters["chunk_slot_steps"] += self.chunk_tokens
@@ -1150,6 +1203,15 @@ class ContinuousBatchingEngine:
 # ---------------------------------------------------------------------------
 # adapter facade for serving/server.py
 # ---------------------------------------------------------------------------
+
+def first_stop_index(text: str, stops) -> int:
+    """Index of the earliest stop-sequence occurrence, -1 if none.
+    Shared by the engine's streaming holdback and the server's
+    serial-adapter post-truncation, so stop-matching semantics cannot
+    diverge between the two paths."""
+    cuts = [i for i in (text.find(s) for s in stops) if i >= 0]
+    return min(cuts) if cuts else -1
+
 
 def wrap_adapter_in_engine(adapter, engine_opts=None):
     """Rebuild an eval adapter as an engine-backed one so benchmark
@@ -1224,10 +1286,7 @@ class EngineAdapter:
         ids = [int(t) for t in np.asarray(enc["input_ids"][0])]
         return ids, enc.get("pixel_values")
 
-    @staticmethod
-    def _first_stop(text: str, stops) -> int:
-        cuts = [i for i in (text.find(s) for s in stops) if i >= 0]
-        return min(cuts) if cuts else -1
+    _first_stop = staticmethod(first_stop_index)
 
     def _fit_budget(self, ids, max_new: int) -> int:
         """Clamp a decode budget to what the slot can hold past this
@@ -1291,7 +1350,18 @@ class EngineAdapter:
             ids, max_new_tokens or self.max_new_tokens)
         req = self.engine.submit_ids(ids, pix, budget, stream=True,
                                      **sampling)
+        try:
+            yield from self._drain_deltas(req, budget, ids, stops, hold,
+                                          decode, _usage_out)
+        finally:
+            # consumer abandoned the generator (client disconnect) or
+            # drained it: either way stop spending decode chunks
+            if not req.done.is_set():
+                req.cancelled = True
+                self.engine._wake.set()
 
+    def _drain_deltas(self, req, budget, ids, stops, hold, decode,
+                      _usage_out):
         def fill_usage(finish):
             if _usage_out is not None:
                 _usage_out.update(
@@ -1300,7 +1370,10 @@ class EngineAdapter:
 
         toks, prev, text = [], "", ""
         while True:
-            t = req.stream_q.get(timeout=600.0)
+            try:
+                t = req.stream_q.get(timeout=600.0)
+            except queue.Empty:
+                raise TimeoutError("engine stream stalled") from None
             if t is None:
                 break
             toks.append(t)

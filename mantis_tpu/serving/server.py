@@ -64,8 +64,12 @@ def _decode_image(url: str, allow_local_files: bool):
     return Image.open(url).convert("RGB")
 
 
-def _decode_video(url: str, allow_local_files: bool) -> str:
-    """-> a local path for the adapter (data: URLs land in a temp file)."""
+def _decode_video(url: str, allow_local_files: bool,
+                  temp_files: Optional[list] = None) -> str:
+    """-> a local path for the adapter (data: URLs land in a temp file,
+    recorded in ``temp_files`` so the caller can unlink it after the
+    reply — a long-running server must not leak one file per video
+    request)."""
     if url.startswith("data:"):
         import tempfile
 
@@ -73,6 +77,8 @@ def _decode_video(url: str, allow_local_files: bool) -> str:
         f = tempfile.NamedTemporaryFile(suffix=".mp4", delete=False)
         f.write(base64.b64decode(b64))
         f.close()
+        if temp_files is not None:
+            temp_files.append(f.name)
         return f.name
     if not allow_local_files:
         raise ValueError(
@@ -84,7 +90,8 @@ def _decode_video(url: str, allow_local_files: bool) -> str:
 
 
 def messages_to_adapter(messages: List[dict],
-                        allow_local_files: bool = True) -> List[dict]:
+                        allow_local_files: bool = True,
+                        temp_files: Optional[list] = None) -> List[dict]:
     """OpenAI chat messages -> the adapter's interleaved message list.
 
     Roles other than user are prefixed inline (the adapter template
@@ -114,10 +121,20 @@ def messages_to_adapter(messages: List[dict],
                 out.append({"type": "video",
                             "content": _decode_video(
                                 p["video_url"]["url"],
-                                allow_local_files)})
+                                allow_local_files, temp_files)})
             else:
                 raise ValueError(f"unsupported content type: {t!r}")
     return out
+
+
+def _unlink_all(paths):
+    import os
+
+    for f in paths:
+        try:
+            os.unlink(f)
+        except OSError:
+            pass
 
 
 class ChatAPIServer:
@@ -160,13 +177,23 @@ class ChatAPIServer:
 
     @staticmethod
     def _truncate_at_stop(text: str, stops) -> str:
-        cuts = [i for i in (text.find(s) for s in stops) if i >= 0]
-        return text[:min(cuts)].rstrip() if cuts else text
+        from mantis_tpu.serving.engine import first_stop_index
+
+        cut = first_stop_index(text, stops)
+        return text[:cut].rstrip() if cut >= 0 else text
 
     def handle_chat(self, body: dict) -> dict:
+        tmp_files: list = []
+        try:
+            return self._handle_chat(body, tmp_files)
+        finally:
+            _unlink_all(tmp_files)
+
+    def _handle_chat(self, body: dict, tmp_files: list) -> dict:
         msgs = messages_to_adapter(
             body.get("messages", []),
-            allow_local_files=self.allow_local_files)
+            allow_local_files=self.allow_local_files,
+            temp_files=tmp_files)
         max_tokens = body.get("max_tokens") or body.get(
             "max_completion_tokens")
         n = int(body.get("n") or 1)
@@ -262,11 +289,13 @@ class ChatAPIServer:
             raise ValueError("n > 1 is not supported with stream=true")
         usage = {}
         final = {}
+        tmp_files: list = []
         if hasattr(self.adapter, "stream") and getattr(
                 self.adapter, "concurrent_safe", False):
             msgs = messages_to_adapter(
                 body.get("messages", []),
-                allow_local_files=self.allow_local_files)
+                allow_local_files=self.allow_local_files,
+                temp_files=tmp_files)
             max_tokens = body.get("max_tokens") or body.get(
                 "max_completion_tokens")
             kw = self._sampling_kwargs(body)
@@ -289,13 +318,16 @@ class ChatAPIServer:
             base = {"id": cid, "object": "chat.completion.chunk",
                     "created": int(time.time()),
                     "model": body.get("model", self.model_id)}
-            yield {**base, "choices": [{
-                "index": 0, "delta": {"role": "assistant"},
-                "finish_reason": None}]}
-            for d in deltas:
+            try:
                 yield {**base, "choices": [{
-                    "index": 0, "delta": {"content": d},
+                    "index": 0, "delta": {"role": "assistant"},
                     "finish_reason": None}]}
+                for d in deltas:
+                    yield {**base, "choices": [{
+                        "index": 0, "delta": {"content": d},
+                        "finish_reason": None}]}
+            finally:
+                _unlink_all(tmp_files)
             # the engine fills `usage` (incl. the real finish_reason)
             # as its stream drains; serial fallbacks reuse handle_chat's
             finish = usage.get("finish_reason",
@@ -354,29 +386,50 @@ def make_server(adapter, host: str = "127.0.0.1", port: int = 8000,
         def _send_sse(self, events):
             """text/event-stream; HTTP/1.0 close-delimited (no
             Content-Length), flushed per event so clients see tokens
-            as they decode."""
+            as they decode.  Errors raised lazily by the generator
+            AFTER the 200 preamble is on the wire stay INSIDE the SSE
+            protocol (an error event + [DONE]) — appending a second
+            HTTP response there would corrupt the stream."""
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.end_headers()
-            for ev in events:
+            try:
+                for ev in events:
+                    self.wfile.write(
+                        b"data: " + json.dumps(ev).encode() + b"\n\n")
+                    self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                raise                      # client went away: stop
+            except Exception as e:
                 self.wfile.write(
-                    b"data: " + json.dumps(ev).encode() + b"\n\n")
-                self.wfile.flush()
+                    b"data: " + json.dumps({"error": {
+                        "message": f"{type(e).__name__}: {e}"}}).encode()
+                    + b"\n\n")
             self.wfile.write(b"data: [DONE]\n\n")
 
         def do_POST(self):
             if self.path.rstrip("/") != "/v1/chat/completions":
                 self._send(404, {"error": {"message": "not found"}})
                 return
+            started_sse = False
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")
                 if body.get("stream"):
-                    self._send_sse(api.handle_chat_stream(body))
+                    # request parsing/validation errors raise HERE
+                    # (eager) and still get a clean 400; once _send_sse
+                    # starts, errors stay inside the SSE protocol
+                    events = api.handle_chat_stream(body)
+                    started_sse = True
+                    self._send_sse(events)
                 else:
                     self._send(200, api.handle_chat(body))
+            except (BrokenPipeError, ConnectionResetError):
+                pass               # client disconnected mid-response
             except Exception as e:  # surfaced to the client, not fatal
+                if started_sse:
+                    raise          # _send_sse already handled protocol
                 self._send(400, {"error": {
                     "message": f"{type(e).__name__}: {e}"}})
 

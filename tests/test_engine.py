@@ -1248,3 +1248,95 @@ def test_stream_finish_reason_and_usage_chunk():
     with pytest.raises(ValueError):
         list(srv.handle_chat_stream({**body, "n": 2}))
     eng.engine.shutdown()
+
+
+def test_scheduler_death_fails_waiters_fast():
+    """A fatal error in the decode loop must FAIL every in-flight and
+    queued request (not hang them to timeout) and refuse new work."""
+    from mantis_tpu.serving.engine import ContinuousBatchingEngine
+
+    model = _tiny_mantis()
+    eng = ContinuousBatchingEngine(
+        model, max_slots=2, slot_ctx=64, chunk_tokens=2,
+        prefill_buckets=(16, 32), max_cached_prefixes=0)
+    boom = RuntimeError("injected device failure")
+
+    def die():
+        raise boom
+
+    eng._decode_once = die
+    rng = np.random.RandomState(0)
+    with pytest.raises(RuntimeError, match="injected"):
+        eng.generate_sync(rng.randint(2, 40, size=6).tolist(), None, 4,
+                          timeout=30.0)
+    with pytest.raises(RuntimeError, match="scheduler died"):
+        eng.submit_ids(rng.randint(2, 40, size=6).tolist(), None, 4)
+
+
+def test_abandoned_stream_cancels_slot():
+    """Closing a streaming generator (client disconnect) frees the
+    slot instead of decoding to budget."""
+    import time as _t
+
+    from mantis_tpu.serving.engine import EngineAdapter
+
+    model = _tiny_mantis()
+    eng = EngineAdapter(model, max_new_tokens=64, max_slots=2,
+                        slot_ctx=128, chunk_tokens=2,
+                        prefill_buckets=(16, 32))
+    gen = eng.stream([{"type": "text", "content": "hello there one"}])
+    next(gen)          # at least one delta flowed
+    gen.close()        # GeneratorExit -> req.cancelled
+    deadline = _t.time() + 10
+    while _t.time() < deadline and eng.engine.stats()["occupancy"]:
+        _t.sleep(0.05)
+    assert eng.engine.stats()["occupancy"] == 0
+    eng.engine.shutdown()
+
+
+def test_sse_midstream_error_stays_in_protocol():
+    """An error raised lazily by the stream generator AFTER the 200
+    preamble becomes an SSE error event + [DONE], not a second HTTP
+    response glued onto the stream."""
+    import urllib.request
+
+    from mantis_tpu.serving.server import make_server
+
+    class LazyBoom:
+        concurrent_safe = True
+        support_multi_image = True
+
+        def stream(self, msgs, max_new_tokens=None, _usage_out=None,
+                   **kw):
+            yield "partial "
+            raise ValueError("prompt exceeds the largest prefill bucket")
+
+        def complete(self, msgs, max_new_tokens=None, **kw):
+            return {"text": "x"}
+
+        def __call__(self, msgs, **kw):
+            return "x"
+
+    srv = make_server(LazyBoom(), port=0)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    url = (f"http://127.0.0.1:{srv.server_address[1]}"
+           "/v1/chat/completions")
+    req = urllib.request.Request(
+        url, data=json.dumps({
+            "messages": [{"role": "user", "content": "hi"}],
+            "stream": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "text/event-stream"
+        payloads = [line.decode().strip()[len("data: "):]
+                    for line in r if line.decode().strip()
+                    .startswith("data: ")]
+    assert payloads[-1] == "[DONE]"
+    parsed = [json.loads(x) for x in payloads[:-1]]
+    assert any("error" in p for p in parsed)
+    assert any(p.get("choices") and
+               p["choices"][0]["delta"].get("content") == "partial "
+               for p in parsed)
+    srv.shutdown()
