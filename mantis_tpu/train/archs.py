@@ -433,7 +433,9 @@ def _internvl_processor(tokenizer, cfg):
 
     return InternVLChatProcessor(
         tokenizer, num_image_tokens=cfg.num_image_tokens,
-        tile=cfg.vision_config.image_size, max_num=1)
+        tile=cfg.vision_config.image_size, max_num=1,
+        enable_cross_attention=getattr(
+            cfg, "enable_cross_attention", False))
 
 
 def _internvl_collator(processor, cfg, args):
@@ -551,6 +553,14 @@ class Qwen2VLCollator:
             # per-row indices valid)
             batch["label_token_positions"] = np.stack(
                 [e["label_token_positions"] for e in examples])
+            if int(batch["label_token_positions"].max()) >= \
+                    batch["input_ids"].shape[1]:
+                # truncation cut the trailing <|LABEL_i|> tokens; the
+                # gather would silently clamp and pool garbage
+                raise ValueError(
+                    "label special tokens truncated away (sequence "
+                    "exceeds the largest seq bucket) — raise "
+                    "--max_seq_len")
         grids = batch.pop("image_grid_thw", None)
         mask = (batch["segment_ids"] != 0).astype(np.int64)
         if grids is not None and len(grids):

@@ -651,6 +651,18 @@ class PackingDataset:
         for s_idx, p in enumerate(parts, start=1):
             n = len(p["input_ids"])
             if total + n > self.max_len:
+                if "pixel_values" in p and len(p["pixel_values"]):
+                    # never SPLIT an image part: a cut image-token
+                    # block desynchronizes patches from tokens for
+                    # every later image in the pack (the plan's length
+                    # estimates are approximate, so overflow happens)
+                    if ids:
+                        break
+                    raise ValueError(
+                        f"packed part with images exceeds "
+                        f"max_self_attn_len={self.max_len} on its own "
+                        f"({n} tokens); raise the budget or truncate "
+                        f"upstream")
                 n = self.max_len - total
                 if n <= 0:
                     break
@@ -715,7 +727,11 @@ class Collator:
                      for e in examples)
         img_bucket = (self.image_buckets[-1] if self.pad_to_max
                       else _bucket_len(n_imgs, self.image_buckets))
-        pad_imgs = img_bucket - n_imgs
+        # clamp: image_buckets=(0,) means "exact counts, never pad",
+        # and a count above the top bucket pads nothing — a negative
+        # pad would shrink the last row's contribution to the seq
+        # bucket choice and silently truncate it
+        pad_imgs = max(img_bucket - n_imgs, 0)
 
         # pad images become extra image tokens appended to the LAST row
         extra_tokens = pad_imgs * self.num_image_tokens

@@ -22,7 +22,10 @@ import jax.numpy as jnp
 class LoraConfig:
     r: int = 128
     alpha: float = 256.0
-    dropout: float = 0.05  # applied host-side to inputs when training
+    # NOTE deviation from the reference peft recipe (lora_dropout=0.05,
+    # train_mllava.py:63-70): LoRA dropout is NOT implemented here (the
+    # jitted train step is deterministic); no field exists so configs
+    # cannot silently claim otherwise.
     use_dora: bool = False
     # parameter-name suffixes to adapt; mirrors find_all_linear_names:
     # all LM linears, no vision tower / projector / lm_head.

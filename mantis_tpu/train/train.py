@@ -175,13 +175,10 @@ def build_model_and_data(args, spec):
         tok = transformers.AutoTokenizer.from_pretrained(
             args.model_path)
     elif spec.dataset_format == "siglip_video":
-        import json
-
         def texts():
             for p in paths:
-                with open(p) as f:
-                    for item in json.load(f):
-                        yield item.get("text", item.get("caption", ""))
+                for item in data_lib._load_json_data(p):
+                    yield item.get("text", item.get("caption", ""))
         from mantis_tpu.utils.debug_tokenizer import (
             build_tokenizer_from_texts)
 
@@ -197,13 +194,12 @@ def build_model_and_data(args, spec):
                 f"--problem_type: {spec.name} has no classification "
                 "head (supported: qwen2_vl, idefics2)")
         import dataclasses as dc
-        import json
 
         names = set()
         for p in paths:
-            with open(p) as f:
-                for item in json.load(f):
-                    names.update((item.get("labels") or {}).keys())
+            # shared loader: handles .json AND .jsonl like the datasets
+            for item in data_lib._load_json_data(p):
+                names.update((item.get("labels") or {}).keys())
         label_names = sorted(names)
         if args.use_label_special_tokens:
             if loaded is not None:
@@ -228,10 +224,33 @@ def build_model_and_data(args, spec):
     elif loaded is not None:
         params = loaded
     else:
+        params = None   # plain random init resolved below
+    if args.xattn_pretrain:
+        if not hasattr(cfg, "enable_cross_attention"):
+            raise SystemExit(
+                f"--xattn_pretrain: {spec.name} has no cross-attention "
+                "branch (supported: internvl)")
+        if args.problem_type != "generation":
+            raise SystemExit(
+                "--xattn_pretrain is a generation recipe (it sizes a "
+                "fresh cross-attn LM tree)")
+        # the branch must EXIST to be trained: flip the config flag
+        # (never on in debug/checkpoint configs) before sizing params,
+        # and graft a fresh cross-attn subtree under a checkpoint
+        # backbone (reference: train_intern_vl_25.py:302-318 clones
+        # into a model built with cross-attn enabled)
+        import dataclasses as dc
+
+        cfg = dc.replace(cfg, enable_cross_attention=True)
+        fresh = spec.init_params(cfg, jax.random.PRNGKey(args.seed),
+                                 jnp.dtype(args.param_dtype))
+        params = _overlay(fresh, params) if params is not None else fresh
+    elif params is None:
         params = spec.init_params(cfg, jax.random.PRNGKey(args.seed),
                                   jnp.dtype(args.param_dtype))
     if spec.prepare_params is not None and args.xattn_pretrain:
         params = spec.prepare_params(params, cfg)
+        assert "cross_attention" in params
     processor = spec.make_processor(tok, cfg)
 
     conv = conv_templates[args.conv_template or spec.conv_template]
@@ -270,8 +289,13 @@ def build_model_and_data(args, spec):
     ds = (datasets[0] if len(datasets) == 1
           else data_lib.DatasetCollection(datasets))
     cp = args.mesh_context
+    ladder = (256, 512, 1024, 2048, 4096, 8192)
+    if args.max_seq_len not in ladder and args.max_seq_len > 0:
+        # honor a non-ladder --max_seq_len (e.g. 16384) as the top
+        # bucket instead of silently truncating at 8192
+        ladder = tuple(sorted(set(ladder) | {args.max_seq_len}))
     buckets = tuple(
-        b for b in (256, 512, 1024, 2048, 4096, 8192)
+        b for b in ladder
         if b <= args.max_seq_len
         and (cp <= 1 or b % (2 * cp * 128) == 0))
     collator = spec.make_collator(processor, cfg, {
@@ -388,16 +412,23 @@ def main(argv=None, default_arch=None):
     def put_batch(batch):
         out = {}
         for k, v in batch.items():
-            # [B, ...] rows shard over (data, fsdp) (+seq over context);
-            # per-image tensors and qwen2's [3, B, S] M-RoPE positions
-            # replicate — except ring vision DP, which shards the image
-            # batch over the context axis
-            if v.ndim >= 2 and v.shape[0] == args.batch_size \
+            # [B, S] rows shard over (data, fsdp) + seq over context.
+            # pixel_values NEVER takes the sequence spec (dim 1 is
+            # channels/images — with context>1 that sharding is
+            # invalid, and it must not shadow ring vision DP even when
+            # the image count equals the batch size); other per-image
+            # tensors and qwen2's [3, B, S] M-RoPE positions replicate.
+            if k == "pixel_values":
+                if args.ring_vision_dp:
+                    spec = PartitionSpec("context")
+                elif v.shape[0] == args.batch_size:
+                    spec = PartitionSpec(("data", "fsdp"))
+                else:
+                    spec = PartitionSpec()
+                out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+            elif v.ndim >= 2 and v.shape[0] == args.batch_size \
                     and not (k == "positions" and v.ndim == 3):
                 out[k] = jax.device_put(v, bs)
-            elif k == "pixel_values" and args.ring_vision_dp:
-                out[k] = jax.device_put(
-                    v, NamedSharding(mesh, PartitionSpec("context")))
             else:
                 out[k] = jax.device_put(
                     v, NamedSharding(mesh, PartitionSpec()))
@@ -411,21 +442,36 @@ def main(argv=None, default_arch=None):
         flops_per_token = 0.0
     step = int(state.step)
     t_last = time.perf_counter()
+    tokens_acc = 0
+    # resume restores the DATA position too: re-enter the interrupted
+    # epoch's permutation and skip its already-consumed batches (the
+    # HF Trainer semantics this replaces; without it a resumed run
+    # re-trains early batches and never sees the epoch's tail)
+    skip = 0
+    if step:
+        loader.epoch, skip = divmod(step, max(len(loader), 1))
     print(f"training {spec.name}: {max_steps} optimizer steps "
           f"(x{accum} accumulation), {steps_per_epoch}/epoch")
     while step < micro_steps:
         for batch in loader:
+            if skip:
+                skip -= 1
+                continue
             if step >= micro_steps:
                 break
             batch = put_batch(batch)
-            tokens = int(np.prod(batch["input_ids"].shape))
+            tokens_acc += int(np.prod(batch["input_ids"].shape))
             state, metrics = step_fn(state, batch)
             step += 1
             if step % args.logging_steps == 0:
                 loss = float(metrics["loss"])
                 dt = time.perf_counter() - t_last
                 t_last = time.perf_counter()
-                tok_s = tokens / dt
+                # ALL tokens since the last log over the same window
+                # (a single batch over a logging_steps window would
+                # under-report by ~logging_steps x)
+                tok_s = tokens_acc / dt
+                tokens_acc = 0
                 mfu = (flops_per_token * tok_s) / (
                     197e12 * len(jax.devices()))
                 logger.log(step=step, loss=loss,

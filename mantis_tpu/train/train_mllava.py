@@ -277,11 +277,19 @@ def main(argv=None):
     def put_batch(batch):
         out = {}
         for k, v in batch.items():
-            if v.ndim >= 2 and v.shape[0] == args.batch_size:
+            # pixel_values never takes the [B, S] spec: dim 1 is
+            # channels (invalid under context>1) and ring vision DP
+            # must win even when image count == batch size
+            if k == "pixel_values":
+                if args.ring_vision_dp:
+                    spec = PartitionSpec("context")
+                elif v.shape[0] == args.batch_size:
+                    spec = PartitionSpec(("data", "fsdp"))
+                else:
+                    spec = PartitionSpec()
+                out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+            elif v.ndim >= 2 and v.shape[0] == args.batch_size:
                 out[k] = jax.device_put(v, bs)
-            elif k == "pixel_values" and args.ring_vision_dp:
-                out[k] = jax.device_put(
-                    v, NamedSharding(mesh, PartitionSpec("context")))
             else:
                 out[k] = jax.device_put(
                     v, NamedSharding(mesh, PartitionSpec()))
@@ -291,21 +299,30 @@ def main(argv=None):
     flops_per_token = estimate_train_flops(cfg)
     step = int(state.step)
     t_last = time.perf_counter()
+    tokens_acc = 0
+    skip = 0
+    if step:   # resume the data position (see train.py)
+        loader.epoch, skip = divmod(step, max(len(loader), 1))
     print(f"training: {max_steps} optimizer steps "
           f"(x{accum} accumulation), {steps_per_epoch}/epoch")
     while step < micro_steps:
         for batch in loader:
+            if skip:
+                skip -= 1
+                continue
             if step >= micro_steps:
                 break
             batch = put_batch(batch)
-            tokens = int(np.prod(batch["input_ids"].shape))
+            tokens_acc += int(np.prod(batch["input_ids"].shape))
             state, metrics = step_fn(state, batch)
             step += 1
             if step % args.logging_steps == 0:
                 loss = float(metrics["loss"])
                 dt = time.perf_counter() - t_last
                 t_last = time.perf_counter()
-                tok_s = tokens / dt
+                # all tokens since the last log over the same window
+                tok_s = tokens_acc / dt
+                tokens_acc = 0
                 mfu = (flops_per_token * tok_s) / (
                     197e12 * len(jax.devices()))
                 logger.log(step=step, loss=loss,

@@ -291,3 +291,17 @@ def test_classification_from_hf_checkpoint(tmp_path):
     losses = [m["loss"] for m in _read_metrics(out)]
     assert len(losses) == 4
     assert all(l == l for l in losses)
+
+
+def test_xattn_pretrain_trains_the_cross_attn_branch(tmp_path):
+    """--xattn_pretrain must actually train SOMETHING: the config's
+    cross-attn branch is enabled, the subtree exists (cloned from
+    self-attn, zero gates), only it is trainable, and the loss moves
+    (the gates must open for anything to change)."""
+    out = str(tmp_path / "internvl_xattn")
+    metrics = _run("internvl", out, extra=("--xattn_pretrain",))
+    losses = [m["loss"] for m in metrics]
+    assert len(losses) == 8
+    assert all(l == l and abs(l) < 1e9 for l in losses), losses
+    assert losses[-1] != losses[0], (
+        "cross-attn pretrain changed nothing", losses)
