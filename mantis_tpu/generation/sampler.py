@@ -79,8 +79,7 @@ def _generate_jit(
     b, s = input_ids.shape
     text_cfg = getattr(model_cfg, "text_config", model_cfg)
     seg = (jnp.arange(s)[None, :] < true_lens[:, None]).astype(jnp.int32)
-    positions = jnp.clip(
-        jnp.arange(s)[None, :], 0, None) * seg  # pads get position 0
+    positions = jnp.arange(s)[None, :] * seg  # pads get position 0
 
     cache = KVCache.create(text_cfg, b, s + max_new, dtype=cache_dtype)
     logits, _, cache = model_forward(
@@ -118,8 +117,7 @@ def _generate_jit(
             **extra)
         nxt = sample_token(logits[:, -1], gen_cfg, rng_s)
         nxt = jnp.where(done, gen_cfg.pad_token_id, nxt).astype(jnp.int32)
-        out = out.at[:, step].set(
-            jnp.where(done, gen_cfg.pad_token_id, nxt))
+        out = out.at[:, step].set(nxt)   # already pad-masked above
         done = done | is_eos(nxt)
         return step + 1, cache, out, done, nxt, rng
 

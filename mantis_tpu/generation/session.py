@@ -111,9 +111,12 @@ def _decode_jit(params, tok0, cache, rng, *, model_forward, model_cfg,
 
 
 class ChatSession:
-    """Stateful multi-turn chat over a MantisLlava-style model
-    (anything exposing cfg/params/processor/pick_conversation and a
-    forward with ``cache_attention``)."""
+    """Stateful multi-turn chat over a MantisLlava-style model.
+
+    The forward defaults to the flagship mllava one; another family
+    can opt in by exposing ``model.forward_fn`` with the same contract
+    (cfg/params/processor/pick_conversation + ``cache_attention``
+    incremental prefill)."""
 
     def __init__(self, model, max_ctx: int = 8192,
                  max_new_tokens: int = 512, delta_bucket: int = 64,
@@ -131,6 +134,9 @@ class ChatSession:
         self.prefilled_tokens = 0   # turn-N TTFT observability
 
     def _forward(self):
+        fwd = getattr(self.model, "forward_fn", None)
+        if fwd is not None:
+            return fwd
         from mantis_tpu.models.mllava import model as mllava_model
 
         return mllava_model.forward
@@ -143,6 +149,20 @@ class ChatSession:
 
     def send(self, text: str, images: Optional[list] = None,
              max_new_tokens: Optional[int] = None) -> str:
+        # a failed send (context overflow, bad media) must not corrupt
+        # the session: roll the turn and its images back so a retry
+        # starts clean (cache rewinds are retry-safe by construction)
+        n_img0 = len(self.images)
+        n_msg0 = len(self.conv.messages)
+        try:
+            return self._send(text, images, max_new_tokens)
+        except Exception:
+            del self.images[n_img0:]
+            del self.conv.messages[n_msg0:]
+            raise
+
+    def _send(self, text: str, images: Optional[list],
+              max_new_tokens: Optional[int]) -> str:
         model = self.model
         tok = model.processor.tokenizer
         images = list(images or [])

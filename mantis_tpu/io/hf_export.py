@@ -15,6 +15,8 @@ from typing import Any, Dict
 
 import numpy as np
 
+import jax
+
 from mantis_tpu.models.configs import LlavaConfig
 
 
@@ -288,7 +290,7 @@ def idefics2_hf_config(cfg):
         "architectures": ["Idefics2ForConditionalGeneration"],
         "model_type": "idefics2",
         "image_token_id": cfg.image_token_id,
-        "tie_word_embeddings": False,
+        "tie_word_embeddings": t.tie_word_embeddings,
         "vision_config": {
             "hidden_size": v.hidden_size,
             "intermediate_size": v.intermediate_size,
@@ -317,7 +319,7 @@ def idefics2_hf_config(cfg):
             "rms_norm_eps": t.rms_norm_eps,
             "rope_theta": t.rope_theta,
             "sliding_window": t.sliding_window,
-            "tie_word_embeddings": False,
+            "tie_word_embeddings": t.tie_word_embeddings,
         },
     }
 
@@ -340,7 +342,7 @@ def idefics3_hf_config(cfg):
         "model_type": "idefics3",
         "image_token_id": cfg.image_token_id,
         "scale_factor": cfg.scale_factor,
-        "tie_word_embeddings": False,
+        "tie_word_embeddings": t.tie_word_embeddings,
         "vision_config": {
             "hidden_size": v.hidden_size,
             "intermediate_size": v.intermediate_size,
@@ -360,7 +362,7 @@ def idefics3_hf_config(cfg):
             "num_key_value_heads": t.num_key_value_heads,
             "rms_norm_eps": t.rms_norm_eps,
             "rope_theta": t.rope_theta,
-            "tie_word_embeddings": False,
+            "tie_word_embeddings": t.tie_word_embeddings,
         },
     }
 
@@ -419,7 +421,7 @@ def qwen2_vl_hf_config(cfg):
         "image_token_id": cfg.image_token_id,
         "video_token_id": cfg.video_token_id,
         "vision_start_token_id": cfg.vision_start_token_id,
-        "tie_word_embeddings": False,
+        "tie_word_embeddings": t.tie_word_embeddings,
         "vision_config": {
             "depth": v.depth,
             "embed_dim": v.embed_dim,
@@ -442,7 +444,7 @@ def qwen2_vl_hf_config(cfg):
             "rms_norm_eps": t.rms_norm_eps,
             "rope_theta": t.rope_theta,
             "attention_bias": t.attention_bias,
-            "tie_word_embeddings": False,
+            "tie_word_embeddings": t.tie_word_embeddings,
             "rope_scaling": {
                 "type": "mrope",
                 "mrope_section": list(t.mrope_section or ()),
@@ -471,7 +473,7 @@ def mfuyu_hf_config(cfg):
         "patch_size": cfg.patch_size,
         "num_channels": cfg.num_channels,
         "hidden_size": t.hidden_size,  # FuyuConfig sizes the patch proj
-        "tie_word_embeddings": False,
+        "tie_word_embeddings": t.tie_word_embeddings,
         "text_config": {
             "model_type": "persimmon",
             "vocab_size": t.vocab_size,
@@ -485,7 +487,7 @@ def mfuyu_hf_config(cfg):
             "layer_norm_eps": t.layer_norm_eps,
             "hidden_act": t.hidden_act,
             "max_position_embeddings": t.max_position_embeddings,
-            "tie_word_embeddings": False,
+            "tie_word_embeddings": t.tie_word_embeddings,
         },
     }
 
@@ -542,6 +544,9 @@ def internvl_state_dict(params, cfg):
     sd.update(llama_state_dict(
         params["language_model"], prefix="model.language_model.",
         lm_head_key="lm_head.weight"))
+    # Qwen2.5-based InternVL text backbones carry q/k/v biases
+    sd.update(_llama_bias_state_dict(params["language_model"],
+                                     "model.language_model."))
     return sd
 
 
@@ -553,7 +558,7 @@ def internvl_hf_config(cfg):
         "image_token_id": cfg.image_token_id,
         "downsample_ratio": cfg.downsample_ratio,
         "projector_hidden_act": cfg.projector_hidden_act,
-        "tie_word_embeddings": False,
+        "tie_word_embeddings": t.tie_word_embeddings,
         "vision_config": {
             "model_type": "internvl_vision",
             "hidden_size": v.hidden_size,
@@ -577,7 +582,8 @@ def internvl_hf_config(cfg):
             "num_key_value_heads": t.num_key_value_heads,
             "rms_norm_eps": t.rms_norm_eps,
             "rope_theta": t.rope_theta,
-            "tie_word_embeddings": False,
+            "attention_bias": t.attention_bias,
+            "tie_word_embeddings": t.tie_word_embeddings,
         },
     }
 
@@ -668,6 +674,18 @@ _EXPORTERS = {
 }
 
 
+def _assert_dense(params):
+    from mantis_tpu.ops.quant import QuantTensor
+
+    for leaf in jax.tree.leaves(
+            params, is_leaf=lambda x: isinstance(x, QuantTensor)):
+        if isinstance(leaf, QuantTensor):
+            raise ValueError(
+                "cannot export quantize-loaded params to HF layout; "
+                "reload the checkpoint without quantize= (or "
+                "ops.quant.dequantize_tree them) first")
+
+
 def save_checkpoint(arch: str, params, cfg, output_dir: str,
                     processor=None, dtype=np.float32) -> str:
     """Write an HF-layout checkpoint for any supported architecture.
@@ -679,6 +697,7 @@ def save_checkpoint(arch: str, params, cfg, output_dir: str,
     """
     from safetensors.numpy import save_file
 
+    _assert_dense(params)
     state_fn, cfg_fn = _EXPORTERS[arch]
     os.makedirs(output_dir, exist_ok=True)
     sd = state_fn(params, cfg)

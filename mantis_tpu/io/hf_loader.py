@@ -42,6 +42,7 @@ class TensorSource:
     def __init__(self, getter: Callable[[str], np.ndarray], keys):
         self.get = getter
         self.keys = set(keys)
+        self.close = lambda: None   # overridden by safetensors sources
 
     @classmethod
     def from_state_dict(cls, sd: Dict) -> "TensorSource":
@@ -76,7 +77,12 @@ class TensorSource:
                 t = t.view(ml_dtypes.bfloat16)
             return t
 
-        return cls(getter, shard_of.keys())
+        src = cls(getter, shard_of.keys())
+        # drop the cached safe_open handles (and their fds) once the
+        # mapping is done — eval sweeps load many checkpoints per
+        # process
+        src.close = handles.clear
+        return src
 
 
 def _stack(src: TensorSource, tmpl: str, n: int, transpose: bool,
@@ -260,8 +266,11 @@ def load_llava(checkpoint_dir: str, dtype=jnp.bfloat16,
         hf_cfg = json.load(f)
     cfg = LlavaConfig.from_hf_config(hf_cfg)
     src = TensorSource.from_safetensors_dir(checkpoint_dir)
-    params = llava_params_from_hf(src, cfg, dtype=dtype,
-                                  quantize_bits=quantize_bits)
+    try:
+        params = llava_params_from_hf(src, cfg, dtype=dtype,
+                                      quantize_bits=quantize_bits)
+    finally:
+        src.close()
     return cfg, params
 
 
@@ -712,57 +721,70 @@ def load_checkpoint(checkpoint_dir: str, dtype=jnp.bfloat16,
     mt = (hf_cfg.get("model_type") or "").lower()
     archs = " ".join(hf_cfg.get("architectures") or []).lower()
     src = TensorSource.from_safetensors_dir(checkpoint_dir)
+    try:
 
-    def is_(*names):
-        return any(n in mt or n in archs for n in names)
+        def is_(*names):
+            return any(n in mt or n in archs for n in names)
 
-    if is_("idefics3"):
-        from mantis_tpu.models.idefics3.model import Idefics3Config
+        if is_("idefics3"):
+            from mantis_tpu.models.idefics3.model import Idefics3Config
 
-        cfg = Idefics3Config.from_hf_config(hf_cfg)
-        return "idefics3", cfg, idefics3_params_from_hf(src, cfg, dtype, quantize_bits)
-    if is_("idefics2"):
-        from mantis_tpu.models.idefics2.model import Idefics2Config
+            cfg = Idefics3Config.from_hf_config(hf_cfg)
+            return "idefics3", cfg, idefics3_params_from_hf(src, cfg, dtype, quantize_bits)
+        if is_("idefics2"):
+            from mantis_tpu.models.idefics2.model import Idefics2Config
 
-        cfg = Idefics2Config.from_hf_config(hf_cfg)
-        return "idefics2", cfg, idefics2_params_from_hf(src, cfg, dtype, quantize_bits)
-    if is_("qwen2_vl", "qwen2vl"):
-        from mantis_tpu.models.qwen2_vl.model import Qwen2VLConfig
+            cfg = Idefics2Config.from_hf_config(hf_cfg)
+            return "idefics2", cfg, idefics2_params_from_hf(src, cfg, dtype, quantize_bits)
+        if is_("qwen2_vl", "qwen2vl"):
+            from mantis_tpu.models.qwen2_vl.model import Qwen2VLConfig
 
-        cfg = Qwen2VLConfig.from_hf_config(hf_cfg)
-        return "qwen2_vl", cfg, qwen2_vl_params_from_hf(src, cfg, dtype, quantize_bits)
-    if is_("fuyu"):
-        from mantis_tpu.models.mfuyu.model import MFuyuConfig
+            cfg = Qwen2VLConfig.from_hf_config(hf_cfg)
+            return "qwen2_vl", cfg, qwen2_vl_params_from_hf(src, cfg, dtype, quantize_bits)
+        if is_("fuyu"):
+            from mantis_tpu.models.mfuyu.model import MFuyuConfig
 
-        cfg = MFuyuConfig.from_hf_config(hf_cfg)
-        return "mfuyu", cfg, mfuyu_params_from_hf(src, cfg, dtype, quantize_bits)
-    if is_("internvl"):
-        from mantis_tpu.models.intern_vl.model import InternVLConfig
+            cfg = MFuyuConfig.from_hf_config(hf_cfg)
+            return "mfuyu", cfg, mfuyu_params_from_hf(src, cfg, dtype, quantize_bits)
+        if is_("internvl"):
+            from mantis_tpu.models.intern_vl.model import InternVLConfig
 
-        cfg = InternVLConfig.from_hf_config(hf_cfg)
-        return "internvl", cfg, internvl_params_from_hf(src, cfg, dtype, quantize_bits)
-    if is_("llava_next", "llavanext", "llava-next"):
-        from mantis_tpu.models.mllava_next.model import LlavaNextConfig
+            if any(".attention.wqkv." in k for k in src.keys):
+                # original InternLM2-based fork layout (fused wqkv,
+                # vision_model.* keys): only the LM mapper exists
+                # (internlm2_llama_params_from_hf) — fail loudly instead
+                # of a KeyError deep inside the HF-layout mapper
+                raise ValueError(
+                    "this InternVL checkpoint uses the original InternLM2 "
+                    "fork layout; convert it to the transformers 'internvl'"
+                    " layout first (the LM part can be mapped with "
+                    "internlm2_llama_params_from_hf)")
+            cfg = InternVLConfig.from_hf_config(hf_cfg)
+            return "internvl", cfg, internvl_params_from_hf(src, cfg, dtype, quantize_bits)
+        if is_("llava_next", "llavanext", "llava-next"):
+            from mantis_tpu.models.mllava_next.model import LlavaNextConfig
 
-        cfg = LlavaNextConfig.from_hf_config(hf_cfg)
-        params = llava_params_from_hf(src, cfg, dtype,
-                                      quantize_bits=quantize_bits)
-        nl_key = ("image_newline"
-                  if "image_newline" in src.keys
-                  else "model.image_newline")
-        params["image_newline"] = jnp.asarray(src.get(nl_key),
-                                              dtype=dtype)
-        return "mllava_next", cfg, params
-    if is_("video_llava", "videollava"):
-        from mantis_tpu.models.videollava.model import VideoLlavaConfig
+            cfg = LlavaNextConfig.from_hf_config(hf_cfg)
+            params = llava_params_from_hf(src, cfg, dtype,
+                                          quantize_bits=quantize_bits)
+            nl_key = ("image_newline"
+                      if "image_newline" in src.keys
+                      else "model.image_newline")
+            params["image_newline"] = jnp.asarray(src.get(nl_key),
+                                                  dtype=dtype)
+            return "mllava_next", cfg, params
+        if is_("video_llava", "videollava"):
+            from mantis_tpu.models.videollava.model import VideoLlavaConfig
 
-        cfg = VideoLlavaConfig.from_hf_config(hf_cfg)
-        return ("videollava", cfg,
-                videollava_params_from_hf(src, cfg, dtype, quantize_bits))
-    if is_("llava"):
-        cfg = LlavaConfig.from_hf_config(hf_cfg)
-        return "mllava", cfg, llava_params_from_hf(
-            src, cfg, dtype, quantize_bits=quantize_bits)
-    raise ValueError(
-        f"Unrecognized checkpoint type: model_type={mt!r}, "
-        f"architectures={archs!r}")
+            cfg = VideoLlavaConfig.from_hf_config(hf_cfg)
+            return ("videollava", cfg,
+                    videollava_params_from_hf(src, cfg, dtype, quantize_bits))
+        if is_("llava"):
+            cfg = LlavaConfig.from_hf_config(hf_cfg)
+            return "mllava", cfg, llava_params_from_hf(
+                src, cfg, dtype, quantize_bits=quantize_bits)
+        raise ValueError(
+            f"Unrecognized checkpoint type: model_type={mt!r}, "
+            f"architectures={archs!r}")
+    finally:
+        src.close()
