@@ -63,6 +63,8 @@ def mha_reference(
     einsums as bf16 passes, which would make this "reference" *less*
     accurate than the Pallas kernel (observed: 7% grad error at default
     precision vs 2e-5 at highest)."""
+    assert kv_segment_ids is None or segment_ids is not None, (
+        "kv_segment_ids requires segment_ids (q-side) too")
     b, sq, hq, d = q.shape
     _, sk, hk, _ = k.shape
     scale = softmax_scale if softmax_scale is not None else d ** -0.5
@@ -102,6 +104,16 @@ def _xla_fast_attention(q, k, v, scale):
                    preferred_element_type=jnp.float32) * scale
     p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", p, v).astype(q.dtype)
+
+
+def _pad_to(x, mult, axis, value=0):
+    size = x.shape[axis]
+    rem = size % mult
+    if rem == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, mult - rem)
+    return jnp.pad(x, pad, constant_values=value)
 
 
 # ---------------------------------------------------------------------------
@@ -408,19 +420,6 @@ def _bwd_dkv_kernel(
 # ---------------------------------------------------------------------------
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
-
-def _drop_lse(kernel, q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref,
-              *scratch):
-    kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, None, *scratch)
-
-def _pad_to(x, mult, axis, value=0):
-    size = x.shape[axis]
-    rem = size % mult
-    if rem == 0:
-        return x
-    pad = [(0, 0)] * x.ndim
-    pad[axis] = (0, mult - rem)
-    return jnp.pad(x, pad, constant_values=value)
 
 
 def _broadcast_segs(qseg, kseg, block_q, block_k):
@@ -775,14 +774,35 @@ def flash_attention(
     # encode shapes (8.5 vs 4.6 ms/layer at [64,729,16,72] on v5e, see
     # scripts/profile_attn2.py) — kept only as an explicit option.
     if implementation == "xla_fast":
+        # valid ONLY for plain non-causal unsegmented attention (the
+        # encoder shape it was measured on) — anything else would
+        # silently attend future tokens / other conversations
+        assert not causal and segment_ids is None \
+            and kv_segment_ids is None and window_size is None \
+            and kv_valid_len is None and causal_offset == 0, (
+            "xla_fast supports only plain non-causal unsegmented "
+            "attention")
         scale_ = (softmax_scale if softmax_scale is not None
                   else q.shape[-1] ** -0.5)
         return _xla_fast_attention(q, k, v, scale_)
     if implementation == "xla":
+        # the fallback must honor EVERY mask the Pallas path honors;
+        # kv_valid_len (static pre-pad mask) is emulated with segments
+        seg_q, seg_k = segment_ids, kv_segment_ids
+        if kv_valid_len is not None and kv_valid_len < k.shape[1]:
+            bq = k.shape[0]
+            base_k = (seg_k if seg_k is not None
+                      else (seg_q if seg_q is not None
+                            else jnp.ones((bq, k.shape[1]), jnp.int32)))
+            valid = jnp.arange(k.shape[1])[None, :] < kv_valid_len
+            seg_k = jnp.where(
+                valid, jnp.broadcast_to(base_k, (bq, k.shape[1])), -1)
+            if seg_q is None:
+                seg_q = jnp.ones((bq, q.shape[1]), jnp.int32)
         return mha_reference(
-            q, k, v, causal=causal, segment_ids=segment_ids,
-            kv_segment_ids=kv_segment_ids, softmax_scale=softmax_scale,
-            window_size=window_size,
+            q, k, v, causal=causal, segment_ids=seg_q,
+            kv_segment_ids=seg_k, softmax_scale=softmax_scale,
+            window_size=window_size, causal_offset=causal_offset,
         )
     if interpret is None:
         interpret = _interpret_default()
@@ -800,6 +820,8 @@ def flash_attention(
     block_q = sq128 if sq128 <= 1024 else min(block_q, sq128)
     block_k = sk128 if sk128 <= 1024 else min(block_k, sk128)
 
+    assert kv_segment_ids is None or segment_ids is not None, (
+        "kv_segment_ids requires segment_ids (q-side) too")
     kseg_in = kv_segment_ids if kv_segment_ids is not None else segment_ids
     has_segments = segment_ids is not None
     pad_q = (-sq) % block_q

@@ -1,5 +1,9 @@
 """Fused LayerNorm Pallas kernel.
 
+KEPT UNWIRED (negative result): measured slower than
+XLA's own LN fusion at encode shapes (docs/PERF.md); retained as the
+measured artifact, not called by any model.
+
 XLA lowers layernorm to multiple HBM passes (mean, variance, normalize
 as separate fusions around the matmuls); this kernel does one read +
 one write per tensor.  Measured on the SigLIP-so400m encode path
@@ -20,8 +24,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
-def _interpret_default() -> bool:
-    return jax.default_backend() != "tpu"
+from mantis_tpu.ops.flash_attention import (  # noqa: E402
+    _interpret_default,
+)
 
 
 def _ln_kernel(x_ref, scale_ref, bias_ref, o_ref, *, eps):

@@ -60,8 +60,9 @@ def _kernel(xe_ref, xo_ref, q_ref, s_ref, o_ref, acc_ref):
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
-def _interpret_default() -> bool:
-    return jax.default_backend() != "tpu"
+from mantis_tpu.ops.flash_attention import (  # noqa: E402
+    _interpret_default,
+)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -100,6 +100,9 @@ def quant_matmul(x: jax.Array, qt: QuantTensor) -> jax.Array:
     ``x @ dequantize(qt)`` writes a full f32 weight tensor per call
     (measured: 6.4 tok/s full-depth decode vs this formulation).
     """
+    assert qt.q.ndim == 3, (
+        "stacked-layer QuantTensor: use vmap/scan per layer "
+        f"(got q shape {qt.q.shape})")
     rows = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
     if rows > 128:
         # prefill/training: the [rows, groups, dout] partial would dwarf

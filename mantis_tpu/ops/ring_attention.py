@@ -142,6 +142,13 @@ def _ring_fwd_impl(q, k, v, qseg, kseg, axis_name, scale, block):
     r = jax.lax.axis_index(axis_name)
     b, s_loc, h, d = q.shape
     c = s_loc // 2
+    # the ring path calls the raw kernel (no public-API padding): a
+    # chunk not divisible by the block would silently truncate the
+    # grid and leave output rows uninitialized
+    assert s_loc % block == 0 and c % block == 0, (
+        f"local chunk {s_loc} (half {c}) must be a multiple of the "
+        f"kernel block {block}; pad the global sequence to a multiple "
+        f"of 2*ring_size*{block}")
     perm = [(i, (i + 1) % w) for i in range(w)]
 
     q_lo, q_hi = q[:, :c], q[:, c:]

@@ -27,8 +27,18 @@ def host_memory_supported() -> bool:
 
 def host_sharding(mesh: Optional[Mesh] = None,
                   spec: P = P()) -> NamedSharding:
+    """Pass the TRAINING mesh on multi-device setups: the single-device
+    fallback mesh here is incompatible with a step jitted over the real
+    mesh (device-assignment mismatch at trace time) and would funnel
+    the whole state into device 0's host memory."""
     if mesh is None:
-        mesh = Mesh(jax.devices()[:1], ("_offload",))
+        import numpy as _np
+
+        # default: replicate over ALL devices (device set matches any
+        # training mesh in default order) — a device-0-only mesh would
+        # mismatch a multi-device step's device assignment and funnel
+        # the whole state into one host buffer
+        mesh = Mesh(_np.array(jax.devices()), ("_offload",))
     return NamedSharding(mesh, spec, memory_kind="pinned_host")
 
 

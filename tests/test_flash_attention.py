@@ -193,3 +193,38 @@ def test_causal_offset_suffix_queries():
     for a, r in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    atol=5e-4, rtol=5e-4)
+
+
+def test_xla_fallback_honors_offset_and_kv_valid_len():
+    """implementation='xla' must apply EVERY mask the Pallas path
+    applies (it silently dropped causal_offset and kv_valid_len)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from mantis_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(2, 128, 4, 64), jnp.float32)
+    k = jnp.asarray(rng.randn(2, 256, 4, 64), jnp.float32)
+    v = jnp.asarray(rng.randn(2, 256, 4, 64), jnp.float32)
+
+    pallas = flash_attention(q, k, v, causal=True, causal_offset=128,
+                             interpret=True)
+    xla = flash_attention(q, k, v, causal=True, causal_offset=128,
+                          implementation="xla")
+    np.testing.assert_allclose(np.asarray(xla), np.asarray(pallas),
+                               atol=2e-5, rtol=2e-5)
+
+    pallas2 = flash_attention(q, k, v[:, :256], causal=False,
+                              kv_valid_len=200, interpret=True)
+    xla2 = flash_attention(q, k, v, causal=False, kv_valid_len=200,
+                           implementation="xla")
+    np.testing.assert_allclose(np.asarray(xla2), np.asarray(pallas2),
+                               atol=2e-5, rtol=2e-5)
+
+    # xla_fast rejects masked configurations loudly
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        flash_attention(q, k, v, causal=True, implementation="xla_fast")
