@@ -245,8 +245,17 @@ def _decode_attention(q, k_cache, v_cache, kv_seg, q_seg, length, scale,
     seg_ok = kv_seg[:, None, :] == q_seg[:, :, None]          # [B, Sq, M]
     mask = causal & seg_ok
     if window is not None:
-        # Mistral SWA over the cache: only the last `window` positions
-        mask = mask & (q_pos[:, :, None] - pos[None, None, :]
+        # Mistral SWA over the cache, measured in VALID positions:
+        # bucketed prefill right-pads short rows with seg=0 slots,
+        # which must not consume window budget (slot-index distance
+        # would mask a short row's entire real prompt once its decode
+        # slot sits > window past slot 0)
+        valid = (kv_seg != 0).astype(jnp.int32)          # [B, M]
+        vrank = jnp.cumsum(valid, axis=-1) - 1           # [B, M]
+        qp = jnp.broadcast_to(q_pos, (b, sq))
+        q_rank = jnp.take_along_axis(
+            vrank, jnp.clip(qp, 0, m - 1).astype(jnp.int32), axis=-1)
+        mask = mask & (q_rank[:, :, None] - vrank[:, None, :]
                        < window)
     logits = jnp.where(mask[:, None, None, :, :], logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
@@ -302,7 +311,16 @@ def forward(
     h = inputs_embeds
     b, s, d = h.shape
     if positions is None:
-        positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+        # with a cache, default positions continue from the cache
+        # offset (arange(s) would silently apply RoPE position 0 to
+        # every decode step)
+        start = (kv_cache.length if kv_cache is not None
+                 else jnp.zeros((), jnp.int32))
+        if getattr(start, "ndim", 0) == 1:
+            positions = start[:, None] + jnp.arange(s)[None, :]
+        else:
+            positions = jnp.broadcast_to(
+                start + jnp.arange(s)[None, :], (b, s))
         if cfg.mrope_section is not None:
             positions = jnp.broadcast_to(positions[None], (3, b, s))
     if segment_ids is None:

@@ -60,8 +60,13 @@ class MantisLlava:
     # ------------------------------------------------------------------
     def pick_conversation(self):
         """llama-3 template when the LM is LLaMA-3, else mllava_v1
-        (reference: utils.py:33-42)."""
-        if "llama-3" in self.model_name.lower():
+        (reference: utils.py:33-42).  Matches BOTH spellings: the
+        flagship checkpoint is named "Mantis-8B-siglip-llama3" (no
+        hyphen) while the reference checks the LM path
+        "Meta-Llama-3-..." — missing it would feed a LLaMA-3 model the
+        USER:/ASSISTANT: template with no <|eot_id|> terminator."""
+        name = self.model_name.lower()
+        if "llama-3" in name or "llama3" in name:
             conv = conv_templates["llama_3"]
             terminators = [self.processor.tokenizer.eos_token_id,
                            self.processor.tokenizer.convert_tokens_to_ids(
@@ -157,17 +162,24 @@ class MantisLlava:
         max_input_length: Optional[int] = None,
         **gen_kwargs,
     ):
-        """Streaming chat: yields incremental text
-        (reference: utils.py:100-186, chat_mllava_stream)."""
+        """Streaming chat: yields incremental text.  ``history`` is
+        updated IN PLACE as the stream progresses — the reference's
+        multi-turn contract (utils.py:100-186): after the generator is
+        consumed, history carries both the user turn and the full
+        assistant reply, ready for the next turn."""
         from mantis_tpu.generation.sampler import generate_stream
 
         conv, terminators = self.pick_conversation()
         conv.messages = []
-        if history:
-            for message in history:
-                conv.append_message(message["role"], message["text"])
+        if history is None:
+            history = []
+        for message in history:
+            conv.append_message(message["role"], message["text"])
         conv.append_message(conv.roles[0], text)
         conv.append_message(conv.roles[1], "")
+        history.append({"role": conv.roles[0], "text": text})
+        reply_entry = {"role": conv.roles[1], "text": ""}
+        history.append(reply_entry)
         prompt = conv.get_prompt()
         if images:
             images = [Image.open(im).convert("RGB") if isinstance(im, str)
@@ -192,6 +204,7 @@ class MantisLlava:
                 cache_dtype=self.cache_dtype):
             ids.append(tok)
             full = self.processor.decode(ids, skip_special_tokens=True)
+            reply_entry["text"] = full
             if len(full) > len(prev):
                 yield full[len(prev):]
                 prev = full

@@ -198,6 +198,8 @@ def forward(
     segment_ids doubles as the padding/packing mask (0 = pad).
     """
     embeds = params["language_model"]["embed_tokens"][input_ids]
+    if pixel_values is not None and pixel_values.shape[0] == 0:
+        pixel_values = None   # 0-image batch: clean text-only forward
     if pixel_values is not None and input_ids.shape[1] > 1:
         def _enc(pix):
             return encode_images(params, cfg, pix, attn_impl=attn_impl,

@@ -164,11 +164,14 @@ def normalize_interleaved(
                     parts[i] = parts[i] + DEFAULT_IMAGE_TOKEN
             t = "".join(parts)
         if add_image_ids:
+            # NUL-framed placeholder: a literal "<IMAGE>" in user text
+            # must not be rewritten into an image slot
+            place = "\x00IMG\x00"
             for j in range(len(imgs)):
                 t = t.replace(
                     DEFAULT_IMAGE_TOKEN,
-                    f"(image {j + 1}: <Image><IMAGE></Image>)", 1)
-            t = t.replace("<IMAGE>", DEFAULT_IMAGE_TOKEN)
+                    f"(image {j + 1}: <Image>{place}</Image>)", 1)
+            t = t.replace(place, DEFAULT_IMAGE_TOKEN)
         out.append(t)
     return out
 
@@ -221,6 +224,12 @@ class MLlavaProcessor:
                             "image lists.")
                     images = [[im] for im in images]
             images = [list(imgs) for imgs in images]
+            if len(images) != len(texts):
+                # list-of-lists form: zip would silently drop the
+                # unmatched texts' validation and mis-splice features
+                raise ValueError(
+                    "Number of texts does not match number of image "
+                    "lists.")
             texts = normalize_interleaved(texts, images, add_image_ids)
             for t, imgs in zip(texts, images):
                 if t.count(DEFAULT_IMAGE_TOKEN) != len(imgs):

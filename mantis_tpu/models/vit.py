@@ -248,8 +248,6 @@ def quantize_encoder_weights_int8(params):
     bf16.  Serving-only: accuracy is the caller's responsibility
     (cosine > 0.999 vs bf16 on random inputs, see tests).
     """
-    import jax.numpy as jnp
-
     out = {k: v for k, v in params.items()}
     layers = dict(params["layers"])
     for name in ("q", "k", "v", "o", "fc1", "fc2"):
@@ -267,8 +265,6 @@ def quantize_encoder_weights_int8(params):
 def _int8_linear(x, w_q, w_s, bias):
     """Dynamic per-row activation quant + int8 MXU matmul + rescale."""
     import jax
-    import jax.numpy as jnp
-
     xs = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
     xs = jnp.where(xs == 0, 1.0, xs)
     xq = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8)
@@ -292,7 +288,7 @@ def encoder_int8(params_q8, cfg: VisionConfig, x, *,
     if s != s_in:
         x = jnp.pad(x, ((0, 0), (0, s - s_in), (0, 0)))
         kv_valid = s_in
-    L = num_layers or cfg.num_hidden_layers
+    L = cfg.num_hidden_layers if num_layers is None else num_layers
     layers = jax.tree.map(lambda a: a[:L], params_q8["layers"])
 
     def layer_fn(carry, lp):

@@ -166,7 +166,7 @@ def load_model(args):
 def pick_conv(args, model_name: str):
     if args.conv_template:
         return conv_templates[args.conv_template]
-    if "llama-3" in model_name.lower():
+    if "llama-3" in model_name.lower() or "llama3" in model_name.lower():
         return conv_templates["llama_3"]
     return conv_templates["mllava_v1"]
 

@@ -228,3 +228,74 @@ def test_xla_fallback_honors_offset_and_kv_valid_len():
     import pytest as _pytest
     with _pytest.raises(AssertionError):
         flash_attention(q, k, v, causal=True, implementation="xla_fast")
+
+
+def test_sliding_window_decode_ignores_padding_slots():
+    """Bucketed batched prefill right-pads short rows; the decode SWA
+    window must count VALID positions, not cache-slot distance —
+    otherwise a short row's real prompt falls out of the window."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from mantis_tpu.models import llama
+    from mantis_tpu.models.configs import LlamaConfig
+    from mantis_tpu.models.llama import KVCache
+
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, rope_theta=10000.0, sliding_window=16)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    long_p = rng.randint(2, 60, size=40).tolist()
+    short_p = rng.randint(2, 60, size=8).tolist()
+
+    def decode_n(cache, tok, n, pos0):
+        toks = []
+        for i in range(n):
+            logits, cache = llama.forward(
+                params, cfg, input_ids=jnp.asarray([[tok]]),
+                positions=jnp.asarray([[pos0 + i]]),
+                segment_ids=jnp.ones((1, 1), jnp.int32), kv_cache=cache)
+            tok = int(jnp.argmax(logits[0, -1]))
+            toks.append(tok)
+        return toks
+
+    # reference: short row alone, no padding
+    c1 = KVCache.create(cfg, 1, 64)
+    logits, c1 = llama.forward(
+        params, cfg, input_ids=jnp.asarray([short_p]),
+        positions=jnp.arange(8)[None, :],
+        segment_ids=jnp.ones((1, 8), jnp.int32), kv_cache=c1)
+    t0 = int(jnp.argmax(logits[0, -1]))
+    ref = [t0] + decode_n(c1, t0, 3, 8)
+
+    # batched: short row padded to the long row's length (seg=0 pads)
+    ids = np.full((2, 40), 0, np.int64)
+    ids[0] = long_p
+    ids[1, :8] = short_p
+    seg = np.zeros((2, 40), np.int32)
+    seg[0] = 1
+    seg[1, :8] = 1
+    pos = np.arange(40)[None, :] * seg
+    cb = KVCache.create(cfg, 2, 64)
+    logits, cb = llama.forward(
+        params, cfg, input_ids=jnp.asarray(ids),
+        positions=jnp.asarray(pos), segment_ids=jnp.asarray(seg),
+        kv_cache=cb)
+    t0b = int(jnp.argmax(logits[1, 7]))
+    assert t0b == ref[0]
+    got = [t0b]
+    tok = jnp.asarray([int(jnp.argmax(logits[0, -1])), t0b], jnp.int32)
+    for i in range(3):
+        # batched decode: q slot = 40+i (past the pads), RoPE position
+        # continues per row's true length
+        logits, cb = llama.forward(
+            params, cfg, input_ids=tok[:, None],
+            positions=jnp.asarray([[40 + i], [8 + i]]),
+            segment_ids=jnp.ones((2, 1), jnp.int32), kv_cache=cb)
+        tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        got.append(int(tok[1]))
+    assert got == ref, (got, ref)
