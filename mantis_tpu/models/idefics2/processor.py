@@ -26,13 +26,15 @@ END_OF_UTTERANCE = "<end_of_utterance>"
 
 def resize_for_navit(w: int, h: int, shortest: int = 378,
                      longest: int = 980) -> Tuple[int, int]:
-    """Aspect-preserving target size within [shortest, longest]."""
+    """HF Idefics2 resize semantics (verified against transformers
+    4.57 Idefics2ImageProcessor): aspect-preserving cap of the longest
+    edge to ``longest``, then each edge clamped UP to >= ``shortest``
+    INDEPENDENTLY — aspect-DISTORTING for thin images (640x200 ->
+    640x378), which is what the pretrained checkpoint saw."""
     scale = min(longest / max(w, h), 1.0)
-    if min(w, h) * scale < shortest:
-        scale = shortest / min(w, h)
-        if max(w, h) * scale > longest:
-            scale = longest / max(w, h)
-    return max(int(round(w * scale)), 1), max(int(round(h * scale)), 1)
+    w = max(int(round(w * scale)), 1)
+    h = max(int(round(h * scale)), 1)
+    return max(w, shortest), max(h, shortest)
 
 
 class Idefics2Processor:

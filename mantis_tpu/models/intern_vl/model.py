@@ -76,7 +76,8 @@ class InternViTConfig:
             image_size=img, patch_size=patch,
             layer_norm_eps=get("layer_norm_eps", 1e-6),
             layer_scale_init_value=get("layer_scale_init_value", 0.1),
-            use_qk_norm=get("use_qk_norm", False),
+            use_qk_norm=get("use_qk_norm",
+                            get("qk_normalization", False)),
             attention_bias=get("attention_bias", True),
         )
 
@@ -162,6 +163,13 @@ def init_vision_params(cfg: InternViTConfig, key, dtype=jnp.float32):
 def vision_forward(params, cfg: InternViTConfig, pixel_values,
                    attn_impl=None, use_remat: bool = False):
     """pixel_values [N, C, H, W] -> hidden [N, P+1, D] (cls first)."""
+    if cfg.use_qk_norm:
+        # InternViT-6B towers: silently skipping the q/k RMS norms
+        # would produce garbage features
+        raise NotImplementedError(
+            "InternViT qk normalization (use_qk_norm/qk_normalization) "
+            "is not implemented; only the 300M-class towers without it "
+            "are supported")
     import einops
 
     p = cfg.patch_size
@@ -317,7 +325,16 @@ def decoder_forward(
     h = inputs_embeds
     b, s, d = h.shape
     if positions is None:
-        positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+        # with a cache, continue from the cache offset (arange(s)
+        # would restart RoPE at 0 every decode step — models/llama.py
+        # semantics)
+        start = (kv_cache.length if kv_cache is not None
+                 else jnp.zeros((), jnp.int32))
+        if getattr(start, "ndim", 0) == 1:
+            positions = start[:, None] + jnp.arange(s)[None, :]
+        else:
+            positions = jnp.broadcast_to(
+                start + jnp.arange(s)[None, :], (b, s))
     if segment_ids is None:
         segment_ids = jnp.ones((b, s), jnp.int32)
     cos, sin = rope_cos_sin(positions, tcfg.head_dim_, tcfg.rope_theta)

@@ -17,15 +17,20 @@ IMG_START, IMG_END, IMG_CONTEXT = "<img>", "</img>", "<IMG_CONTEXT>"
 
 def find_closest_aspect_ratio(ar: float, ratios, w: int, h: int,
                               tile: int):
+    """Reference tie-break (processing_internvl_chat.py
+    find_closest_aspect_ratio): on an equal aspect difference, a
+    LARGER grid wins when the image has enough area to fill it — a
+    2000x2000 image must tile as (3,3)+thumbnail, not squash into one
+    448px tile."""
     best, diff = (1, 1), float("inf")
     area = w * h
     for r in ratios:
         target = r[0] / r[1]
         d = abs(ar - target)
-        if d < diff or (d == diff
-                        and area > 0.5 * tile * tile * r[0] * r[1]):
-            if d < diff:
-                best, diff = r, d
+        if d < diff:
+            best, diff = r, d
+        elif d == diff and area > 0.5 * tile * tile * r[0] * r[1]:
+            best = r
     return best
 
 

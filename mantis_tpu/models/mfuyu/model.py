@@ -121,8 +121,11 @@ def patchify(image: Image.Image, patch_size: int = 30,
     image = image.resize((nw, nh), Image.Resampling.BILINEAR)
     rows = -(-nh // patch_size)
     cols = -(-nw // patch_size)
-    canvas = np.ones((rows * patch_size, cols * patch_size, 3),
-                     np.float32)
+    # HF FuyuImageProcessor pads with constant 1.0 BEFORE the 1/255
+    # rescale, so the padded region the checkpoint saw in training
+    # normalizes to (1/255 - 0.5)/0.5 = -0.9922, not "white" +1.0
+    canvas = np.full((rows * patch_size, cols * patch_size, 3),
+                     1.0 / 255.0, np.float32)
     arr = np.asarray(image, np.float32) / 255.0
     canvas[:nh, :nw] = arr
     canvas = (canvas - 0.5) / 0.5

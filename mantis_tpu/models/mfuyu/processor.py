@@ -75,9 +75,13 @@ class MFuyuProcessor:
                 bi += 1
             else:
                 out_ids.append(tok)
-        if images and bi != len(blocks):
+        n_markers = sum(1 for tok in raw if tok == self.marker_id)
+        if n_markers != len(blocks):
+            # extra markers would stay embedded as raw special-token
+            # ids; missing ones would drop images
             raise ValueError(
-                f"{bi} <image> markers in text != {len(blocks)} images")
+                f"{n_markers} <image> markers in text != "
+                f"{len(blocks)} images")
         if truncation and max_length is not None:
             out_ids = out_ids[:max_length]
         ids = np.asarray([out_ids], np.int64)

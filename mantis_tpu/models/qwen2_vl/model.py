@@ -81,6 +81,11 @@ class Qwen2VLConfig:
         # HF stores text fields either nested or at top level
         tc = get("text_config") or cfg
         text = LlamaConfig.from_hf_config(tc)
+        # Qwen2 ALWAYS carries q/k/v biases, but HF Qwen2VLTextConfig
+        # has no attention_bias key — defaulting it False would load
+        # real checkpoints with their (large, nonzero) qkv biases
+        # silently DROPPED (train/archs.py hardcodes the same fact)
+        text = dataclasses.replace(text, attention_bias=True)
         if text.mrope_section is None:
             rs = (tc.get("rope_scaling") if isinstance(tc, dict)
                   else getattr(tc, "rope_scaling", None))
@@ -178,6 +183,14 @@ def get_rope_index(
                     vid_idx += 1
                 lh, lw = h // merge, w // merge
                 span = t * lh * lw
+                if i + span > n:
+                    # a truncated placeholder run would either crash
+                    # the broadcast below or silently misalign every
+                    # later row's grid — fail with guidance instead
+                    raise ValueError(
+                        f"image/video placeholder run truncated at "
+                        f"position {i} (needs {span} tokens, {n - i} "
+                        f"left); raise the seq bucket / max_seq_len")
                 tg = np.repeat(np.arange(t), lh * lw)
                 hg = np.tile(np.repeat(np.arange(lh), lw), t)
                 wg = np.tile(np.tile(np.arange(lw), lh), t)

@@ -119,7 +119,10 @@ class Qwen2VLProcessor:
         # normalize bare <image> to the template form first
         t = t.replace("<image>", VISION_START + IMAGE_PAD + VISION_END)
         parts = t.split(IMAGE_PAD)
-        if images and len(parts) != len(flats) + 1:
+        if len(parts) != len(flats) + 1:
+            # also catches placeholders with NO images: silently
+            # deleting the pads would answer as if the image never
+            # existed
             raise ValueError(
                 f"{len(parts) - 1} image placeholders != "
                 f"{len(flats)} images")
