@@ -147,8 +147,12 @@ class GenericChat:
         outs = [tok.eos_token_id]
         conv = conv_templates[self.conv_template]
         for t in (conv.sep, conv.sep2):
+            # templates carry separators WITH whitespace ("<|im_end|>\n")
+            # while the vocab holds the bare token — check the stripped
+            # form or real turn-end terminators get silently dropped
+            t = (t or "").strip(" \n")
             if t and t in tok.get_vocab():
-                outs.append(tok.convert_tokens_to_ids(t.strip(" \n")))
+                outs.append(tok.convert_tokens_to_ids(t))
         return tuple(t for t in dict.fromkeys(outs) if t is not None)
 
     # arch hooks ---------------------------------------------------------
@@ -378,17 +382,32 @@ class OpenFlamingoChat(GenericChat):
         tok = self.processor.tokenizer
         eos = set(self.terminators())
         out_ids = []
+        import functools
+
         import jax
 
-        @jax.jit
-        def step(params, ids_arr, seg):
-            logits, _, _ = M.forward(
-                params, self.cfg, input_ids=ids_arr, pixel_values=pv,
-                num_media=len(images) if images else 1,
-                segment_ids=seg)
-            return logits
+        if not hasattr(self, "_step_jit"):
+            # jit ONCE per adapter with pixel_values as an argument —
+            # a per-call closure would retrace/recompile the full
+            # forward for every eval example
+            @functools.partial(jax.jit, static_argnames=("num_media",
+                                                         "has_pv"))
+            def _step(params, ids_arr, seg, pv, *, num_media, has_pv):
+                logits, _, _ = M.forward(
+                    params, self.cfg, input_ids=ids_arr,
+                    pixel_values=pv if has_pv else None,
+                    num_media=num_media, segment_ids=seg)
+                return logits
 
-        max_new = min(self.max_new_tokens, 128)
+            self._step_jit = _step
+
+        def step(params, ids_arr, seg):
+            return self._step_jit(
+                params, ids_arr, seg, pv,
+                num_media=len(images) if images else 1,
+                has_pv=pv is not None)
+
+        max_new = self.max_new_tokens
         for _ in range(max_new):
             sb = ((len(ids) + 127) // 128) * 128
             arr = np.full((1, sb), tok.pad_token_id or 0, np.int64)
@@ -433,7 +452,12 @@ class VideoLlavaChat(GenericChat):
         conv.messages = []
         conv.append_message(conv.roles[0], text)
         conv.append_message(conv.roles[1], "")
-        self._videos = videos
+        if not hasattr(self, "_tls"):
+            import threading
+
+            self._tls = threading.local()
+        self._tls.videos = videos   # per-thread: the adapter is shared
+        # across engine/eval threads (GenericEngineAdapter)
         return conv.get_prompt(), images
 
     def _load_frames(self, video):
@@ -441,7 +465,7 @@ class VideoLlavaChat(GenericChat):
         return load_video_frames(video, self.cfg.num_frames)
 
     def prepare_inputs(self, prompt, images):
-        videos = getattr(self, "_videos", [])
+        videos = getattr(getattr(self, "_tls", None), "videos", [])
         enc = self.processor(prompt, images or None,
                              videos=videos or None, truncation=True,
                              add_image_ids=False)

@@ -106,7 +106,14 @@ def main(
     (``engine_opts`` forwards slot/bucket sizing).  The resume protocol
     is unchanged: JSONL lines may land out of dataset order, resume
     matches by id."""
-    random.seed(42)
+    if num_shots != 0:
+        # the reference CLI exposes the flag but this driver (like the
+        # reference's) builds 0-shot prompts; a results file labeled
+        # "_4_shots" with 0-shot prompts would misrepresent comparisons
+        raise NotImplementedError(
+            "few-shot prompt construction is not implemented; "
+            "run with --num_shots 0")
+    random.seed(seed)
     templates = load_templates()
     results_dir = Path(results_dir)
     results_path = (results_dir / dataset_name

@@ -100,6 +100,10 @@ def read_video_frames(path: str, num_segments: int, bound=None,
         img = img.resize((resolution, resolution))
         frames.append(img)
     cap.release()
+    if not frames:
+        # a silently dropped video would let the model answer without
+        # ever seeing it (same contract as chat_models.load_video_frames)
+        raise ValueError(f"could not decode any frame from {path!r}")
     return frames
 
 
@@ -127,7 +131,7 @@ def check_answer(pred: str, gt: str) -> bool:
     pred_option, _ = pred_list[0], " ".join(pred_list[1:])
     gt_list = gt.lower().split(" ")
     gt_option, gt_content = gt_list[0], " ".join(gt_list[1:])
-    if gt_content[-1] == ".":
+    if gt_content.endswith("."):
         gt_content = gt_content[:-1]
     if pred_option.replace(".", "") in gt_option:
         flag = True
@@ -191,21 +195,18 @@ def main(model_name: str, json_dir: str, video_dir: str,
             bound = None
             if has_bounds and "start" in item:
                 bound = (item["start"], item["end"])
-            vpath = os.path.join(video_dir, prefix, item["video"])
-            if media == "frame":
-                frames = read_frame_dir(
-                    vpath, num_frames, bound, resolution=resolution)
-            else:
-                frames = read_video_frames(
-                    vpath, num_frames, bound, resolution=resolution)
             question = item["question"]
             options = item["candidates"]
             q = question + "\nOptions:\n"
             answer_opt = None
             for i, c in enumerate(options):
                 q += f"({chr(ord('A') + i)}) {c}\n"
-                if c == item["answer"]:
+                if str(c) == str(item["answer"]):
                     answer_opt = f"({chr(ord('A') + i)}) {c}"
+            if answer_opt is None:
+                # answer not an exact candidate match: score against
+                # the raw answer string instead of crashing the run
+                answer_opt = str(item["answer"])
             prompt = (
                 "Carefully watch the video and pay attention to "
                 "the cause and sequence of events, the detail and "
@@ -214,11 +215,22 @@ def main(model_name: str, json_dir: str, video_dir: str,
                 "best option that accurately addresses the "
                 "question.\n" + q
                 + "Only give the best option.\nBest option:(")
-            messages = [{"type": "image", "content": fr}
-                        for fr in frames]
-            messages.append({"type": "text", "content": prompt})
             error = None
             try:
+                # frame decode inside the protected zone: a missing or
+                # undecodable video records an error (and is retried on
+                # resume) instead of either aborting the run or letting
+                # the model answer BLIND on a text-only prompt
+                vpath = os.path.join(video_dir, prefix, item["video"])
+                if media == "frame":
+                    frames = read_frame_dir(
+                        vpath, num_frames, bound, resolution=resolution)
+                else:
+                    frames = read_video_frames(
+                        vpath, num_frames, bound, resolution=resolution)
+                messages = [{"type": "image", "content": fr}
+                            for fr in frames]
+                messages.append({"type": "text", "content": prompt})
                 raw = model(messages) if model else "(A)"
             except Exception as e:
                 # per-example containment (see benchmark/eval.py)

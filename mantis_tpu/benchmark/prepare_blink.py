@@ -32,6 +32,16 @@ def convert_rows(rows, out_dir: str, subtask: str = "") -> list:
             path = os.path.join(img_dir, name)
             if hasattr(im, "save"):
                 im.save(path)
+            elif isinstance(im, dict) and im.get("bytes"):
+                # HF undecoded image feature ({'bytes': ..., 'path': ...})
+                with open(path, "wb") as f:
+                    f.write(im["bytes"])
+            else:
+                # never emit a dataset entry pointing at a file that
+                # was not written (eval would crash or read stale data)
+                raise TypeError(
+                    f"row {i} image_{j}: cannot materialize "
+                    f"{type(im).__name__} as an image file")
             images.append(f"images/{name}")
         letters = string.ascii_uppercase
         options = [f"({letters[k]}) {c}"

@@ -32,10 +32,20 @@ MODEL_PRICES = {
 }
 
 
+def _fingerprint(obj):
+    """PIL images fingerprint by CONTENT: default=str would embed the
+    object's memory address — a different uid every run (cache never
+    hits) and, worse, address reuse within a run can alias two
+    different images to one uid (wrong cached judgement)."""
+    if hasattr(obj, "save") and hasattr(obj, "tobytes"):
+        return "img:" + hashlib.sha256(obj.tobytes()).hexdigest()
+    return str(obj)
+
+
 def prompt_uid(prompt, model_name: str, **decoding_kwargs) -> str:
     payload = json.dumps(
         {"prompt": prompt, "model": model_name, "kw": decoding_kwargs},
-        sort_keys=True, default=str)
+        sort_keys=True, default=_fingerprint)
     return hashlib.sha256(payload.encode()).hexdigest()[:32]
 
 
@@ -78,13 +88,19 @@ class DiskCache:
     def get(self, uid: str):
         p = self._path(uid)
         if os.path.exists(p):
-            with open(p) as f:
-                return json.load(f)
+            try:
+                with open(p) as f:
+                    return json.load(f)
+            except (json.JSONDecodeError, OSError):
+                return None   # truncated by a crash mid-put: a miss
         return None
 
     def put(self, uid: str, value) -> None:
-        with open(self._path(uid), "w") as f:
+        # atomic: a kill mid-write must not poison the cache entry
+        tmp = self._path(uid) + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(value, f)
+        os.replace(tmp, self._path(uid))
 
 
 def _default_completion_fn(messages, model_name, **kw):
