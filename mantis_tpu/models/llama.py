@@ -274,6 +274,47 @@ def _decode_attention(q, k_cache, v_cache, kv_seg, q_seg, length, scale,
 # Forward
 # ---------------------------------------------------------------------------
 
+def decoder_block(h, lp, *, cfg: LlamaConfig, cos, sin, segment_ids,
+                  scale, attn_impl=None, context_attention=None):
+    """One decoder layer on the training/prefill path (no KV cache).
+
+    Shared by ``forward``'s layer scan and the pipeline-parallel stage
+    body (parallel/pipeline.py) so the two paths cannot drift.
+    h: [B, S, D]; lp: one layer's params (leading layer axis removed).
+    """
+    b, s, _ = h.shape
+    hq, hk, dh = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                  cfg.head_dim_)
+    residual = h
+    x = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)
+    q = _mm(x, lp["q_proj"])
+    k = _mm(x, lp["k_proj"])
+    v = _mm(x, lp["v_proj"])
+    if cfg.attention_bias:
+        q = q + lp["q_b"]
+        k = k + lp["k_b"]
+        v = v + lp["v_b"]
+    q = apply_rope(q.reshape(b, s, hq, dh), cos, sin)
+    k = apply_rope(k.reshape(b, s, hk, dh), cos, sin)
+    v = v.reshape(b, s, hk, dh)
+    if context_attention is not None:
+        attn = context_attention(q, k, v, segment_ids, scale)
+    elif attn_impl == "xla":
+        attn = mha_reference(
+            q, k, v, causal=True, segment_ids=segment_ids,
+            softmax_scale=scale, window_size=cfg.sliding_window)
+    else:
+        attn = flash_attention(
+            q, k, v, causal=True, segment_ids=segment_ids,
+            softmax_scale=scale, implementation=attn_impl,
+            window_size=cfg.sliding_window)
+    h = residual + _mm(attn.reshape(b, s, hq * dh), lp["o_proj"])
+    residual = h
+    x = rms_norm(h, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+    gated = jax.nn.silu(_mm(x, lp["gate_proj"])) * _mm(x, lp["up_proj"])
+    return residual + _mm(gated, lp["down_proj"])
+
+
 def forward(
     params,
     cfg: LlamaConfig,
@@ -358,7 +399,12 @@ def forward(
         elif kv_cache is not None:
             lp, k_cache_l, v_cache_l = scanned
         else:
-            lp = scanned
+            h = decoder_block(
+                h, scanned, cfg=cfg, cos=cos, sin=sin,
+                segment_ids=segment_ids, scale=scale,
+                attn_impl=attn_impl,
+                context_attention=context_attention)
+            return h, None
         residual = h
         x = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)
         q = _mm(x, lp["q_proj"])
