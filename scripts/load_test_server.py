@@ -13,6 +13,13 @@ reply is token-identical to its serial reply and reports aggregate
 tok/s for both.  Done-criterion: engine >= 3x serial.
 
 Run on the TPU:  python scripts/load_test_server.py [n_clients]
+                 [noprefix]
+
+``noprefix`` turns the prefix cache off so a cold burst of text-only
+requests admits as ONE batched prefill (the batched-admission path —
+the right configuration when prompts share no prefix, as here; it is
+also what eval --use_engine defaults to).  The shipped 8-client
+headline (docs/PERF.md) uses the default prefix-cache-on adapter.
 """
 
 import json
@@ -34,6 +41,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 MAX_NEW = 64
 N_CLIENTS = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+NO_PREFIX_CACHE = "noprefix" in sys.argv[2:]
 
 
 def build_model():
@@ -135,10 +143,13 @@ def main():
     res_serial, tps_serial = drive(
         make_server(serial, port=0), prompts, "serial (lock)")
 
+    engine_kw = {}
+    if NO_PREFIX_CACHE:
+        engine_kw["max_cached_prefixes"] = 0
     eng = EngineAdapter(model, max_new_tokens=MAX_NEW,
                         max_slots=max(N_CLIENTS, 8), slot_ctx=1024,
                         chunk_tokens=16,
-                        prefill_buckets=(512, 1024))
+                        prefill_buckets=(512, 1024), **engine_kw)
     srv = make_server(eng, port=0)
     th = threading.Thread(target=srv.serve_forever, daemon=True)
     th.start()
@@ -164,9 +175,12 @@ def main():
           f"{N_CLIENTS - mm_serial}/{N_CLIENTS}; "
           f"speedup {tps_engine / tps_serial:.2f}x", flush=True)
     assert mm_b1 == 0, "co-resident streams changed a reply"
-    assert tps_engine >= 3 * tps_serial, (tps_engine, tps_serial)
-    print("DONE-CRITERION MET: >=3x serial aggregate, replies "
-          "identical to batch-1 greedy", flush=True)
+    if N_CLIENTS == 8 and not NO_PREFIX_CACHE:
+        # the VERDICT done-criterion applies to the shipped 8-client
+        # configuration; other shapes are exploratory measurements
+        assert tps_engine >= 3 * tps_serial, (tps_engine, tps_serial)
+        print("DONE-CRITERION MET: >=3x serial aggregate, replies "
+              "identical to batch-1 greedy", flush=True)
 
 
 if __name__ == "__main__":

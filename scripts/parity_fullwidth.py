@@ -5,11 +5,13 @@ Real Mantis-8B checkpoints are NOT available in this offline
 environment (zero egress, no HF hub), so per the driver protocol this
 substitutes a FULL-WIDTH random-weight parity run: the exact
 Mantis-8B-SigLIP-LLaMA3 architecture widths (SigLIP-so400m 1152/4304
-x27 layers, LLaMA 4096/14336, vocab 128258) with the LM depth reduced
-to 8 (the host has one CPU core for the torch reference; depth scales
-error linearly at worst).  Both sides load the SAME numpy weights.
+x27 layers, LLaMA 4096/14336, vocab 128258) at FULL 32-layer LM depth
+(8.35B params; round 2 ran depth 8 on the 1-core host, round 3
+verified the 125 GB host fits both fp32 models — same finding as the
+idefics2 full-depth run).  Both sides load the SAME numpy weights.
 
-Writes results to PARITY.md.
+Writes results to PARITY.md (first section; the idefics2 full-depth
+entry appended by scripts/parity_idefics2_fullwidth.py is preserved).
 """
 
 import sys
@@ -21,6 +23,7 @@ sys.path.insert(0, ".")
 
 
 def main():
+    depth_lm = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     import torch
     import transformers
 
@@ -30,7 +33,7 @@ def main():
     from mantis_tpu.models.configs import LlavaConfig
     from mantis_tpu.models.mllava import model as mllava_model
 
-    depth_lm, depth_vit = 8, 27
+    depth_vit = 27
     hf_cfg = transformers.LlavaConfig(
         vision_config=dict(
             model_type="siglip_vision_model", hidden_size=1152,
@@ -51,9 +54,9 @@ def main():
     t0 = time.time()
     torch.manual_seed(0)
     hf = transformers.LlavaForConditionalGeneration(hf_cfg).eval()
+    nparams = sum(p.numel() for p in hf.parameters()) / 1e9
     print(f"torch model built {time.time() - t0:.0f}s "
-          f"({sum(p.numel() for p in hf.parameters()) / 1e9:.2f}B params)",
-          flush=True)
+          f"({nparams:.2f}B params)", flush=True)
 
     cfg = LlavaConfig.from_hf_config(hf_cfg.to_dict())
     params = llava_params_from_hf(
@@ -84,8 +87,7 @@ def main():
     agree = float((ours.argmax(-1) == ref.argmax(-1)).mean())
     print(f"rel max err {rel:.2e}; argmax agreement {agree:.4f}")
 
-    with open("PARITY.md", "w") as f:
-        f.write(f"""# Logit parity vs HF (full-width substitute run)
+    first = f"""# Logit parity vs HF (full-width substitute run)
 
 Real Mantis-8B checkpoints are unavailable in this offline environment
 (zero egress / no HF hub access), so the BASELINE "logit parity <=1e-3
@@ -94,8 +96,9 @@ run per the driver protocol, with identical weights on both sides:
 
 - architecture: Mantis-8B-SigLIP-LLaMA3 widths — SigLIP-so400m
   (1152/4304, 27 layers, 384px/14) + LLaMA (4096/14336, GQA 32/8,
-  vocab 128258); LM depth reduced 32 -> {depth_lm} (single-CPU-core
-  host for the torch reference; see scripts/parity_fullwidth.py)
+  vocab 128258) at FULL LM depth {depth_lm} ({nparams:.2f}B params;
+  round 2 ran depth 8, round 3 re-ran at full depth on the 125 GB
+  host; see scripts/parity_fullwidth.py)
 - input: 2 images ({P} patch tokens each) + text, seq {ids.shape[1]}
 - HF reference: transformers.LlavaForConditionalGeneration (eager,
   float32, CPU); ours: mantis_tpu mllava forward (float32)
@@ -107,7 +110,16 @@ Tiny-model logit-parity tests for all other architectures run in CI
 (tests/test_hf_parity.py, test_idefics2.py, test_idefics3.py,
 test_qwen2_vl.py, test_mfuyu.py, test_internvl.py,
 test_hf_export_multiarch.py).
-""")
+"""
+    try:
+        with open("PARITY.md") as f:
+            old = f.read()
+        tail = old[old.index("## Second entry"):]
+        first = first + "\n" + tail
+    except (FileNotFoundError, ValueError):
+        pass
+    with open("PARITY.md", "w") as f:
+        f.write(first)
     print("wrote PARITY.md")
 
 
