@@ -341,6 +341,50 @@ class Qwen2VLChat(GenericChat):
                 grid_list)
         return ids_p, mask, enc.get("pixel_values"), extra
 
+    def engine_encode(self, messages):
+        """Continuous-batching encode: (ids, media, submit_kw).
+
+        M-RoPE prefill tables depend on the PADDED length, and the
+        engine picks the prefill bucket at admission — so the media
+        rides as ``media_fn(bucket)``; the decode-side vision-span
+        compression delta (HF rope_deltas) rides as ``pos_offset`` on
+        the slot (padding-invariant: delta = next_pos - n_valid)."""
+        from mantis_tpu.models.qwen2_vl.model import (
+            get_rope_index, vision_rot_pos_ids, vision_segment_ids)
+
+        prompt, images = self.build_prompt(messages)
+        enc = self.processor(prompt, images or None, truncation=True)
+        ids = [int(t) for t in np.asarray(enc["input_ids"])[0]]
+        grids = enc.get("image_grid_thw")
+        if grids is None:
+            # no vision spans: M-RoPE == standard RoPE at arange
+            # positions (the engine default) and delta == 0
+            return ids, None, {}
+        grid_arr = np.asarray(
+            [tuple(int(x) for x in g) for g in grids])
+        grid_list = [tuple(g) for g in grid_arr]
+        pix = enc["pixel_values"]
+        rot = vision_rot_pos_ids(
+            grid_list, self.cfg.vision_config.spatial_merge_size)
+        vseg = vision_segment_ids(grid_list)
+        n = len(ids)
+        pad_id = self.processor.tokenizer.pad_token_id or 0
+        _, delta = get_rope_index(
+            np.asarray([ids], np.int64), grid_arr, None, self.cfg)
+
+        def media_fn(bucket: int):
+            ids_p = np.full((1, bucket), pad_id, np.int64)
+            ids_p[0, :n] = ids
+            mask = np.zeros((1, bucket), np.int64)
+            mask[0, :n] = 1
+            pos3, _ = get_rope_index(ids_p, grid_arr, mask, self.cfg)
+            return {"pixel_values": pix, "rot_pos_ids": rot,
+                    "vision_segment_ids_arr": vseg,
+                    "mrope_positions": pos3.astype(np.int32)}
+
+        return ids, {"pixel_values": pix}, {
+            "media_fn": media_fn, "pos_offset": int(delta[0, 0])}
+
     def gen_forward(self, params, cfg, *, input_ids, pixel_values,
                     positions, segment_ids, kv_cache,
                     mrope_positions=None, rope_delta=None,
@@ -349,13 +393,24 @@ class Qwen2VLChat(GenericChat):
 
         decode = input_ids.shape[1] == 1
         if decode:
-            # text decode: all three axes advance together, shifted by
-            # the prompt's vision-span compression delta
-            pos = positions[None] + rope_delta[None]  # [3(broadcast),B,1]
-            pos = jnp.broadcast_to(pos, (3, *positions.shape))
+            if rope_delta is not None:
+                # serial path: all three axes advance together, shifted
+                # by the prompt's vision-span compression delta
+                pos = positions[None] + rope_delta[None]
+                pos = jnp.broadcast_to(pos, (3, *positions.shape))
+            else:
+                # engine path: the per-slot delta is already folded into
+                # ``positions`` (pos_offset); 2-D positions with equal
+                # t/h/w axes yield the same rotary tables as the 3-D
+                # broadcast (llama.rope_cos_sin chunk-from-axis j%3)
+                pos = positions
             pv = rp = vs = None
         else:
-            pos = mrope_positions
+            # mrope_positions rides the media pytree on the engine path;
+            # a text-only prompt has no vision spans, so the engine's
+            # default arange positions are exactly its M-RoPE positions
+            pos = mrope_positions if mrope_positions is not None \
+                else positions
             pv, rp, vs = pixel_values, rot_pos_ids, vision_segment_ids_arr
         return M.forward(
             params, cfg, input_ids=input_ids, pixel_values=pv,

@@ -329,8 +329,9 @@ def _insert_slot_jit(big: KVCache, small: KVCache, slot, true_len):
                      "sampling"),
     donate_argnames=("cache",))
 def _decode_chunk_jit(params, cache: KVCache, toks, live, remaining,
-                      eos_ids, temps, top_ps, keys, *, model_forward,
-                      model_cfg, chunk, pad_id, sampling=False):
+                      eos_ids, temps, top_ps, keys, pos_off, *,
+                      model_forward, model_cfg, chunk, pad_id,
+                      sampling=False):
     """``chunk`` fused decode steps over every slot at once.
 
     toks [B]: each live slot's pending token (sampled but not yet
@@ -341,8 +342,14 @@ def _decode_chunk_jit(params, cache: KVCache, toks, live, remaining,
     by the slot's next occupant).  ``sampling`` statically selects the
     per-row temperature/top-p program (temps/top_ps/keys [B]/[B]/[B,2];
     greedy rows keep temp=0 and take argmax regardless of RNG, so the
-    greedy-only program never pays the vocab sort).  Returns
-    (out [B, chunk], new toks, live, remaining, keys, cache).
+    greedy-only program never pays the vocab sort).  ``pos_off`` [B]:
+    per-row RoPE position offset added to the cache length (0 for every
+    family except qwen2_vl, whose M-RoPE shifts text decode positions
+    by the prompt's vision-span compression delta; all three M-RoPE
+    axes advance together in text decode, so a scalar per row suffices
+    — llama.rope_cos_sin treats equal axes identically to standard
+    RoPE).  Returns (out [B, chunk], new toks, live, remaining, keys,
+    cache).
     """
     def is_eos(t):
         return jnp.any(t[:, None] == eos_ids[None, :], axis=-1)
@@ -352,7 +359,8 @@ def _decode_chunk_jit(params, cache: KVCache, toks, live, remaining,
         seg = live.astype(jnp.int32)[:, None]
         logits, _, cache = model_forward(
             params, model_cfg, input_ids=tok[:, None],
-            pixel_values=None, positions=cache.length[:, None] * seg,
+            pixel_values=None,
+            positions=(cache.length + pos_off)[:, None] * seg,
             segment_ids=seg, kv_cache=cache)
         # forward advanced every row's length by 1; only live rows
         # actually wrote a valid (seg=1) position
@@ -496,9 +504,17 @@ def _plan_pieces(n: int, runs, chunk: int):
 class _Request:
     def __init__(self, ids: List[int], pixel_values, max_new: int,
                  temperature: float = 0.0, top_p: float = 1.0,
-                 seed: Optional[int] = None, stream: bool = False):
+                 seed: Optional[int] = None, stream: bool = False,
+                 media_fn=None, pos_offset: int = 0):
         self.ids = ids
         self.pixel_values = pixel_values
+        # media_fn(bucket) -> media pytree sized to the prefill bucket,
+        # for archs whose prefill extras depend on the padded length
+        # (qwen2_vl M-RoPE position tables); overrides pixel_values at
+        # admission when set
+        self.media_fn = media_fn
+        # per-row RoPE offset for decode steps (qwen2_vl rope_delta)
+        self.pos_offset = int(pos_offset)
         self.max_new = max_new
         self.temperature = float(temperature)
         self.top_p = float(top_p)
@@ -602,6 +618,8 @@ class ContinuousBatchingEngine:
         self.temps = jnp.zeros((max_slots,), jnp.float32)
         self.top_ps = jnp.ones((max_slots,), jnp.float32)
         self.keys = jnp.zeros((max_slots, 2), jnp.uint32)
+        # per-slot RoPE decode offset (qwen2_vl M-RoPE delta; 0 = plain)
+        self.pos_off = jnp.zeros((max_slots,), jnp.int32)
         self._auto_seed = 0
         # per-row token-history buffers for in-graph prompt-lookup;
         # sized so the k1-token buffer write never clamps
@@ -628,7 +646,8 @@ class ContinuousBatchingEngine:
     def submit_ids(self, ids: List[int], pixel_values, max_new: int,
                    temperature: float = 0.0, top_p: float = 1.0,
                    seed: Optional[int] = None,
-                   stream: bool = False) -> _Request:
+                   stream: bool = False, media_fn=None,
+                   pos_offset: int = 0) -> _Request:
         # speculative verify chunks need spec_tokens+1 KV headroom past
         # the last decoded position (same invariant as the single-stream
         # speculative loop)
@@ -643,12 +662,24 @@ class ContinuousBatchingEngine:
                 f"{max(self.prefill_buckets)}")
         if not 0.0 < top_p <= 1.0:
             raise ValueError(f"top_p must be in (0, 1], got {top_p}")
+        if pos_offset and self.spec_tokens:
+            # the spec verify chunk builds its own position table and
+            # does not carry the per-row offset — refuse loudly rather
+            # than decode with wrong RoPE positions
+            raise ValueError(
+                "pos_offset (M-RoPE) does not compose with spec_tokens")
+        if media_fn is not None and (self.max_cached_prefixes
+                                     or self.prefill_chunk):
+            raise ValueError(
+                "media_fn (bucket-shaped prefill media) does not "
+                "compose with the prefix cache or chunked prefill")
         if self._dead is not None:
             raise RuntimeError(
                 f"engine scheduler died: {self._dead!r}")
         req = _Request(list(ids), pixel_values, max_new,
                        temperature=temperature, top_p=top_p, seed=seed,
-                       stream=stream)
+                       stream=stream, media_fn=media_fn,
+                       pos_offset=pos_offset)
         with self._counter_lock:   # += on a dict entry is not atomic
             self.counters["requests"] += 1
         self.pending.put(req)
@@ -874,7 +905,11 @@ class ContinuousBatchingEngine:
                 bucket = self._bucket_for(n)
                 padded = req.ids + [self.pad_id] * (bucket - n)
                 pix = None
-                if req.pixel_values is not None:
+                if req.media_fn is not None:
+                    # bucket-sized media (qwen2_vl M-RoPE tables must
+                    # match the padded prefill shape)
+                    pix = jax.tree.map(jnp.asarray, req.media_fn(bucket))
+                elif req.pixel_values is not None:
                     # plain array (mllava) or a media pytree (generic
                     # adapters: pixel_values + per-arch extras)
                     pix = jax.tree.map(jnp.asarray, req.pixel_values)
@@ -918,6 +953,7 @@ class ContinuousBatchingEngine:
         self.temps = self.temps.at[slot_idx].set(req.temperature)
         self.top_ps = self.top_ps.at[slot_idx].set(req.top_p)
         self.keys = self.keys.at[slot_idx].set(kd)
+        self.pos_off = self.pos_off.at[slot_idx].set(req.pos_offset)
 
     def _sampling_keys(self, req: _Request):
         """(prefill key, decode key) for a request; greedy requests get
@@ -1058,7 +1094,8 @@ class ContinuousBatchingEngine:
         # with chunked prefill)
         singles, groups = [], {}
         for req, i in picked:
-            if (req.pixel_values is None and not self.max_cached_prefixes
+            if (req.pixel_values is None and req.media_fn is None
+                    and not self.max_cached_prefixes
                     and not (self.prefill_chunk
                              and len(req.ids) > self.prefill_chunk)):
                 groups.setdefault(
@@ -1183,7 +1220,7 @@ class ContinuousBatchingEngine:
          self.cache) = _decode_chunk_jit(
             model.params, self.cache, self.toks, self.live,
             self.remaining, self.eos_ids, self.temps, self.top_ps,
-            self.keys, model_forward=self.forward,
+            self.keys, self.pos_off, model_forward=self.forward,
             model_cfg=model.cfg, chunk=self.chunk_tokens,
             pad_id=self.pad_id, sampling=sampling)
         out_np, live_np = jax.device_get((out, live))  # ONE fetch
@@ -1280,11 +1317,13 @@ class EngineAdapter:
         return conv.get_prompt(), images
 
     def _encode(self, messages):
+        """-> (ids, media, submit_kw) — submit_kw carries per-request
+        engine options (media_fn / pos_offset for M-RoPE archs)."""
         prompt, images = self._render(messages)
         enc = self.model.processor(prompt, images or None,
                                    truncation=True, max_length=None)
         ids = [int(t) for t in np.asarray(enc["input_ids"][0])]
-        return ids, enc.get("pixel_values")
+        return ids, enc.get("pixel_values"), {}
 
     _first_stop = staticmethod(first_stop_index)
 
@@ -1316,10 +1355,11 @@ class EngineAdapter:
                 messages, max_new_tokens, stop=stop,
                 _usage_out=usage, **sampling)).strip()
             return {"text": text, **usage}
-        ids, pix = self._encode(messages)
+        ids, pix, sub_kw = self._encode(messages)
         budget = self._fit_budget(
             ids, max_new_tokens or self.max_new_tokens)
-        toks = self.engine.generate_sync(ids, pix, budget, **sampling)
+        toks = self.engine.generate_sync(ids, pix, budget, **sub_kw,
+                                         **sampling)
         # EOS never lands in req.tokens (_deliver retires on it), so a
         # reply shorter than its budget means EOS; budget-length means
         # the decode ran out
@@ -1342,14 +1382,14 @@ class EngineAdapter:
         (str or list of str): hold back len(longest stop)-1 chars,
         truncate before the first occurrence, and CANCEL the slot so
         the engine stops spending decode steps on the request."""
-        ids, pix = self._encode(messages)
+        ids, pix, sub_kw = self._encode(messages)
         decode = self.model.processor.tokenizer.decode
         stops = [stop] if isinstance(stop, str) else list(stop or [])
         hold = max((len(s) for s in stops), default=1) - 1
         budget = self._fit_budget(
             ids, max_new_tokens or self.max_new_tokens)
         req = self.engine.submit_ids(ids, pix, budget, stream=True,
-                                     **sampling)
+                                     **sub_kw, **sampling)
         try:
             yield from self._drain_deltas(req, budget, ids, stops, hold,
                                           decode, _usage_out)
@@ -1426,20 +1466,21 @@ class GenericEngineAdapter(EngineAdapter):
     pixel_values slot as one pytree — plus its prompt rendering and
     terminators.
 
+    qwen2_vl serves through the same machinery: text decode advances
+    all three M-RoPE axes together, so its decode positions reduce to
+    the engine's scalar per-row lengths plus a per-slot ``pos_offset``
+    (the prompt's vision-span compression delta), and its bucket-shaped
+    M-RoPE prefill tables ride a per-request ``media_fn`` (built by
+    Qwen2VLChat.engine_encode).
+
     Exclusions (flagship-engine-only features):
     - prefix cache / chunked prefill need ``cache_attention=True``
       incremental prefill, which only the flagship forward implements;
-    - speculative drafts need (k+1)-wide cached verify forwards;
-    - qwen2_vl decodes with 3-axis M-RoPE positions that do not reduce
-      to the engine's scalar per-row lengths.
+    - speculative drafts need (k+1)-wide cached verify forwards.
     """
 
     def __init__(self, chat, max_new_tokens: Optional[int] = None,
                  **engine_kw):
-        if getattr(chat, "arch", "") == "qwen2_vl":
-            raise ValueError(
-                "qwen2_vl is not engine-servable: M-RoPE decode "
-                "positions are 3-axis per row (use the serial adapter)")
         for opt in ("prefill_chunk", "spec_tokens"):
             if engine_kw.get(opt):
                 raise ValueError(
@@ -1471,10 +1512,14 @@ class GenericEngineAdapter(EngineAdapter):
             forward=fwd, eos_ids=chat.terminators(), **engine_kw)
 
     def _encode(self, messages):
+        if hasattr(self.chat, "engine_encode"):
+            # arch provides engine-aware encoding (qwen2_vl: unpadded
+            # ids + bucket-shaped media_fn + M-RoPE decode offset)
+            return self.chat.engine_encode(messages)
         prompt, images = self.chat.build_prompt(messages)
         ids_arr, _mask, pix, extra = self.chat.prepare_inputs(
             prompt, images)
         ids = [int(t) for t in np.asarray(ids_arr)[0]]
         media = {k: v for k, v in {"pixel_values": pix, **extra}.items()
                  if v is not None}
-        return ids, (media or None)
+        return ids, (media or None), {}

@@ -1134,7 +1134,7 @@ def test_n_choices_requires_engine():
 # ---------------------------------------------------------------------------
 
 GENERIC_ARCHS = ["idefics2", "idefics3", "internvl", "mfuyu",
-                 "videollava", "mllava_next"]
+                 "videollava", "mllava_next", "qwen2_vl"]
 
 
 def _arch_msgs(seed):
@@ -1188,14 +1188,38 @@ def test_generic_engine_exclusions():
     from tests.test_eval_adapters import make_adapter
     from mantis_tpu.serving.engine import GenericEngineAdapter
 
-    chat = make_adapter("qwen2_vl")
-    with pytest.raises(ValueError, match="M-RoPE"):
-        GenericEngineAdapter(chat)
     chat2 = make_adapter("idefics3")
     with pytest.raises(ValueError, match="prefix cache"):
         GenericEngineAdapter(chat2, max_cached_prefixes=2)
     with pytest.raises(ValueError, match="spec_tokens"):
         GenericEngineAdapter(chat2, spec_tokens=3)
+
+
+def test_qwen2_engine_mrope_guards():
+    """pos_offset / media_fn refuse the engine layers whose position
+    tables don't carry them (spec verify, prefix cache, chunked
+    prefill) instead of decoding with wrong RoPE positions."""
+    from mantis_tpu.serving.engine import ContinuousBatchingEngine
+
+    model = _tiny_mantis()
+    eng = ContinuousBatchingEngine(
+        model, max_slots=2, slot_ctx=64, chunk_tokens=2,
+        prefill_buckets=(16, 32), spec_tokens=2,
+        max_cached_prefixes=0)
+    try:
+        with pytest.raises(ValueError, match="pos_offset"):
+            eng.submit_ids([1, 2, 3], None, 4, pos_offset=5)
+    finally:
+        eng.shutdown()
+    eng2 = ContinuousBatchingEngine(
+        model, max_slots=2, slot_ctx=64, chunk_tokens=2,
+        prefill_buckets=(16, 32), max_cached_prefixes=2)
+    try:
+        with pytest.raises(ValueError, match="media_fn"):
+            eng2.submit_ids([1, 2, 3], None, 4,
+                            media_fn=lambda b: {})
+    finally:
+        eng2.shutdown()
 
 
 def test_wrap_adapter_in_engine_generic_path():
