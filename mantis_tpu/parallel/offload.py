@@ -20,6 +20,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def host_memory_supported() -> bool:
     try:
         dev = jax.devices()[0]
+        if dev.platform != "tpu":
+            # CPU advertises pinned_host but a donated jit whose input
+            # lives there trips FAILED_PRECONDITION (memory-kind
+            # mismatch on the reused buffer), and host==device memory
+            # there anyway — offload is meaningful only on TPU
+            return False
         return "pinned_host" in [m.kind for m in dev.addressable_memories()]
     except Exception:
         return False

@@ -59,11 +59,15 @@ def param_pspec(path: str, shape, mesh: Mesh,
     # Stacked-layer tensors have a leading L axis; matmul dims are the
     # last two (or last one for embeddings).
     if tp_n > 1:
-        if any(name == t for t in _TP_COL):
+        # only shard a divisible dim; a ragged one (e.g. an odd vocab
+        # head) replicates rather than erroring at device_put
+        if any(name == t for t in _TP_COL) \
+                and shape[ndim - 1] % tp_n == 0:
             spec[ndim - 1] = tensor_axis
-        elif any(name == t for t in _TP_ROW):
+        elif any(name == t for t in _TP_ROW) \
+                and shape[ndim - 2] % tp_n == 0:
             spec[ndim - 2] = tensor_axis
-        elif name == "embed_tokens":
+        elif name == "embed_tokens" and shape[ndim - 1] % tp_n == 0:
             spec[ndim - 1] = tensor_axis
 
     if fsdp_n > 1:

@@ -58,6 +58,7 @@ serving/server.py.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import functools
 import queue
@@ -630,6 +631,7 @@ class ContinuousBatchingEngine:
         self.slots: List[Optional[_Slot]] = [None] * max_slots
         self.pending: "queue.Queue[_Request]" = queue.Queue()
         self._wake = threading.Event()
+        self._hold_admission = False
         self._stop = False
         # host-side copy: _deliver runs per live slot per chunk and
         # must not pay a device fetch each time
@@ -662,12 +664,15 @@ class ContinuousBatchingEngine:
                 f"{max(self.prefill_buckets)}")
         if not 0.0 < top_p <= 1.0:
             raise ValueError(f"top_p must be in (0, 1], got {top_p}")
-        if pos_offset and self.spec_tokens:
+        if (pos_offset != 0 or media_fn is not None) and self.spec_tokens:
             # the spec verify chunk builds its own position table and
             # does not carry the per-row offset — refuse loudly rather
-            # than decode with wrong RoPE positions
+            # than decode with wrong RoPE positions.  media_fn implies
+            # an M-RoPE-style family even when its delta happens to be
+            # 0, so it is refused on the same grounds.
             raise ValueError(
-                "pos_offset (M-RoPE) does not compose with spec_tokens")
+                "pos_offset / media_fn (M-RoPE) does not compose with "
+                "spec_tokens")
         if media_fn is not None and (self.max_cached_prefixes
                                      or self.prefill_chunk):
             raise ValueError(
@@ -685,6 +690,28 @@ class ContinuousBatchingEngine:
         self.pending.put(req)
         self._wake.set()
         return req
+
+    @contextlib.contextmanager
+    def hold_admission(self):
+        """Buffer submissions without admitting until the block exits.
+
+        Every request submitted inside the block reaches the scheduler's
+        queue but ``_admit`` is a no-op until release, so on exit the
+        whole burst is visible to ONE admission pass and same-bucket
+        text-only requests deterministically coalesce into ONE batched
+        prefill (``_admit_batch``).  Without this, a concurrent burst
+        races the scheduler thread: it may drain 1..k requests per pass
+        depending on thread wake-up order, splitting the burst into
+        arbitrary (kpad, bucket) program shapes — which is exactly the
+        nondeterminism that left batched-prefill compiles inside
+        bench.py's timed serving window in round 3 (BENCH_r03: 56.1
+        tok/s vs the 195+ measured with warm programs)."""
+        self._hold_admission = True
+        try:
+            yield
+        finally:
+            self._hold_admission = False
+            self._wake.set()
 
     def stats(self) -> dict:
         """Occupancy + throughput counters (served as /v1/metrics).
@@ -1073,6 +1100,8 @@ class ContinuousBatchingEngine:
         return tok0, cache
 
     def _admit(self):
+        if self._hold_admission:
+            return          # a hold_admission() block is accumulating
         any_live = any(s is not None for s in self.slots)
         picked = []
         for i in range(self.max_slots):

@@ -419,6 +419,81 @@ class ChatDataset:
                   f"{self.split}, trying next item")
             return self.__getitem__((idx + 1) % len(self))
 
+    # -- length estimation for packing plans ---------------------------
+    # The reference probes ~20 tokenized items to calibrate a cheap
+    # per-item length estimate for its packing planner (reference
+    # data.py:1563-1587).  Same idea here: fully tokenize <=20 evenly-
+    # spaced probe items once, derive a chars-per-token ratio for the
+    # text part (media token cost is known from the processor), then
+    # estimate every item from its raw char/media counts — no
+    # tokenization on the planning path.
+
+    def _item_text_chars(self, item) -> int:
+        key = ("conversation" if "conversation" in item
+               else "conversations")
+        return sum(
+            len(s.get("content", s.get("text", s.get("value", ""))))
+            for s in item.get(key, []))
+
+    def _item_media_tokens(self, item) -> int:
+        """Known token cost of the item's media after expansion."""
+        per = getattr(self.processor, "num_image_tokens", 0) or 0
+        n = len(item.get(self.image_key) or [])
+        if self.media_transform is not None and n >= 2:
+            n = 2 * n - 1      # derived delta images interleave
+        return per * n
+
+    def media_count(self, idx: int) -> int:
+        """Images the item contributes to a pack (PackingDataset's
+        max_images_per_pack accounting)."""
+        n = len(self.data[idx].get(self.image_key) or [])
+        if self.media_transform is not None and n >= 2:
+            n = 2 * n - 1
+        return n
+
+    def _fit_length_model(self, n_probe: int = 20) -> None:
+        """Fit text_tokens ~ slope*chars + intercept on probe items.
+        The intercept matters: the rendered template (system prompt,
+        role markers, separators, BOS) adds a near-constant token
+        overhead that a pure chars-per-token ratio mis-attributes,
+        systematically under-estimating short items."""
+        idxs = np.unique(np.linspace(
+            0, len(self.data) - 1,
+            min(n_probe, len(self.data))).astype(int))
+        pts = []
+        for i in idxs:
+            try:
+                out = self.getitem(int(i))
+            except Exception:
+                continue   # self-healing path covers bad items
+            item = self.data[int(i)]
+            L = len(out["input_ids"])
+            chars = self._item_text_chars(item)
+            mt = self._item_media_tokens(item)
+            pts.append((chars, max(L - mt, 1)))
+        if len(pts) >= 2 and len({c for c, _ in pts}) >= 2:
+            A = np.asarray([[c, 1.0] for c, _ in pts], np.float64)
+            y = np.asarray([t for _, t in pts], np.float64)
+            slope, intercept = np.linalg.lstsq(A, y, rcond=None)[0]
+            slope = max(float(slope), 0.0)
+        elif pts:
+            c, t = pts[0]
+            slope, intercept = (t / c if c else 0.0), (0.0 if c else t)
+        else:
+            slope, intercept = 0.25, 0.0   # ~4 chars/token default
+        self._len_model = (slope, float(intercept))
+
+    def estimate_length(self, idx: int) -> int:
+        """Cheap token-length estimate for PackingDataset's plan
+        (calibrated once on probe items; see _fit_length_model)."""
+        if not hasattr(self, "_len_model"):
+            self._fit_length_model()
+        slope, intercept = self._len_model
+        item = self.data[idx]
+        est = (slope * self._item_text_chars(item) + intercept
+               + self._item_media_tokens(item))
+        return int(np.clip(est, 1, self.max_seq_len))
+
 
 class ChatVideoDataset(ChatDataset):
     """Video conversations: frames decoded host-side via cv2
@@ -535,6 +610,22 @@ class ChatVideoDataset(ChatDataset):
                      for f in frames])
         return out
 
+    def _item_media_tokens(self, item) -> int:
+        if "video" not in item:
+            return super()._item_media_tokens(item)
+        if self.use_video_encoder:
+            return self.num_video_tokens
+        # frames-as-images: fps-sampled counts vary per clip; the fixed
+        # num_frames target is the planning estimate (clips shorter
+        # than it over-estimate, which only under-fills, never splits)
+        per = getattr(self.processor, "num_image_tokens", 0) or 0
+        return per * self.num_frames
+
+    def media_count(self, idx: int) -> int:
+        if "video" not in self.data[idx]:
+            return super().media_count(idx)
+        return 0 if self.use_video_encoder else self.num_frames
+
 
 class ClassificationDataset(ChatDataset):
     """Multi-label float targets (reference data.py:1138-1349):
@@ -593,6 +684,22 @@ class DatasetCollection:
         ds = self.datasets[ds_idx]
         return ds[int(local) % len(ds)]
 
+    def estimate_length(self, idx: int):
+        """Forward to the owning sub-dataset (None when it has no
+        estimator — PackingDataset falls back conservatively)."""
+        ds_idx = bisect.bisect_right(self.cum, idx)
+        local = idx - (self.cum[ds_idx - 1] if ds_idx else 0)
+        ds = self.datasets[ds_idx]
+        est = getattr(ds, "estimate_length", None)
+        return est(int(local) % len(ds)) if est is not None else None
+
+    def media_count(self, idx: int) -> int:
+        ds_idx = bisect.bisect_right(self.cum, idx)
+        local = idx - (self.cum[ds_idx - 1] if ds_idx else 0)
+        ds = self.datasets[ds_idx]
+        mc = getattr(ds, "media_count", None)
+        return mc(int(local) % len(ds)) if mc is not None else 0
+
 
 class PackingDataset:
     """Greedy sequence packing with segment ids.
@@ -616,33 +723,96 @@ class PackingDataset:
         self._build_plan()
 
     def _build_plan(self):
-        lengths = []
-        for i in range(len(self.dataset)):
-            # probe lengths cheaply when the dataset exposes them
-            est = getattr(self.dataset, "estimate_length", None)
-            if est is not None:
-                lengths.append(est(i))
-            else:
-                lengths.append(None)
-        order = list(range(len(self.dataset)))
-        if self.same_mm_media and hasattr(self.dataset, "media_key"):
-            order.sort(key=lambda i: (str(self.dataset.media_key(i)), i))
-        cur: List[int] = []
-        cur_len = 0
-        for i in order:
-            L = lengths[i]
-            if L is None:
-                L = self.max_len // 4  # conservative default
-            if cur and cur_len + L > self.max_len:
+        """Build the pack plan from estimated lengths.
+
+        When every item has a length estimate (ChatDataset exposes
+        estimate_length — probe-calibrated, reference data.py:1563-1587)
+        the plan is first-fit-decreasing over a bounded window of open
+        packs: measured fill >90% on varied-length mixtures where the
+        round-3 sequential plan reached ~80% (and the length-blind
+        max_len//4 default far less).  A small capacity margin absorbs
+        estimator noise so a slightly-underestimated pack truncates a
+        few text tokens instead of dropping an image part.  same-media
+        grouping and estimator-less datasets keep the sequential greedy
+        plan (media adjacency / conservative default respectively)."""
+        n = len(self.dataset)
+        est = getattr(self.dataset, "estimate_length", None)
+        lengths = [(est(i) if est is not None else None)
+                   for i in range(n)]
+        mc = getattr(self.dataset, "media_count", None)
+        imgs = [(mc(i) if mc is not None else 0) for i in range(n)]
+        cap = self.max_len - max(8, self.max_len // 32)  # margin
+
+        def fits(cur_len, cur_imgs, L, k, capacity):
+            if cur_len + L > capacity:
+                return False
+            return (self.max_images is None
+                    or cur_imgs + k <= self.max_images)
+
+        def sequential(order, capacity):
+            cur: List[int] = []
+            cur_len = cur_imgs = 0
+            for i in order:
+                L = lengths[i] if lengths[i] is not None \
+                    else self.max_len // 4
+                if cur and not fits(cur_len, cur_imgs, L, imgs[i],
+                                    capacity):
+                    self._plan.append(cur)
+                    cur, cur_len, cur_imgs = [], 0, 0
+                cur.append(i)
+                cur_len += L
+                cur_imgs += imgs[i]
+            if cur:
                 self._plan.append(cur)
-                cur, cur_len = [], 0
-            cur.append(i)
-            cur_len += L
-        if cur:
-            self._plan.append(cur)
+
+        if self.same_mm_media and hasattr(self.dataset, "media_key"):
+            order = sorted(range(n), key=lambda i: (
+                str(self.dataset.media_key(i)), i))
+            sequential(order, cap)
+            return
+        if n and all(L is not None for L in lengths):
+            order = sorted(range(n), key=lambda i: -lengths[i])
+            open_bins: List[list] = []   # [used_len, used_imgs, items]
+            MAX_OPEN = 64
+            for i in order:
+                L = lengths[i]
+                for b in open_bins:
+                    if fits(b[0], b[1], L, imgs[i], cap):
+                        b[0] += L
+                        b[1] += imgs[i]
+                        b[2].append(i)
+                        break
+                else:
+                    open_bins.append([L, imgs[i], [i]])
+                    if len(open_bins) > MAX_OPEN:
+                        # close the fullest pack (least room left)
+                        j = max(range(len(open_bins)),
+                                key=lambda k: open_bins[k][0])
+                        self._plan.append(open_bins.pop(j)[2])
+            for b in open_bins:
+                self._plan.append(b[2])
+            return
+        sequential(range(n), cap)
 
     def __len__(self) -> int:
         return len(self._plan)
+
+    def planned_fill_rate(self) -> float:
+        """Estimated tokens per pack / max_len (plan-time, cheap)."""
+        est = getattr(self.dataset, "estimate_length", None)
+        if est is None or not self._plan:
+            return 0.0
+        total = sum(est(i) or self.max_len // 4
+                    for pack in self._plan for i in pack)
+        return total / (len(self._plan) * self.max_len)
+
+    def measured_fill_rate(self) -> float:
+        """Tokens ACTUALLY packed / capacity — tokenizes everything;
+        the number docs/PERF.md reports for the example mixture."""
+        if not self._plan:
+            return 0.0
+        total = sum(len(self[k]["input_ids"]) for k in range(len(self)))
+        return total / (len(self._plan) * self.max_len)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         parts = [self.dataset[i] for i in self._plan[idx]]

@@ -101,6 +101,11 @@ def parse_args(argv=None, default_arch=None):
                    help="remat save policy (ops/remat.py): nothing = "
                         "min memory; dots = save matmul outputs "
                         "(faster, more activation memory)")
+    p.add_argument("--optimizer_offload", action="store_true",
+                   help="keep Adam moments in pinned host memory, "
+                        "streamed over PCIe at the update (the "
+                        "reference's zero3_offload.json; frees "
+                        "8 bytes/param of HBM)")
     # mesh
     p.add_argument("--mesh_data", type=int, default=-1)
     p.add_argument("--mesh_fsdp", type=int, default=1)
@@ -108,6 +113,11 @@ def parse_args(argv=None, default_arch=None):
                    help="ring-attention context parallelism "
                         "(mllava/internvl; the reference recipe is "
                         "train_intern_vl_25.sh)")
+    p.add_argument("--mesh_tensor", type=int, default=1,
+                   help="megatron-style tensor parallelism over the "
+                        "innermost ICI axis (parallel/sharding.py "
+                        "tp_spec; a TPU-native superset — the "
+                        "reference has no TP)")
     p.add_argument("--ring_vision_dp", action="store_true",
                    help="shard image encoding over the ring group "
                         "(reference modeling_internvl_chat.py:200-228)")
@@ -315,11 +325,12 @@ def main(argv=None, default_arch=None):
         raise SystemExit(
             f"--mesh_context: {args.arch} has no ring-attention wiring")
     if args.mesh_data > 0:
-        n = args.mesh_data * args.mesh_fsdp * cp
+        n = args.mesh_data * args.mesh_fsdp * cp * args.mesh_tensor
         if n < len(jax.devices()):  # explicit sub-mesh
             devices = jax.devices()[:n]
     mesh = create_mesh(data=args.mesh_data, fsdp=args.mesh_fsdp,
-                       context=cp, devices=devices)
+                       context=cp, tensor=args.mesh_tensor,
+                       devices=devices)
 
     cfg, params, processor, ds, collator = build_model_and_data(
         args, spec)
@@ -344,6 +355,7 @@ def main(argv=None, default_arch=None):
         gradient_accumulation_steps=accum, grad_clip=args.grad_clip,
         compute_dtype=args.compute_dtype,
         use_remat=False if args.no_remat else args.remat_policy,
+        optimizer_offload=args.optimizer_offload,
         lora=lora_cfg)
 
     compute_loss = spec.compute_loss
@@ -398,12 +410,23 @@ def main(argv=None, default_arch=None):
             context_attention=ctx_attn, labels_preshifted=cp > 1,
             vision_dp_mesh=mesh if args.ring_vision_dp else None)
 
-    state = trainer_lib.create_train_state(trainable, opt)
+    state = trainer_lib.create_train_state(
+        trainable, opt, optimizer_offload=args.optimizer_offload,
+        mesh=mesh)
     mgr = CheckpointManager(args.output_dir, args.save_total_limit)
     if args.resume:
         restored, start_step = mgr.restore_latest(state)
         if restored is not None:
             state = restored
+            if args.optimizer_offload:
+                # Orbax restores into device memory; move the moments
+                # back to pinned host so the resumed step keeps the
+                # offloaded memory profile
+                from mantis_tpu.parallel.offload import (
+                    offload_tree_to_host)
+
+                state = state.replace(opt_state=offload_tree_to_host(
+                    state.opt_state, mesh))
             print(f"resumed from checkpoint-{start_step}")
 
     bs = batch_sharding(mesh)  # rows over (data,fsdp), seq over context

@@ -101,6 +101,12 @@ class TrainConfig:
     use_remat: Union[bool, str] = True
     # chunked CE (ops/chunked_ce.py); 0 = standard logits+CE
     loss_chunk_size: int = 0
+    # Adam moments in pinned host memory, streamed over PCIe during the
+    # update (the reference's zero3_offload.json equivalent — it keeps
+    # optimizer state in host RAM, ref train/zero_configs/
+    # zero3_offload.json).  Frees 8 bytes/param of HBM; XLA's latency-
+    # hiding scheduler overlaps the transfers with the backward.
+    optimizer_offload: bool = False
     lora: Optional[LoraConfig] = None
 
 
@@ -213,12 +219,22 @@ def make_train_step(
         )
         return loss
 
+    offloading = False
+    if train_cfg.optimizer_offload:
+        from mantis_tpu.parallel import offload as _offload
+
+        offloading = _offload.host_memory_supported()
+
     def train_step(state: TrainState, batch: Dict, frozen) -> Tuple[
             TrainState, Dict]:
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch,
                                                   frozen)
+        opt_in = (_offload.to_device(state.opt_state) if offloading
+                  else state.opt_state)
         updates, opt_state = optimizer.update(
-            grads, state.opt_state, state.params)
+            grads, opt_in, state.params)
+        if offloading:
+            opt_state = _offload.to_host(opt_state)
         params = optax.apply_updates(state.params, updates)
         metrics = {
             "loss": loss,
@@ -242,9 +258,27 @@ def make_train_step(
     return step
 
 
-def create_train_state(trainable_params, optimizer) -> TrainState:
+def create_train_state(trainable_params, optimizer,
+                       optimizer_offload: bool = False,
+                       mesh=None) -> TrainState:
+    """``optimizer_offload`` initializes the optimizer state DIRECTLY
+    into pinned host memory via jit out_shardings (materializing it in
+    HBM first would transiently need the full 8 bytes/param the offload
+    exists to avoid).  Pass the TRAINING mesh on multi-device setups
+    (parallel/offload.py host_sharding)."""
+    from mantis_tpu.parallel.offload import (
+        host_memory_supported, host_sharding)
+
+    if optimizer_offload and host_memory_supported():
+        sh = host_sharding(mesh)
+        shapes = jax.eval_shape(optimizer.init, trainable_params)
+        out_sh = jax.tree.map(lambda _: sh, shapes)
+        opt_state = jax.jit(
+            optimizer.init, out_shardings=out_sh)(trainable_params)
+    else:
+        opt_state = optimizer.init(trainable_params)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=trainable_params,
-        opt_state=optimizer.init(trainable_params),
+        opt_state=opt_state,
     )

@@ -1072,6 +1072,45 @@ def test_batched_admission_composes_with_speculative():
     assert [r.tokens for r in reqs] == expected
 
 
+def test_hold_admission_coalesces_live_scheduler_burst():
+    """With the scheduler thread RUNNING, a hold_admission() block
+    guarantees the whole burst admits in one pass (one batched prefill)
+    — the deterministic warm-up primitive bench.py relies on.  Without
+    the hold, the thread may drain 1..k requests per pass depending on
+    wake-up timing (the round-3 serving-bench nondeterminism)."""
+    from mantis_tpu.serving.engine import ContinuousBatchingEngine
+
+    model = _tiny_mantis()
+    rng = np.random.RandomState(13)
+    prompts = [rng.randint(2, 40, size=n).tolist()
+               for n in (5, 9, 7, 12)]
+    kw = dict(max_slots=4, slot_ctx=64, chunk_tokens=3,
+              prefill_buckets=(16,), max_cached_prefixes=0)
+
+    serial = _stopped_engine(model, **kw)
+    expected = []
+    for p in prompts:
+        req = serial.submit_ids(p, None, 6)
+        _drive(serial)
+        expected.append(req.tokens)
+
+    eng = ContinuousBatchingEngine(model, **kw)
+    try:
+        for burst in range(3):  # repeatable across rounds, one engine
+            # nothing admits while the hold is in force
+            assert eng.counters["prefill_batches"] == burst
+            with eng.hold_admission():
+                reqs = [eng.submit_ids(p, None, 6) for p in prompts]
+            for r in reqs:
+                assert r.done.wait(60)
+            assert [r.tokens for r in reqs] == expected
+        # exactly one batched prefill per burst, every burst
+        assert eng.counters["prefill_batches"] == 3
+        assert eng.counters["prefills"] == 12
+    finally:
+        eng.shutdown()
+
+
 def test_complete_usage_and_n_choices():
     """OpenAI protocol metadata: real usage counts + finish_reason from
     the engine, n>1 choices via the server handler."""
@@ -1209,6 +1248,10 @@ def test_qwen2_engine_mrope_guards():
     try:
         with pytest.raises(ValueError, match="pos_offset"):
             eng.submit_ids([1, 2, 3], None, 4, pos_offset=5)
+        # media_fn implies an M-RoPE family even at delta 0: refuse it
+        # on a spec engine too (round-3 advisor finding)
+        with pytest.raises(ValueError, match="media_fn"):
+            eng.submit_ids([1, 2, 3], None, 4, media_fn=lambda b: {})
     finally:
         eng.shutdown()
     eng2 = ContinuousBatchingEngine(

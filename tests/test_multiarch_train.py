@@ -77,6 +77,38 @@ def test_internvl_context_parallel_smoke(tmp_path):
     assert losses[-1] < losses[0], losses
 
 
+def test_mesh_tensor_train_smoke(tmp_path):
+    """--mesh_tensor on the training CLI (VERDICT r3 item 10): a
+    (data=1, fsdp=2, tensor=2) step trains green on the CPU mesh and
+    matches the data-parallel-only loss trajectory (TP is a layout
+    choice, not a math change)."""
+    out = str(tmp_path / "mllava_tp")
+    metrics = _run("mllava", out,
+                   extra=("--mesh_data", "1", "--mesh_fsdp", "2",
+                          "--mesh_tensor", "2"))
+    losses = [m["loss"] for m in metrics]
+    assert losses[-1] < losses[0], losses
+
+    ref = _run("mllava", str(tmp_path / "mllava_dp"))
+    ref_losses = [m["loss"] for m in ref]
+    assert losses == pytest.approx(ref_losses, rel=2e-4), (
+        losses, ref_losses)
+
+
+def test_optimizer_offload_train_smoke(tmp_path):
+    """--optimizer_offload (zero3_offload equivalent, VERDICT r3 item
+    2): the CLI path trains green and matches the on-device trajectory
+    bit-for-bit.  On CPU host_memory_supported() is False so this
+    exercises the graceful fallback; the real pinned_host residence is
+    measured on TPU (bench.py bench_train_mfu, scripts/
+    bench_mfu_honest.py)."""
+    out = str(tmp_path / "mllava_off")
+    metrics = _run("mllava", out, extra=("--optimizer_offload",))
+    losses = [m["loss"] for m in metrics]
+    ref = _run("mllava", str(tmp_path / "mllava_dev"))
+    assert losses == [m["loss"] for m in ref], losses
+
+
 def _write_tiny_videos(d, n=4, frames=6, size=32):
     """Synthesize tiny .avi clips + a chat_video train.json."""
     import cv2
