@@ -67,15 +67,33 @@ DATA_LIST = [
 ]
 
 
+def get_frame_indices(num_segments: int, max_frame: int, fps: float,
+                      bound=None, first_idx: int = 0) -> np.ndarray:
+    """EXACT reference frame-index formula
+    (reference: mvbench_eval_utils.py:496-507 get_index): bounds in
+    seconds are rounded to frames, clamped to [first_idx, max_frame],
+    and the segment centers are int(start + seg/2 + round(seg*i)).
+    MVBench accuracy depends on byte-identical frame choices, so this
+    is golden-pinned in tests/test_video_datasets.py."""
+    if bound:
+        start, end = bound[0], bound[1]
+    else:
+        start, end = -100000, 100000
+    start_idx = max(first_idx, round(start * fps))
+    end_idx = min(round(end * fps), max_frame)
+    seg_size = float(end_idx - start_idx) / num_segments
+    return np.array([
+        int(start_idx + (seg_size / 2) + np.round(seg_size * i))
+        for i in range(num_segments)])
+
+
 def uniform_indices(num_segments: int, total: int, start: int = 0,
                     end: Optional[int] = None) -> np.ndarray:
-    """Uniform segment centers within [start, end)
-    (reference: mvbench_eval_utils.py:496-501)."""
-    end = end if end is not None else total
-    seg_size = float(end - start - 1) / num_segments
-    return np.array([
-        int(start + (seg_size / 2) + np.round(seg_size * i))
-        for i in range(num_segments)])
+    """Back-compat shim over get_frame_indices for unbounded uniform
+    sampling over ``total`` decoded frames (max_frame = total-1 like
+    the reference's decord len(vr)-1)."""
+    del start, end
+    return get_frame_indices(num_segments, total - 1, fps=1.0)
 
 
 def read_video_frames(path: str, num_segments: int, bound=None,
@@ -85,11 +103,8 @@ def read_video_frames(path: str, num_segments: int, bound=None,
     cap = cv2.VideoCapture(path)
     total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
     fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
-    start, end = 0, total
-    if bound:
-        start = max(int(bound[0] * fps), 0)
-        end = min(int(bound[1] * fps), total)
-    idxs = uniform_indices(num_segments, total, start, end)
+    # reference read_video: max_frame = len(vr) - 1, first_idx = 0
+    idxs = get_frame_indices(num_segments, total - 1, fps, bound)
     frames = []
     for i in idxs:
         cap.set(cv2.CAP_PROP_POS_FRAMES, int(max(i, 0)))
@@ -111,15 +126,18 @@ def read_frame_dir(path: str, num_segments: int, bound=None, fps: float = 3,
                    resolution: int = 224) -> List[Image.Image]:
     files = sorted(os.listdir(path))
     total = len(files)
-    start, end = 0, total
-    if bound:
-        start = max(int(bound[0] * fps), 0)
-        end = min(int(bound[1] * fps), total)
-    idxs = uniform_indices(num_segments, total, start, end)
+    # reference read_frame: max_frame = len(listdir), first_idx = 1,
+    # file for index i named f"{i:05d}.jpg" (files[i-1] when sorted)
+    idxs = get_frame_indices(num_segments, total, fps, bound,
+                             first_idx=1)
     frames = []
     for i in idxs:
-        img = Image.open(os.path.join(
-            path, files[int(np.clip(i, 0, total - 1))])).convert("RGB")
+        name = f"{int(i):05d}.jpg"
+        fp = os.path.join(path, name)
+        if not os.path.exists(fp):
+            fp = os.path.join(
+                path, files[int(np.clip(i - 1, 0, total - 1))])
+        img = Image.open(fp).convert("RGB")
         frames.append(img.resize((resolution, resolution)))
     return frames
 

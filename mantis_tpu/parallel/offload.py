@@ -69,6 +69,8 @@ def offload_out_shardings(state_tree: Any, mesh: Optional[Mesh] = None):
 def to_device(tree: Any) -> Any:
     """Stream a host-resident tree into device memory (usable inside
     jit; this is where the optimizer update reads the moments)."""
+    if not host_memory_supported():
+        return tree  # graceful no-op pairing to_host's fallback
     return jax.tree.map(lambda x: jax.device_put(x, Space.Device), tree)
 
 

@@ -495,10 +495,39 @@ class ChatDataset:
         return int(np.clip(est, 1, self.max_seq_len))
 
 
+def video_frame_indices(total: int, native_fps: float, num_frames: int,
+                        fps: Optional[float] = None,
+                        max_num_frames: int = 16) -> np.ndarray:
+    """EXACT reference training-path frame selection
+    (reference data.py:706-720):
+
+      - ``fps`` set: every ceil(native_fps/fps)-th frame, capped at
+        ``max_num_frames``;
+      - else, when the clip exceeds the target: every
+        ceil(total/num_frames)-th frame (which can yield FEWER than
+        num_frames — e.g. 10 frames at target 8 sample [0,5], the
+        reference's arange-with-ceil-interval behavior, NOT linspace);
+      - short clips keep every frame.
+
+    Golden-pinned against the formula in tests/test_video_datasets.py
+    because eval/train numbers depend on identical frame choices."""
+    if total <= 0:
+        return np.zeros((1,), int)   # let the decoder try frame 0
+    if fps:
+        interval = math.ceil(native_fps / fps)
+        return np.arange(0, total, interval).astype(int)[:max_num_frames]
+    if num_frames and total > num_frames:
+        interval = math.ceil(total / num_frames)
+        return np.arange(0, total, interval).astype(int)
+    return np.arange(total)
+
+
 class ChatVideoDataset(ChatDataset):
     """Video conversations: frames decoded host-side via cv2
     (reference uses decord/PyAV, data.py:507-560; cv2 is the decoder
-    available in this image) and fed as interleaved frame images."""
+    available in this image), frame INDICES chosen by the reference's
+    exact formula (video_frame_indices), fed as interleaved frame
+    images."""
 
     def __init__(self, *args, num_frames: int = 8, fps: Optional[float] =
                  None, max_num_frames: int = 16, video_dir: Optional[str]
@@ -530,12 +559,8 @@ class ChatVideoDataset(ChatDataset):
         cap = cv2.VideoCapture(path)
         total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
         native_fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
-        if self.fps:
-            n = int(total / native_fps * self.fps)
-            n = max(min(n, self.max_num_frames), 1)
-        else:
-            n = min(self.num_frames, max(total, 1))
-        idxs = np.linspace(0, max(total - 1, 0), n).astype(int)
+        idxs = video_frame_indices(total, native_fps, self.num_frames,
+                                   self.fps, self.max_num_frames)
         frames = []
         for i in idxs:
             cap.set(cv2.CAP_PROP_POS_FRAMES, int(i))
@@ -1073,6 +1098,22 @@ def load_data_from_config(config_path: str, processor, conv: Conversation,
             raise KeyError(
                 f"unknown data format {fmt!r}; expected one of "
                 f"{sorted(FORMAT_CLASSES)}")
+        # offline integrity pin (the reference's train_config_offline
+        # per-entry offline_sha, ref data_configs/
+        # train_config_offline.yaml): a filled sha256 must match the
+        # local train.json byte-for-byte or loading refuses loudly
+        sha = entry.get("offline_sha")
+        if sha and os.path.exists(entry["path"]):
+            import hashlib
+
+            with open(entry["path"], "rb") as fh:
+                got = hashlib.sha256(fh.read()).hexdigest()
+            if got != sha:
+                raise ValueError(
+                    f"offline_sha mismatch for {entry['path']}: "
+                    f"config pins {sha[:12]}..., file is "
+                    f"{got[:12]}... — re-run the converter or update "
+                    f"the pin")
         if fmt == "siglip_video":
             # different contract: (text, frames) contrastive pairs
             # (reference data.py:903-1136)

@@ -107,6 +107,12 @@ class TrainConfig:
     # zero3_offload.json).  Frees 8 bytes/param of HBM; XLA's latency-
     # hiding scheduler overlaps the transfers with the backward.
     optimizer_offload: bool = False
+    # perform the adamw update INSIDE the backward pass (see
+    # make_adamw_in_backward): never materializes the grad tree and
+    # paces host-moment streaming across the backward window — the
+    # single-chip full-depth measured-MFU configuration.  Requires
+    # grad_clip=0 (grads are consumed before a global norm exists).
+    optimizer_in_backward: bool = False
     lora: Optional[LoraConfig] = None
 
 
@@ -149,6 +155,178 @@ def make_optimizer(cfg: TrainConfig):
 
 
 # ---------------------------------------------------------------------------
+# Fused offloaded update
+# ---------------------------------------------------------------------------
+
+def _locate_adam_state(opt_state):
+    """Find the single ScaleByAdamState inside make_optimizer's optax
+    chain; returns (flat_states, treedef, index, state)."""
+    import optax
+
+    is_state = lambda x: isinstance(  # noqa: E731
+        x, (optax.ScaleByAdamState, optax.ScaleByScheduleState,
+            optax.EmptyState))
+    flat, treedef = jax.tree_util.tree_flatten(opt_state,
+                                               is_leaf=is_state)
+    adam_i = [i for i, x in enumerate(flat)
+              if isinstance(x, optax.ScaleByAdamState)]
+    assert len(adam_i) == 1, \
+        "offloaded update paths expect one adamw in the chain"
+    return flat, treedef, adam_i, flat[adam_i[0]]
+
+
+def _rebuild_opt_state(flat, treedef, adam_i, host_count, mu, nu):
+    import optax
+
+    new_flat = []
+    for i, x in enumerate(flat):
+        if i == adam_i[0]:
+            new_flat.append(optax.ScaleByAdamState(
+                count=host_count, mu=mu, nu=nu))
+        elif isinstance(x, optax.ScaleByScheduleState):
+            new_flat.append(optax.ScaleByScheduleState(
+                count=host_count))
+        else:
+            new_flat.append(x)
+    return jax.tree_util.tree_unflatten(treedef, new_flat)
+
+
+def fused_offload_adamw_update(train_cfg: TrainConfig, sched, grads,
+                               opt_state, params):
+    """clip_by_global_norm + adamw applied LEAF-BY-LEAF with pinned-
+    host moments.
+
+    Matches make_optimizer's optax chain step-for-step (parity-tested
+    in tests/test_trainer.py) but never materializes the clipped-grads
+    or updates trees — each leaf's chain
+    (scale -> moment update -> bias correction -> decayed step) fuses
+    into one elementwise kernel whose output aliases the donated param
+    buffer, and each moment leaf streams over PCIe only while its leaf
+    updates.  That drops the full-step peak from params+grads+updates
+    (~18.6 GB at flagship depth 8 — the OOM that forced round 3's
+    composed MFU) to params+grads+one-leaf staging, which fits 16 GB.
+    Returns (new_params, new_opt_state, grad_norm); opt_state keeps
+    the exact optax chain structure so checkpoints and the generic
+    path interoperate."""
+    import optax
+
+    from mantis_tpu.parallel import offload as O
+
+    flat, treedef, adam_i, st = _locate_adam_state(opt_state)
+    count = O.to_device(st.count)
+    count_inc = optax.safe_int32_increment(count)
+
+    gnorm = optax.global_norm(grads)
+    if train_cfg.grad_clip:
+        # optax.clip_by_global_norm's exact formula
+        scale = train_cfg.grad_clip / jnp.maximum(gnorm,
+                                                  train_cfg.grad_clip)
+    else:
+        scale = jnp.ones_like(gnorm)
+    # scale_by_schedule evaluates lr at the PRE-increment count
+    lr = sched(count)
+    b1, b2, eps = (train_cfg.adam_b1, train_cfg.adam_b2,
+                   train_cfg.adam_eps)
+    bc1 = 1.0 - b1 ** count_inc.astype(jnp.float32)
+    bc2 = 1.0 - b2 ** count_inc.astype(jnp.float32)
+
+    def upd(p, g, m, v):
+        g = g * scale.astype(g.dtype)
+        m_dev = O.to_device(m)
+        v_dev = O.to_device(v)
+        m1 = b1 * m_dev + (1.0 - b1) * g
+        v1 = b2 * v_dev + (1.0 - b2) * jnp.square(g)
+        mhat = m1 / bc1.astype(m1.dtype)
+        vhat = v1 / bc2.astype(v1.dtype)
+        step = mhat / (jnp.sqrt(vhat) + eps)
+        if train_cfg.weight_decay:
+            step = step + train_cfg.weight_decay * p
+        p1 = (p - lr * step).astype(p.dtype)
+        return p1, O.to_host(m1), O.to_host(v1)
+
+    # leaves update in SERIAL order, enforced by threading a token
+    # through optimization_barriers: without this XLA schedules every
+    # leaf's update concurrently and the staged moments + new-param
+    # temps for all leaves co-reside (measured 18.7 GB at flagship
+    # depth 8 — the serialized schedule holds one leaf's staging at a
+    # time and frees each grad leaf as its update consumes it)
+    leaves_p, tdef_p = jax.tree_util.tree_flatten(params)
+    leaves_g = jax.tree_util.tree_flatten(grads)[0]
+    leaves_m = jax.tree_util.tree_flatten(st.mu)[0]
+    leaves_v = jax.tree_util.tree_flatten(st.nu)[0]
+    token = gnorm
+    out_p, out_m, out_v = [], [], []
+    for p, g, m, v in zip(leaves_p, leaves_g, leaves_m, leaves_v):
+        # the host-resident moment leaves MUST pass through the
+        # barrier too — their PCIe copy-starts carry no data dependency
+        # on the token otherwise, and the scheduler prefetches every
+        # leaf's moments at once (measured: the full 22.6 GB of
+        # in-flight staging re-creates the OOM the barrier exists to
+        # prevent)
+        g, m, v, token = jax.lax.optimization_barrier((g, m, v, token))
+        p1, m1, v1 = upd(p, g, m, v)
+        token = jax.lax.optimization_barrier((token, p1))[0]
+        out_p.append(p1)
+        out_m.append(m1)
+        out_v.append(v1)
+    new_params = jax.tree_util.tree_unflatten(tdef_p, out_p)
+    new_mu = jax.tree_util.tree_unflatten(tdef_p, out_m)
+    new_nu = jax.tree_util.tree_unflatten(tdef_p, out_v)
+    host_count = O.to_host(count_inc)
+    return (new_params,
+            _rebuild_opt_state(flat, treedef, adam_i, host_count,
+                               new_mu, new_nu), gnorm)
+
+
+def make_adamw_in_backward(b1: float, b2: float, eps: float, wd: float):
+    """Optimizer-IN-BACKWARD: a custom_vjp identity whose backward
+    rule PERFORMS the adamw update the moment a leaf's gradient is
+    produced, emitting (new_param, new_mu, new_nu) as the "cotangent"
+    of the (param, mu, nu, ...) triple.
+
+    Why: on one 16 GB chip the flagship full step cannot hold
+    params+grads+moments (+update temps) — and with host-offloaded
+    moments a post-backward update serializes ~22.6 GB of PCIe traffic
+    (~11 GB/s measured) behind the compute.  Updating inside the
+    backward (a) never materializes the grad tree — each leaf's grad
+    is consumed into its update and freed, and (b) paces the moment
+    streaming across the whole backward window, where the
+    latency-hiding scheduler can overlap it with compute.  This is the
+    TPU-native analogue of torch's apply-optimizer-in-backward +
+    ZeRO-offload, and like those it cannot do same-step global-norm
+    clipping (grads are consumed before the full norm exists) — the
+    trainer refuses the combination loudly.
+    """
+
+    @jax.custom_vjp
+    def attach(p, m, v, lr, bc1, bc2):
+        return p
+
+    def fwd(p, m, v, lr, bc1, bc2):
+        return p, (p, m, v, lr, bc1, bc2)
+
+    def bwd(res, g):
+        from mantis_tpu.parallel import offload as O
+
+        p, m, v, lr, bc1, bc2 = res
+        m_dev = O.to_device(m)
+        v_dev = O.to_device(v)
+        m1 = b1 * m_dev + (1.0 - b1) * g
+        v1 = b2 * v_dev + (1.0 - b2) * jnp.square(g)
+        step = (m1 / bc1.astype(m1.dtype)) / (
+            jnp.sqrt(v1 / bc2.astype(v1.dtype)) + eps)
+        if wd:
+            step = step + wd * p
+        p1 = (p - lr * step).astype(p.dtype)
+        return (p1, O.to_host(m1), O.to_host(v1),
+                jnp.zeros_like(lr), jnp.zeros_like(bc1),
+                jnp.zeros_like(bc2))
+
+    attach.defvjp(fwd, bwd)
+    return attach
+
+
+# ---------------------------------------------------------------------------
 # Train step
 # ---------------------------------------------------------------------------
 
@@ -186,8 +364,7 @@ def make_train_step(
             lambda x: x.astype(compute_dtype)
             if jnp.issubdtype(x.dtype, jnp.floating) else x, p)
 
-    def loss_fn(trainable, batch, frozen):
-        params = cast(build_full_params(trainable, frozen))
+    def loss_from_params(params, batch):
         if compute_loss is not None:
             kw = {}
             if context_attention is not None:
@@ -219,16 +396,91 @@ def make_train_step(
         )
         return loss
 
+    def loss_fn(trainable, batch, frozen):
+        params = cast(build_full_params(trainable, frozen))
+        return loss_from_params(params, batch)
+
     offloading = False
     if train_cfg.optimizer_offload:
         from mantis_tpu.parallel import offload as _offload
 
         offloading = _offload.host_memory_supported()
+    in_backward = train_cfg.optimizer_in_backward
+    if in_backward:
+        if train_cfg.lora is not None:
+            raise ValueError(
+                "optimizer_in_backward does not compose with LoRA")
+        if train_cfg.gradient_accumulation_steps > 1:
+            raise ValueError(
+                "optimizer_in_backward does not compose with gradient "
+                "accumulation (grads are consumed per-leaf)")
+        if train_cfg.grad_clip:
+            raise ValueError(
+                "optimizer_in_backward consumes each grad before a "
+                "global norm exists — set grad_clip=0 (same "
+                "restriction as torch's in-backward optimizers)")
+    # the fused leaf-wise update is what makes offload WORTH it (peak =
+    # params+grads+one-leaf staging); it implements exactly the
+    # clip+adamw chain, so only plain-accumulation runs take it —
+    # MultiSteps wraps the chain in accumulation state it can't mimic
+    fused = (offloading and not in_backward
+             and train_cfg.gradient_accumulation_steps <= 1)
+    sched = (make_lr_schedule(train_cfg) if fused or in_backward
+             else None)
+    attach = (make_adamw_in_backward(
+        train_cfg.adam_b1, train_cfg.adam_b2, train_cfg.adam_eps,
+        train_cfg.weight_decay) if in_backward else None)
+    is_triple = lambda x: isinstance(x, tuple)  # noqa: E731
+
+    def train_step_in_backward(state: TrainState, batch: Dict, frozen
+                               ) -> Tuple[TrainState, Dict]:
+        import optax
+
+        from mantis_tpu.parallel import offload as O
+
+        flat, treedef, adam_i, st = _locate_adam_state(state.opt_state)
+        count = O.to_device(st.count)
+        count_inc = optax.safe_int32_increment(count)
+        # constant schedules return a python float; the custom_vjp
+        # tangent path needs an array (zeros_like on the residual)
+        lr = jnp.asarray(sched(count), jnp.float32)
+        bc1 = 1.0 - train_cfg.adam_b1 ** count_inc.astype(jnp.float32)
+        bc2 = 1.0 - train_cfg.adam_b2 ** count_inc.astype(jnp.float32)
+        trip = jax.tree.map(lambda p, m, v: (p, m, v),
+                            state.params, st.mu, st.nu)
+
+        def loss3(trip, batch, frozen):
+            trainable = jax.tree.map(
+                lambda t: attach(t[0], t[1], t[2], lr, bc1, bc2),
+                trip, is_leaf=is_triple)
+            params = cast(combine_params(trainable, frozen))
+            return loss_from_params(params, batch)
+
+        # the "gradient" of each (p, m, v) triple IS its update result
+        loss, gtrip = jax.value_and_grad(loss3)(trip, batch, frozen)
+        new_params = jax.tree.map(lambda t: t[0], gtrip,
+                                  is_leaf=is_triple)
+        new_mu = jax.tree.map(lambda t: t[1], gtrip, is_leaf=is_triple)
+        new_nu = jax.tree.map(lambda t: t[2], gtrip, is_leaf=is_triple)
+        opt_state = _rebuild_opt_state(
+            flat, treedef, adam_i, O.to_host(count_inc), new_mu, new_nu)
+        # grads never materialize as a tree, so no grad_norm metric
+        return TrainState(step=state.step + 1, params=new_params,
+                          opt_state=opt_state), {
+            "loss": loss, "grad_norm": jnp.float32(jnp.nan)}
 
     def train_step(state: TrainState, batch: Dict, frozen) -> Tuple[
             TrainState, Dict]:
+        if in_backward:
+            return train_step_in_backward(state, batch, frozen)
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch,
                                                   frozen)
+        if fused:
+            params, opt_state, gnorm = fused_offload_adamw_update(
+                train_cfg, sched, grads, state.opt_state, state.params)
+            return TrainState(step=state.step + 1, params=params,
+                              opt_state=opt_state), {
+                "loss": loss, "grad_norm": gnorm}
         opt_in = (_offload.to_device(state.opt_state) if offloading
                   else state.opt_state)
         updates, opt_state = optimizer.update(

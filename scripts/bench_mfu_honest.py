@@ -252,7 +252,8 @@ def run_adam_slabs():
     return per_param_big
 
 
-def run_full_step(depth, remat="nothing", n_calls=2, offload=False):
+def run_full_step(depth, remat="nothing", n_calls=2, offload=False,
+                  in_backward=False):
     """Directly-measured REAL train step (fwd+bwd+clip+adamw in ONE
     jitted program).  ``offload=True`` keeps the Adam moments in pinned
     host memory (parallel/offload.py — the zero3_offload equivalent),
@@ -269,7 +270,11 @@ def run_full_step(depth, remat="nothing", n_calls=2, offload=False):
     tcfg = T.TrainConfig(learning_rate=1e-5, lr_schedule="constant",
                          max_steps=100, compute_dtype="bfloat16",
                          use_remat=remat, loss_chunk_size=CHUNK,
-                         optimizer_offload=offload)
+                         optimizer_offload=offload,
+                         # in-backward consumes grads per-leaf; no
+                         # same-step global clip (trainer refuses it)
+                         grad_clip=0.0 if in_backward else 1.0,
+                         optimizer_in_backward=in_backward)
     trainable, frozen = T.partition_params(
         params, lambda p: T.default_trainable_pred(p, freeze_vision=True))
     opt, _ = T.make_optimizer(tcfg)
@@ -326,6 +331,15 @@ def main():
     if "full16_offload" in args.sections:
         results["full16_offload"] = run_full_step(16, "dots",
                                                   offload=True)
+    if "full8_inbackward" in args.sections:
+        # optimizer-IN-BACKWARD + host moments: the measured
+        # single-chip full-step configuration (no grad tree, moment
+        # streaming paced across the backward window)
+        results["full8_inbackward"] = run_full_step(
+            8, args.remat, offload=True, in_backward=True)
+    if "full16_inbackward" in args.sections:
+        results["full16_inbackward"] = run_full_step(
+            16, args.remat, offload=True, in_backward=True)
 
     if "fb8" in results and "adam_pp" in results:
         n_train = trainable_param_count(8)

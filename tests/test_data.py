@@ -319,6 +319,61 @@ def test_load_data_from_config(chat_fixture, tmp_path):
     assert batch["input_ids"].ndim == 2
 
 
+def test_load_data_from_config_offline_sha(chat_fixture, tmp_path):
+    """train_config_offline-style integrity pins (reference:
+    data_configs/train_config_offline.yaml): a matching sha loads, a
+    stale pin refuses loudly, a null pin skips the check."""
+    import hashlib
+
+    import yaml
+
+    with open(chat_fixture, "rb") as f:
+        good = hashlib.sha256(f.read()).hexdigest()
+    proc = make_processor()
+    conv = conv_templates["mllava_v1"].copy()
+
+    def load(sha):
+        cfg = {"data": [{"path": chat_fixture, "format": "chat",
+                         "offline_sha": sha}]}
+        p = tmp_path / "cfg.yaml"
+        p.write_text(yaml.safe_dump(cfg))
+        return D.load_data_from_config(
+            str(p), proc, conv, {"max_seq_len": 128, "image_size": 28,
+                                 "seq_buckets": (64, 128),
+                                 "image_buckets": (0, 2, 4)})
+
+    assert load(good)[0] is not None
+    assert load(None)[0] is not None
+    with pytest.raises(ValueError, match="offline_sha mismatch"):
+        load("0" * 64)
+
+
+def test_shipped_mixture_config_is_17_subsets():
+    """configs/mantis_instruct.yaml mirrors the reference's flagship
+    mixture subset-for-subset (reference data_configs/
+    mantis_instruct.yaml:1-160)."""
+    import yaml
+
+    ref_names = ["nlvr2", "dreamsim", "contrastive_caption",
+                 "birds-to-words", "visual_story_telling",
+                 "spot-the-diff", "lrv_multi", "nextqa", "star",
+                 "llava_665k_multi", "coinstruct", "dvqa", "chartqa",
+                 "docvqa", "multi_vqa", "iconqa", "imagecode"]
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for fname in ("mantis_instruct.yaml", "train_config_offline.yaml"):
+        with open(os.path.join(here, "configs", fname)) as f:
+            cfg = yaml.safe_load(f)
+        names = [e["name"] for e in cfg["data"]]
+        assert names == ref_names, (fname, names)
+        vst = next(e for e in cfg["data"]
+                   if e["name"] == "visual_story_telling")
+        assert vst["max_num_images"] == 20
+        co = next(e for e in cfg["data"] if e["name"] == "coinstruct")
+        assert co["max_size"] == 100000 and co["shuffle"]
+        dv = next(e for e in cfg["data"] if e["name"] == "dvqa")
+        assert dv["max_size"] == 30000
+
+
 def test_dataloader_iteration(chat_fixture):
     proc = make_processor()
     conv = conv_templates["mllava_v1"].copy()

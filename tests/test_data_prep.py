@@ -504,3 +504,55 @@ def test_upload_dataset_offline_build(tmp_path):
     assert row["images"][0]["path"] == "a.png"
     assert row["images"][0]["bytes"]
     assert row["conversation"][1]["value"] == "thing"
+
+
+def test_llava_665k_multi_merge(tmp_path):
+    """prepare_llava_665k_multi (reference data/llava-instruct/
+    prepare.py): runs of single-image items merge into multi-image
+    conversations with positional renames + <image> token placement;
+    text-only items pass through; long merges split into even-turn
+    parts."""
+    from mantis_tpu.data_prep.prepare_llava_665k_multi import convert
+
+    rows = []
+    for i in range(12):
+        rows.append({
+            "id": i, "image": f"coco/{i}.jpg",
+            "conversations": [
+                {"from": "human",
+                 "value": f"<image>\nWhat is in the image number {i}?"},
+                {"from": "gpt", "value": f"A thing numbered {i}."},
+            ]})
+    rows.append({"id": "t1", "model": "x", "conversations": [
+        {"from": "human", "value": "Define entropy."},
+        {"from": "gpt", "value": "A measure of disorder."}]})
+    out = _check(convert(rows, seed=0), min_n=3)
+
+    multi = [e for e in out if len(e["images"]) >= 2]
+    assert multi, "seeded merge should produce a multi-image item"
+    for ex in multi:
+        k = len(ex["images"])
+        n_tok = sum(t["value"].count("<image>")
+                    for t in ex["conversations"])
+        assert n_tok == k      # one token per image, prepended/appended
+        # renamed positional references never keep a bare "<image>\n"
+        assert all(t["from"] in ("human", "gpt")
+                   for t in ex["conversations"])
+    singles = [e for e in out if len(e["images"]) == 1]
+    for ex in singles:
+        assert sum(t["value"].count("<image>")
+                   for t in ex["conversations"]) == 1
+    text_only = [e for e in out if not e["images"]]
+    assert any(e["id"] == "llava_665k_no_image_t1" for e in text_only)
+
+    # context split: enormous conversations divide into even-turn parts
+    big_rows = [{
+        "id": 100 + j, "image": f"coco/b{j}.jpg",
+        "conversations": [t for _ in range(40) for t in (
+            {"from": "human", "value": "word " * 120},
+            {"from": "gpt", "value": "reply " * 120})],
+    } for j in range(2)]
+    out2 = convert(big_rows, seed=1, content_length=1024)
+    assert any("_part" in e["id"] for e in out2)
+    for e in out2:
+        assert len(e["conversations"]) % 2 == 0
