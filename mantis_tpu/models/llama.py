@@ -154,6 +154,33 @@ def init_params(cfg: LlamaConfig, key: jax.Array, dtype=jnp.float32):
     return params
 
 
+def unstack_layers(params):
+    """Stacked layers dict {name: [L, ...]} -> list of L per-layer
+    dicts {name: [...]}.  ``forward`` runs list-typed layers as an
+    unrolled python loop (see the scan-vs-loop note there); everything
+    else — init, checkpoints, sharding rules, HF load/export — stays in
+    the stacked layout."""
+    lay = params["layers"]
+    if isinstance(lay, (list, tuple)):
+        return params
+    L = next(iter(lay.values())).shape[0]
+    out = dict(params)
+    out["layers"] = [
+        {k: v[i] for k, v in lay.items()} for i in range(L)]
+    return out
+
+
+def stack_layers(params):
+    """Inverse of unstack_layers (list -> stacked arrays)."""
+    lay = params["layers"]
+    if not isinstance(lay, (list, tuple)):
+        return params
+    out = dict(params)
+    out["layers"] = {
+        k: jnp.stack([lp[k] for lp in lay]) for k in lay[0]}
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Building blocks
 # ---------------------------------------------------------------------------
@@ -460,6 +487,7 @@ def forward(
         h = residual + _mm(gated, lp["down_proj"])
         return h, new_kv
 
+    layer_fn_raw = layer_fn
     layer_fn = remat(layer_fn, use_remat)
 
     if kv_cache is not None:
@@ -471,6 +499,34 @@ def forward(
             k=kvs[0], v=kvs[1], seg=kv_seg_full, length=offset + s,
             k_scale=kvs[2] if quant_cache else None,
             v_scale=kvs[3] if quant_cache else None)
+    elif isinstance(params["layers"], (list, tuple)):
+        # UNROLLED layer loop over per-layer param trees (see
+        # unstack_layers).  Functionally identical to the scan, but in
+        # reverse-mode each layer's parameter gradient is produced at a
+        # DISTINCT point of the backward pass — a scan over stacked
+        # params accumulates d(params) into full-tree buffers that live
+        # for the whole backward.  The optimizer-in-backward train step
+        # (train/trainer.py) relies on this to consume+free each
+        # layer's grad as it arrives, which is what lets a full
+        # fwd+bwd+adamw program fit one 16 GB chip at flagship depth.
+        lays = list(params["layers"])
+        if use_remat == "pairs" and len(lays) % 2 == 0:
+            # checkpoint PAIRS of layers: halves the saved layer-input
+            # activations (128 MB/layer at flagship b2 s8192) for ~1.5x
+            # in-pair recompute — the knob that buys the last GB for
+            # the single-chip measured full-depth step
+            def pair_fn(hh, lp2):
+                hh, _ = layer_fn_raw(hh, lp2[0])
+                hh, _ = layer_fn_raw(hh, lp2[1])
+                return hh, None
+
+            pair_fn = remat(pair_fn, "nothing")
+            for i in range(0, len(lays), 2):
+                h, _ = pair_fn(h, (lays[i], lays[i + 1]))
+        else:
+            for lp in lays:
+                h, _ = layer_fn(h, lp)
+        new_cache = None
     else:
         h, _ = jax.lax.scan(layer_fn, h, params["layers"])
         new_cache = None

@@ -19,6 +19,12 @@ import jax
 POLICIES = {
     "nothing": jax.checkpoint_policies.nothing_saveable,
     "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+    # "pairs": checkpoint TWO decoder layers per block (halves the
+    # saved layer inputs for ~1.5x in-pair recompute).  Only the
+    # unstacked-list decoder path (models/llama.py) implements the
+    # pairing itself; every other consumer of the flag (vision tower,
+    # scan path) degrades to per-layer nothing_saveable.
+    "pairs": jax.checkpoint_policies.nothing_saveable,
 }
 
 

@@ -422,3 +422,48 @@ def make_context_attention(mesh, axis_name: str = "context",
         )(q, k, v, segment_ids)
 
     return attention
+
+
+def make_cross_ring_attention(mesh, axis_name: str = "context",
+                              batch_axes=None):
+    """Returns cross_attention_fn(q, k, v, q_seg, kv_mask, scale) for
+    gated cross-attention over ring-sharded image kv (internvl's
+    long-context composition: the reference shards the IMAGE-TOKEN kv
+    over the ring group and rotates it, train_intern_vl_25.py:278-296 +
+    modeling_internlm2.py:1688-1699).  q is sharded on its sequence dim
+    (zigzag order is fine — cross attention is non-causal so per-shard
+    row order is irrelevant), kv on its media dim; both over
+    ``axis_name``.  Matches the ``cross_attention_fn`` hook signature of
+    models/intern_vl/model.decoder_forward."""
+    import math
+
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    if batch_axes is None:
+        batch_axes = tuple(a for a in ("data", "fsdp")
+                           if mesh.shape.get(a, 1) > 1)
+    b_ax = batch_axes if batch_axes else None
+    qkv_spec = P(b_ax, axis_name, None, None)
+    seg_spec = P(b_ax, axis_name)
+    w = mesh.shape[axis_name]
+
+    def cross_attention_fn(q, k, v, q_seg, kv_mask, scale):
+        if kv_mask is None:
+            kv_mask = jnp.ones(k.shape[:2], jnp.int32)
+        # one kernel block must divide BOTH local shard lengths
+        block = math.gcd(q.shape[1] // w, math.gcd(k.shape[1] // w, 128))
+
+        def local(qq, kk, vv, qs, km):
+            return ring_cross_attention(
+                qq, kk, vv, qs, km.astype(jnp.int32), axis_name, scale,
+                block)
+
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(qkv_spec, qkv_spec, qkv_spec, seg_spec, seg_spec),
+            out_specs=qkv_spec,
+            check_vma=False,
+        )(q, k, v, q_seg, kv_mask)
+
+    return cross_attention_fn

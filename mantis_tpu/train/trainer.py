@@ -113,6 +113,13 @@ class TrainConfig:
     # single-chip full-depth measured-MFU configuration.  Requires
     # grad_clip=0 (grads are consumed before a global norm exists).
     optimizer_in_backward: bool = False
+    # with optimizer_in_backward: keep the Adam moments ON DEVICE as
+    # blockwise-int8 (8-bit AdamW — bitsandbytes-AdamW8bit equivalent,
+    # ops/adam8bit.py) instead of streaming f32 moments from host
+    # memory.  1 byte/param of HBM; pair with unstacked decoder layers
+    # (models/llama.py unstack_layers) so per-layer grads free as they
+    # are consumed.
+    optimizer_moments_int8: bool = False
     lora: Optional[LoraConfig] = None
 
 
@@ -326,6 +333,122 @@ def make_adamw_in_backward(b1: float, b2: float, eps: float, wd: float):
     return attach
 
 
+def init_moments_int8(params):
+    """Blockwise-int8 zero moments matching ``params``: each leaf ->
+    (packed f32 bitcast of int8, per-block f32 scales) at 1 byte/param
+    + 1/2048 scale overhead, never materializing dense f32 zeros
+    (ops/adam8bit.py)."""
+    from mantis_tpu.ops import adam8bit as Q8
+
+    return jax.tree.map(Q8.zeros_like_quantized, params)
+
+
+def _token_thread_order(paths):
+    """Leaf order for threading the in-backward scheduling token:
+    REVERSE of expected grad-arrival order, so the serialized updates
+    run in arrival order (see make_adamw_in_backward8).
+
+    Arrival heuristic for transformer trees: lm_head + final norm
+    first (top of the backward), decoder layers deep->shallow, stacked
+    scan-layer grads complete at the end of the scan backward, then
+    embeddings, then projector/vision (used earliest in the forward).
+    Exact order is a SCHEDULING hint only — any order is correct."""
+    import re
+
+    def arrival(path):
+        if "lm_head" in path:
+            return 0
+        if re.search(r"\['norm'\]$", path):
+            return 1
+        m = re.search(r"\['layers'\]\[(\d+)\]", path)
+        if m:
+            return 10 + 100_000 - int(m.group(1))
+        if "['layers']" in path:      # stacked: grads land at scan end
+            return 200_000
+        if "embed" in path:
+            return 300_000
+        return 400_000                # projector / vision / other
+
+    idx = sorted(range(len(paths)), key=lambda i: arrival(paths[i]))
+    return list(reversed(idx))
+
+
+def make_adamw_in_backward8(b1: float, b2: float, eps: float, wd: float,
+                            host_moments: bool = False):
+    """Optimizer-in-backward with BLOCKWISE-INT8 moments (8-bit AdamW,
+    the bitsandbytes-AdamW8bit equivalent — ops/adam8bit.py).
+
+    Same custom_vjp smuggling as make_adamw_in_backward, but the
+    moments live ON DEVICE at 1 byte/param and each leaf's backward
+    rule is ONE fused Pallas kernel pass (dequant -> adamw -> requant,
+    ops/adam8bit.py fused_adamw_update — the XLA composition of
+    quantize/dequantize relayouts every byte shuffle in HBM, measured
+    35x off bandwidth).  With host-offloaded moments the update costs
+    ~2 s/step of PCIe at flagship depth (measured ~11 GB/s); the
+    on-device kernel runs in VPU/HBM time that overlaps the MXU-bound
+    backward.  The moments ride the cotangents as f32 BITCAST
+    containers because integer primals get the float0 tangent space
+    (see ops/adam8bit.py docstring).
+    """
+    from mantis_tpu.ops import adam8bit as Q8
+
+    # (p, ..., tok) -> (p, tok): tok is a scalar SCHEDULING token.  The
+    # forward threads it through every leaf (identity, free); in the
+    # backward each leaf's token-cotangent is barrier-tied to its own
+    # update, so updates serialize leaf-by-leaf in REVERSE flatten
+    # order — which is grad-arrival order (lm_head/norm first,
+    # embed_tokens last).  Without this every leaf's dequant+update
+    # temps co-reside (measured 27.2 GB unpadded at depth 8: the
+    # latency-hiding scheduler runs all updates concurrently).
+    @jax.custom_vjp
+    def attach8(p, mq, ms, vq, vs, lr, bc1, bc2, tok):
+        return p, tok
+
+    def fwd(p, mq, ms, vq, vs, lr, bc1, bc2, tok):
+        return (p, tok), (p, mq, ms, vq, vs, lr, bc1, bc2)
+
+    def bwd(res, g):
+        p, mq, ms, vq, vs, lr, bc1, bc2 = res
+        g, g_tok = g
+        # pin the incoming grad as ONE materialized buffer: without the
+        # barrier XLA remats its producer per consumer fusion, and the
+        # two 1 GB embed/lm_head grads appear twice each in the live set
+        g = jax.lax.optimization_barrier(g)
+        # the whole leaf updates in ONE fused Pallas kernel pass
+        # (dequant -> adamw -> requant, VMEM-staged — ops/adam8bit.py
+        # fused_adamw_update); root-domain int8 (mu: cube root signed,
+        # nu: 4th root) because linear int8 zero-collapses small v and
+        # the step explodes.  The inter-leaf token gates the kernel's
+        # INPUTS and rides out on its param output, serializing leaf
+        # updates in grad-arrival order.
+        if host_moments:
+            # PINNED-HOST int8 moments (zero3_offload x adamw8bit):
+            # 1 byte/param each way over PCIe per leaf — ~1 s total at
+            # flagship depth, issued per-leaf as grads arrive so the
+            # streams hide under the MXU-bound backward; HBM never
+            # holds the moment state at all
+            from mantis_tpu.parallel import offload as O
+
+            mq, ms, vq, vs = O.to_device((mq, ms, vq, vs))
+        mq, ms, vq, vs, token = jax.lax.optimization_barrier(
+            (mq, ms, vq, vs, g_tok))
+        p1, mq1, ms1, vq1, vs1 = Q8.fused_adamw_update(
+            p, g, mq, ms, vq, vs, lr, bc1, bc2,
+            b1=b1, b2=b2, eps=eps, wd=wd, power_m=3, power_v=4)
+        token = jax.lax.optimization_barrier((token, p1))[0]
+        if host_moments:
+            mq1, ms1, vq1, vs1 = O.to_host((mq1, ms1, vq1, vs1))
+        # token (tied to the updated p1) is the tok-cotangent: the
+        # PREVIOUS leaf in the thread order seeds its chain with it, so
+        # leaf updates serialize in grad-arrival order
+        return (p1, mq1, ms1, vq1, vs1,
+                jnp.zeros_like(lr), jnp.zeros_like(bc1),
+                jnp.zeros_like(bc2), token)
+
+    attach8.defvjp(fwd, bwd)
+    return attach8
+
+
 # ---------------------------------------------------------------------------
 # Train step
 # ---------------------------------------------------------------------------
@@ -427,9 +550,19 @@ def make_train_step(
              and train_cfg.gradient_accumulation_steps <= 1)
     sched = (make_lr_schedule(train_cfg) if fused or in_backward
              else None)
+    moments_int8 = in_backward and train_cfg.optimizer_moments_int8
+    # int8 + offload: the packed moments live in PINNED HOST memory and
+    # stream through the fused kernel per leaf (zero3_offload x
+    # adamw8bit) — HBM holds no optimizer state at all
+    moments_int8_host = moments_int8 and offloading
     attach = (make_adamw_in_backward(
         train_cfg.adam_b1, train_cfg.adam_b2, train_cfg.adam_eps,
-        train_cfg.weight_decay) if in_backward else None)
+        train_cfg.weight_decay) if in_backward and not moments_int8
+        else None)
+    attach8 = (make_adamw_in_backward8(
+        train_cfg.adam_b1, train_cfg.adam_b2, train_cfg.adam_eps,
+        train_cfg.weight_decay, host_moments=moments_int8_host)
+        if moments_int8 else None)
     is_triple = lambda x: isinstance(x, tuple)  # noqa: E731
 
     def train_step_in_backward(state: TrainState, batch: Dict, frozen
@@ -439,13 +572,66 @@ def make_train_step(
         from mantis_tpu.parallel import offload as O
 
         flat, treedef, adam_i, st = _locate_adam_state(state.opt_state)
-        count = O.to_device(st.count)
+        # device-resident int8: a device_put to the space the array is
+        # already in lowers to an hbm->hbm DMA the TPU AOT compiler
+        # rejects ("Unimplemented DMA from hbm to hbm"), so only move
+        # count when the state actually lives on host
+        count = (O.to_device(st.count)
+                 if offloading or not moments_int8 else st.count)
         count_inc = optax.safe_int32_increment(count)
         # constant schedules return a python float; the custom_vjp
         # tangent path needs an array (zeros_like on the residual)
         lr = jnp.asarray(sched(count), jnp.float32)
         bc1 = 1.0 - train_cfg.adam_b1 ** count_inc.astype(jnp.float32)
         bc2 = 1.0 - train_cfg.adam_b2 ** count_inc.astype(jnp.float32)
+        if moments_int8:
+            # flat-list plumbing: mu/nu leaves are (packed, scale)
+            # pairs, so tree.map over (params, mu, nu) cannot zip them
+            with_path = jax.tree_util.tree_flatten_with_path(
+                state.params)[0]
+            leaves_p, tdef_p = jax.tree_util.tree_flatten(state.params)
+            leaves_m = jax.tree_util.tree_flatten(
+                st.mu, is_leaf=is_triple)[0]
+            leaves_v = jax.tree_util.tree_flatten(
+                st.nu, is_leaf=is_triple)[0]
+            args = [(p, m[0], m[1], v[0], v[1]) for p, m, v
+                    in zip(leaves_p, leaves_m, leaves_v)]
+            order = _token_thread_order(
+                [jax.tree_util.keystr(kp) for kp, _ in with_path])
+
+            def loss8(args, batch, frozen):
+                # thread one scheduling token through the leaves in
+                # REVERSE grad-arrival order: each attach8 backward
+                # waits on its token cotangent, so updates run in
+                # arrival order (lm_head/norm, layers deep->shallow,
+                # embed, projector) and each grad frees as soon as its
+                # update consumes it.  Threading in tree-flatten order
+                # instead stalls the whole chain on the projector
+                # (last flattened, last grad to arrive) and keeps the
+                # ENTIRE grad tree alive — measured +24 GB at depth 8.
+                tok = jnp.zeros((), jnp.float32)
+                tr = [None] * len(args)
+                for i in order:
+                    p, mq, ms, vq, vs = args[i]
+                    tr[i], tok = attach8(p, mq, ms, vq, vs,
+                                         lr, bc1, bc2, tok)
+                trainable = jax.tree_util.tree_unflatten(tdef_p, tr)
+                params = cast(combine_params(trainable, frozen))
+                return loss_from_params(params, batch)
+
+            loss, g = jax.value_and_grad(loss8)(args, batch, frozen)
+            new_params = jax.tree_util.tree_unflatten(
+                tdef_p, [t[0] for t in g])
+            new_mu = jax.tree_util.tree_unflatten(
+                tdef_p, [(t[1], t[2]) for t in g])
+            new_nu = jax.tree_util.tree_unflatten(
+                tdef_p, [(t[3], t[4]) for t in g])
+            opt_state = _rebuild_opt_state(
+                flat, treedef, adam_i, count_inc, new_mu, new_nu)
+            return TrainState(step=state.step + 1, params=new_params,
+                              opt_state=opt_state), {
+                "loss": loss, "grad_norm": jnp.float32(jnp.nan)}
+
         trip = jax.tree.map(lambda p, m, v: (p, m, v),
                             state.params, st.mu, st.nu)
 
@@ -512,15 +698,43 @@ def make_train_step(
 
 def create_train_state(trainable_params, optimizer,
                        optimizer_offload: bool = False,
-                       mesh=None) -> TrainState:
+                       mesh=None, moments_int8: bool = False
+                       ) -> TrainState:
     """``optimizer_offload`` initializes the optimizer state DIRECTLY
     into pinned host memory via jit out_shardings (materializing it in
     HBM first would transiently need the full 8 bytes/param the offload
     exists to avoid).  Pass the TRAINING mesh on multi-device setups
-    (parallel/offload.py host_sharding)."""
+    (parallel/offload.py host_sharding).  ``moments_int8`` builds the
+    Adam moments as blockwise-int8 packed zeros (1 byte/param — the
+    optimizer_moments_int8 train mode) without ever materializing the
+    dense f32 state."""
     from mantis_tpu.parallel.offload import (
         host_memory_supported, host_sharding)
 
+    if moments_int8:
+        spec = jax.eval_shape(optimizer.init, trainable_params)
+        flat, treedef, adam_i, _ = _locate_adam_state(spec)
+        if optimizer_offload and host_memory_supported():
+            # packed zeros land DIRECTLY in pinned host memory (the
+            # int8 x zero3_offload mode: HBM never holds moments)
+            sh = host_sharding(mesh)
+            shapes = jax.eval_shape(init_moments_int8, trainable_params)
+            out_sh = jax.tree.map(lambda _: sh, shapes)
+            init = jax.jit(init_moments_int8, out_shardings=out_sh)
+            mu = init(trainable_params)
+            nu = init(trainable_params)   # separate call -> own buffers
+            count = jax.device_put(jnp.zeros((), jnp.int32), sh)
+        else:
+            mu, nu = (init_moments_int8(trainable_params),
+                      init_moments_int8(trainable_params))
+            count = jnp.zeros((), jnp.int32)
+        opt_state = _rebuild_opt_state(
+            flat, treedef, adam_i, count, mu, nu)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=trainable_params,
+            opt_state=opt_state,
+        )
     if optimizer_offload and host_memory_supported():
         sh = host_sharding(mesh)
         shapes = jax.eval_shape(optimizer.init, trainable_params)

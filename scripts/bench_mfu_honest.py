@@ -253,7 +253,7 @@ def run_adam_slabs():
 
 
 def run_full_step(depth, remat="nothing", n_calls=2, offload=False,
-                  in_backward=False):
+                  in_backward=False, moments_int8=False):
     """Directly-measured REAL train step (fwd+bwd+clip+adamw in ONE
     jitted program).  ``offload=True`` keeps the Adam moments in pinned
     host memory (parallel/offload.py — the zero3_offload equivalent),
@@ -267,6 +267,16 @@ def run_full_step(depth, remat="nothing", n_calls=2, offload=False,
     cfg = make_cfg(depth)
     params = mllava_model.init_params(cfg, jax.random.PRNGKey(0),
                                       dtype=jnp.bfloat16)
+    if moments_int8:
+        # unstacked decoder layers: each layer's grad is produced at a
+        # distinct backward point and freed as its in-backward update
+        # consumes it (a scan over stacked params would hold the FULL
+        # grad tree in accumulators for the whole backward — +5.6 GB)
+        from mantis_tpu.models import llama
+
+        params = dict(params)
+        params["language_model"] = llama.unstack_layers(
+            params["language_model"])
     tcfg = T.TrainConfig(learning_rate=1e-5, lr_schedule="constant",
                          max_steps=100, compute_dtype="bfloat16",
                          use_remat=remat, loss_chunk_size=CHUNK,
@@ -274,14 +284,16 @@ def run_full_step(depth, remat="nothing", n_calls=2, offload=False,
                          # in-backward consumes grads per-leaf; no
                          # same-step global clip (trainer refuses it)
                          grad_clip=0.0 if in_backward else 1.0,
-                         optimizer_in_backward=in_backward)
+                         optimizer_in_backward=in_backward,
+                         optimizer_moments_int8=moments_int8)
     trainable, frozen = T.partition_params(
         params, lambda p: T.default_trainable_pred(p, freeze_vision=True))
     opt, _ = T.make_optimizer(tcfg)
     step_fn = T.make_train_step(mllava_model.forward, cfg, tcfg, opt,
                                 frozen)
     state = T.create_train_state(trainable, opt,
-                                 optimizer_offload=offload)
+                                 optimizer_offload=offload,
+                                 moments_int8=moments_int8)
     batches = [make_batch(cfg, i) for i in range(n_calls + 1)]
     t0 = time.perf_counter()
     state, m = step_fn(state, batches[-1])
@@ -340,6 +352,28 @@ def main():
     if "full16_inbackward" in args.sections:
         results["full16_inbackward"] = run_full_step(
             16, args.remat, offload=True, in_backward=True)
+    if "full8_int8" in args.sections:
+        # THE measured single-chip full-step configuration: in-backward
+        # adamw8bit (root-domain blockwise-int8 moments on device,
+        # 1 byte/param) over unstacked layers — fwd+bwd+update in ONE
+        # program, no host transfers, no grad tree
+        results["full8_int8"] = run_full_step(
+            8, args.remat, in_backward=True, moments_int8=True)
+    if "full16_int8" in args.sections:
+        results["full16_int8"] = run_full_step(
+            16, args.remat, in_backward=True, moments_int8=True)
+    if "full8_int8_host" in args.sections:
+        # adamw8bit x zero3_offload: packed int8 moments in PINNED HOST
+        # memory, streamed per leaf through the fused update kernel as
+        # grads arrive — HBM holds no optimizer state, so the full
+        # fwd+bwd+update program fits depth 8 with room to spare
+        results["full8_int8_host"] = run_full_step(
+            8, args.remat, in_backward=True, moments_int8=True,
+            offload=True)
+    if "full16_int8_host" in args.sections:
+        results["full16_int8_host"] = run_full_step(
+            16, args.remat, in_backward=True, moments_int8=True,
+            offload=True)
 
     if "fb8" in results and "adam_pp" in results:
         n_train = trainable_param_count(8)

@@ -1,0 +1,208 @@
+"""MFU on REALLY PACKED data (VERDICT r3 item 3 follow-through).
+
+The honest-MFU bench (bench_mfu_honest.py / bench.py) times the train
+step on hand-built perfectly-packed rows.  This script instead runs the
+repo's OWN data path end to end on a realistic variable-length mixture:
+
+  synthetic SFT json (lognormal-ish length mix, 1-4 images/conv)
+    -> ChatDataset (probe-calibrated estimate_length)
+    -> PackingDataset (first-fit-decreasing plan, 8192-token packs)
+    -> Collator (pad_to_max 8192, image bucket)
+    -> flagship-width mllava train step (depth 8)
+
+and reports the planner's fill rate plus two MFU numbers:
+  - mfu_hw:   FLOPs for every processed position / wall time
+              (what the chip sustains on the padded shapes)
+  - mfu_data: FLOPs for NON-PAD positions + REAL images only / wall
+              time (what a user's samples/sec actually buys — this is
+              the number packing quality moves)
+
+Text lengths use the debug tokenizer (vocab ~hundreds); the MODEL runs
+the full flagship widths incl. the 128,258-entry vocab through chunked
+CE, so per-token cost matches the honest bench exactly.
+
+Usage: python scripts/bench_mfu_packed.py [--depth 8] [--n 160]
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+PEAK_FLOPS = 197e12
+S = 8192
+IMG_BUCKET = 8
+
+
+def make_dataset_json(n_conv: int, seed: int, img_dir: str) -> str:
+    """Synthetic SFT mixture with a realistic length spread: the debug
+    tokenizer maps one whitespace word -> one token, so word counts
+    below are token counts.  Image tokens (729 each) come on top."""
+    rng = np.random.RandomState(seed)
+    words = ("the quick brown fox jumps over lazy dog while red square "
+             "green circle blue triangle appear in picture frame one two "
+             "three four compare describe difference detail").split()
+    data = []
+    for i in range(n_conv):
+        # lognormal text budget, clamped: mix of short QA and long chats
+        text_tok = int(np.clip(rng.lognormal(6.0, 0.9), 40, 5200))
+        n_img = int(rng.choice([1, 1, 2, 2, 3, 4]))
+        n_turns = int(rng.randint(1, 4))
+        per_turn = max(text_tok // (2 * n_turns), 4)
+        convs = []
+        for t in range(n_turns):
+            human = " ".join(rng.choice(words, per_turn))
+            if t == 0:
+                human = " ".join(["<image>"] * n_img) + " " + human
+            convs.append({"from": "human", "value": human})
+            convs.append({"from": "gpt",
+                          "value": " ".join(rng.choice(words, per_turn))})
+        data.append({"id": f"pk-{i}",
+                     "images": [f"{img_dir}/img{i % 2}.png"] * n_img,
+                     "conversations": convs})
+    path = os.path.join(tempfile.mkdtemp(prefix="mfu_packed_"),
+                        "train.json")
+    with open(path, "w") as f:
+        json.dump(data, f)
+    return path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--depth", type=int, default=8)
+    ap.add_argument("--n", type=int, default=160)
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--remat", default="nothing")
+    ap.add_argument("--chunk", type=int, default=1024)
+    args = ap.parse_args()
+
+    from mantis_tpu.models.configs import (
+        LlamaConfig, LlavaConfig, VisionConfig)
+    from mantis_tpu.models.conversation import conv_templates
+    from mantis_tpu.models.mllava import model as mllava_model
+    from mantis_tpu.models.mllava.processor import (
+        ImageProcessorConfig, MantisImageProcessor, MLlavaProcessor)
+    from mantis_tpu.train import trainer as T
+    from mantis_tpu.train.data import (
+        ChatDataset, Collator, PackingDataset)
+    from mantis_tpu.utils.debug_tokenizer import (
+        build_tokenizer_from_json_data)
+
+    img_dir = os.path.abspath("examples/data/chat/images")
+    path = make_dataset_json(args.n, 0, img_dir)
+    tok = build_tokenizer_from_json_data([path])
+
+    cfg = LlavaConfig(
+        vision_config=VisionConfig(
+            tower_type="siglip", hidden_size=1152, intermediate_size=4304,
+            num_hidden_layers=27, num_attention_heads=16, image_size=384,
+            patch_size=14, layer_norm_eps=1e-6),
+        text_config=LlamaConfig(
+            vocab_size=128258, hidden_size=4096, intermediate_size=14336,
+            num_hidden_layers=args.depth, num_attention_heads=32,
+            num_key_value_heads=8, rope_theta=500000.0),
+        image_token_index=tok.convert_tokens_to_ids("<image>"),
+    )
+    P = cfg.num_image_tokens
+    proc = MLlavaProcessor(
+        tok, MantisImageProcessor(
+            ImageProcessorConfig.for_tower("siglip", 384)), P)
+    conv = conv_templates["llama_3"]
+    ds = ChatDataset(path, proc, conv, max_seq_len=S)
+    packed = PackingDataset(ds, max_self_attn_len=S,
+                            max_images_per_pack=IMG_BUCKET)
+    fill_planned = packed.planned_fill_rate()
+    coll = Collator(
+        pad_token_id=tok.pad_token_id or 0,
+        image_token_id=cfg.image_token_index,
+        num_image_tokens=P, seq_buckets=(S,),
+        image_buckets=(IMG_BUCKET,), image_size=384, pad_to_max=True)
+
+    # one pack per row, rows of 1 (flagship per-chip micro-batch)
+    batches, used_tok, used_img = [], [], []
+    for i in range(min(len(packed), args.steps + 1)):
+        ex = packed[i]
+        b = coll([ex])
+        used_tok.append(int((b["segment_ids"] != 0).sum()))
+        used_img.append(int(ex["pixel_values"].shape[0]))
+        batches.append({
+            "input_ids": jnp.asarray(b["input_ids"]),
+            "labels": jnp.asarray(b["labels"]),
+            "segment_ids": jnp.asarray(b["segment_ids"]),
+            "positions": jnp.asarray(b["positions"]),
+            "pixel_values": jnp.asarray(b["pixel_values"],
+                                        jnp.bfloat16),
+        })
+    assert len(batches) >= 2, "need >=2 packs; raise --n"
+    fill_measured = float(np.mean([u / S for u in used_tok]))
+    print(f"packs={len(packed)} fill: planned={fill_planned:.3f} "
+          f"measured={fill_measured:.3f}")
+
+    params = mllava_model.init_params(cfg, jax.random.PRNGKey(0),
+                                      dtype=jnp.bfloat16)
+    tcfg = T.TrainConfig(learning_rate=1e-5, lr_schedule="constant",
+                         max_steps=100, compute_dtype="bfloat16",
+                         use_remat=args.remat,
+                         loss_chunk_size=args.chunk, grad_clip=1.0)
+    trainable, frozen = T.partition_params(
+        params,
+        lambda p: T.default_trainable_pred(p, freeze_vision=True))
+    opt, _ = T.make_optimizer(tcfg)
+    step_fn = T.make_train_step(mllava_model.forward, cfg, tcfg, opt,
+                                frozen)
+    state = T.create_train_state(trainable, opt)
+
+    state, m = step_fn(state, batches[-1])     # compile + warm
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for b in batches[:args.steps]:
+        state, m = step_fn(state, b)
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / args.steps
+
+    # FLOPs (same accounting as bench_mfu_honest.model_flops_per_step,
+    # b=1): hardware counts all S positions + IMG_BUCKET images;
+    # data-useful counts non-pad positions + real images
+    t, v = cfg.text_config, cfg.vision_config
+    d, li, V = t.hidden_size, t.intermediate_size, t.vocab_size
+    dh = d // t.num_attention_heads
+    lm_layer = (2 * d * (t.num_attention_heads * dh)
+                + 2 * d * (t.num_key_value_heads * dh)
+                + 6 * d * li) // 2
+    per_tok = 6 * (args.depth * lm_layer + d * V)
+    vit_layer = 4 * v.hidden_size ** 2 + 2 * v.hidden_size * \
+        v.intermediate_size
+    per_img = 2 * P * ((v.num_hidden_layers - 1) * vit_layer
+                       + 3 * v.patch_size ** 2 * v.hidden_size) \
+        + 6 * P * (v.hidden_size * d + d * d)
+    mean_tok = float(np.mean(used_tok[:args.steps]))
+    mean_img = float(np.mean(used_img[:args.steps]))
+    fl_hw = per_tok * S + per_img * IMG_BUCKET
+    fl_data = per_tok * mean_tok + per_img * mean_img
+    print(f"step {dt * 1e3:.1f} ms  mfu_hw={fl_hw / dt / PEAK_FLOPS:.4f}  "
+          f"mfu_data={fl_data / dt / PEAK_FLOPS:.4f}  "
+          f"(tok {mean_tok:.0f}/{S}, img {mean_img:.1f}/{IMG_BUCKET})")
+    print(json.dumps({
+        "fill_planned": round(fill_planned, 4),
+        "fill_measured": round(fill_measured, 4),
+        "step_ms": round(dt * 1e3, 1),
+        "mfu_hw": round(fl_hw / dt / PEAK_FLOPS, 4),
+        "mfu_data": round(fl_data / dt / PEAK_FLOPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,13 @@ def main():
     import torch
     import transformers
 
+    import jax
+
+    # full-depth fp32 (8.35B = 33 GB) exceeds the 16 GB TPU; run the
+    # JAX side on the 125 GB host like the torch reference (the env
+    # re-forces JAX_PLATFORMS so it must be overridden after import)
+    jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from mantis_tpu.io.hf_loader import TensorSource, llava_params_from_hf
@@ -97,7 +104,7 @@ run per the driver protocol, with identical weights on both sides:
 - architecture: Mantis-8B-SigLIP-LLaMA3 widths — SigLIP-so400m
   (1152/4304, 27 layers, 384px/14) + LLaMA (4096/14336, GQA 32/8,
   vocab 128258) at FULL LM depth {depth_lm} ({nparams:.2f}B params;
-  round 2 ran depth 8, round 3 re-ran at full depth on the 125 GB
+  round 2 ran depth 8, round 4 re-ran at full depth on the 125 GB
   host; see scripts/parity_fullwidth.py)
 - input: 2 images ({P} patch tokens each) + text, seq {ids.shape[1]}
 - HF reference: transformers.LlavaForConditionalGeneration (eager,

@@ -633,3 +633,113 @@ def test_optimizer_in_backward_matches_generic_step():
                           gradient_accumulation_steps=2),
             None, frozen, compute_loss=compute_loss)
     del final
+
+
+def test_adam8bit_roundtrip_and_root_domains():
+    """ops/adam8bit.py: blockwise int8 roundtrip error bounds, zero
+    exactness, and the root-domain variants (mu power=3 signed, nu
+    power=4) that prevent second-moment zero-collapse."""
+    from mantis_tpu.ops import adam8bit as Q8
+
+    rng = np.random.RandomState(0)
+    for n in (5, 2048, 2049, 100000):
+        x = jnp.asarray(rng.randn(n).astype(np.float32) * 0.01)
+        p, s = Q8.quantize_blockwise(x)
+        y = Q8.dequantize_blockwise(p, s, n)
+        assert float(jnp.abs(y - x).max()) <= float(
+            jnp.abs(x).max()) / 120
+        p0, s0 = Q8.zeros_like_quantized(x)
+        assert p0.shape == p.shape and s0.shape == s.shape
+        assert float(jnp.abs(Q8.dequantize_blockwise(p0, s0, n)).max()
+                     ) == 0.0
+    # root domains: values 1e6x below the block max keep resolution
+    # (linear int8 would zero-collapse anything < absmax/127)
+    v = jnp.asarray([1e-8, 1e-6, 1e-4, 1e-2] * 512, jnp.float32)
+    pq, ps = Q8.quantize_blockwise(v, power=4)
+    back = Q8.dequantize_blockwise(pq, ps, v.size, power=4)
+    ratio = np.asarray(back[:4]) / np.asarray(v[:4])
+    assert (ratio > 0.85).all() and (ratio < 1.18).all(), ratio
+    m = jnp.asarray([-1e-6, 1e-4, -1e-2, 1e-2] * 512, jnp.float32)
+    pq, ps = Q8.quantize_blockwise(m, power=3)
+    back = Q8.dequantize_blockwise(pq, ps, m.size, power=3)
+    np.testing.assert_allclose(np.asarray(back[:4]), np.asarray(m[:4]),
+                               rtol=0.1)
+
+
+def test_optimizer_in_backward_int8_moments():
+    """adamw8bit-in-backward (optimizer_moments_int8): tracks the fp32
+    optax trajectory within quantization noise, identically for
+    stacked-scan and unstacked-loop layers (llama.unstack_layers)."""
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, rope_theta=10000.0)
+
+    def compute_loss(p, mcfg, batch, tc):
+        logits, _ = llama.forward(
+            p, mcfg, input_ids=batch["input_ids"],
+            positions=batch["positions"],
+            segment_ids=batch["segment_ids"], attn_impl="xla")
+        lab = batch["labels"][:, 1:]
+        lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), -1)
+        return -jnp.take_along_axis(lp, lab[..., None], -1).mean()
+
+    rng = np.random.RandomState(0)
+    batch = {"input_ids": jnp.asarray(rng.randint(2, 60, (2, 16))),
+             "labels": jnp.asarray(rng.randint(2, 60, (2, 16))),
+             "positions": jnp.broadcast_to(jnp.arange(16), (2, 16)),
+             "segment_ids": jnp.ones((2, 16), jnp.int32)}
+
+    losses = {}
+    for mode in ("fp32", "int8", "int8_unstacked"):
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        if mode == "int8_unstacked":
+            params = llama.unstack_layers(params)
+        tcfg = T.TrainConfig(
+            learning_rate=5e-3, lr_schedule="cosine",
+            warmup_ratio=0.25, max_steps=8, grad_clip=0.0,
+            weight_decay=0.01, compute_dtype="float32",
+            use_remat=False,
+            optimizer_in_backward=(mode != "fp32"),
+            optimizer_moments_int8=mode.startswith("int8"))
+        trainable, frozen = T.partition_params(params, lambda p: True)
+        opt, _ = T.make_optimizer(tcfg)
+        step = T.make_train_step(None, cfg, tcfg, opt, frozen,
+                                 compute_loss=compute_loss)
+        state = T.create_train_state(
+            trainable, opt, moments_int8=tcfg.optimizer_moments_int8)
+        ls = []
+        for _ in range(6):
+            state, m = step(state, batch)
+            ls.append(float(m["loss"]))
+        losses[mode] = ls
+
+    np.testing.assert_allclose(losses["fp32"], losses["int8"],
+                               rtol=2e-2)
+    np.testing.assert_allclose(losses["int8"],
+                               losses["int8_unstacked"], rtol=1e-4)
+    assert losses["int8"][-1] < losses["int8"][0]
+
+
+def test_unstack_layers_forward_equivalence():
+    """The unrolled python-loop layer path (list-typed params['layers'])
+    equals the lax.scan path bit-for-bit at f32."""
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4,
+        num_key_value_heads=2, rope_theta=10000.0)
+    p = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(2, 60, (2, 16)))
+    pos = jnp.broadcast_to(jnp.arange(16), (2, 16))
+    seg = jnp.ones((2, 16), jnp.int32)
+    a, _ = llama.forward(p, cfg, input_ids=ids, positions=pos,
+                         segment_ids=seg, attn_impl="xla")
+    pu = llama.unstack_layers(p)
+    b, _ = llama.forward(pu, cfg, input_ids=ids, positions=pos,
+                         segment_ids=seg, attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-6)
+    ps = llama.stack_layers(pu)
+    jax.tree.map(lambda x, y: np.testing.assert_array_equal(
+        np.asarray(x), np.asarray(y)), p, ps)

@@ -256,3 +256,71 @@ def test_registry_resolution():
     # un-injectable families fail loudly, not silently
     with pytest.raises(ImportError):
         OtterImage()
+
+
+def test_otterhd_executed_end_to_end(tmp_path):
+    """EXECUTED (not injected) otterhd drive: a tiny random-weight
+    FuyuForCausalLM + real FuyuProcessor round-trip through
+    save_pretrained/from_pretrained, then the adapter's real
+    processor -> generate -> \\x04-split path.  OtterHD-8B is a plain
+    Fuyu checkpoint (reference model_utils/otter/otterhd.py:36), so
+    stock-transformers execution covers the whole wrapper; only the
+    checkpoint weights differ from production use."""
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from transformers import (FuyuConfig, FuyuForCausalLM,
+                              FuyuImageProcessor, FuyuProcessor,
+                              PreTrainedTokenizerFast)
+
+    words = ["User", "Assistant", ":", "what", "is", "this", "a",
+             "cat", "dog", "SPEAKER", "NEWLINE", "|", "What", "differs",
+             "between", "the", "images", "?"]
+    vocab = {w: i for i, w in enumerate(
+        ["<unk>", "<s>", "</s>", "<0x04>", "|SPEAKER|", "|NEWLINE|",
+         "|ENDOFTEXT|"] + words)}
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok, unk_token="<unk>", bos_token="<s>",
+        eos_token="</s>", pad_token="</s>")
+    # the processor derives the image-placeholder id as token [1] of
+    # encode("|SPEAKER|") (processing_fuyu.py); mirror it in the config
+    spk = fast.encode("|SPEAKER|", add_special_tokens=False)[1]
+    cfg = FuyuConfig(
+        vocab_size=len(vocab), hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, patch_size=16,
+        image_token_id=spk,
+        text_config=dict(
+            model_type="persimmon", vocab_size=len(vocab),
+            hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, max_position_embeddings=512))
+    torch.manual_seed(0)
+    model = FuyuForCausalLM(cfg).eval()
+    proc = FuyuProcessor(
+        image_processor=FuyuImageProcessor(
+            size={"height": 64, "width": 64},
+            patch_size={"height": 16, "width": 16}),
+        tokenizer=fast)
+    ckpt = tmp_path / "tiny-fuyu"
+    model.save_pretrained(ckpt)
+    proc.save_pretrained(ckpt)
+
+    adapter = OtterHD(model_path=str(ckpt), max_new_tokens=4)
+    out = adapter(MESSAGES)          # real processor + real generate
+    assert isinstance(out, str)
+
+    # and through the eval driver, scored to JSONL
+    from mantis_tpu.benchmark import eval as eval_lib
+
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    img(seed=3).save(imgs / "i.png")
+    bench = [{"id": "q1", "question": "Is this <image> a cat ?",
+              "question_type": "multi-choice", "options": ["yes", "no"],
+              "answer": "A", "images": ["imgs/i.png"]}]
+    bpath = tmp_path / "bench.json"
+    bpath.write_text(json.dumps(bench))
+    _, results = eval_lib.main(
+        model_name="otterhd-tiny", dataset_path=str(bpath),
+        dataset_name="toy-otterhd-exec",
+        results_dir=str(tmp_path / "res"), model_instance=adapter)
+    assert len(results) == 1
