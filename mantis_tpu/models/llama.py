@@ -302,7 +302,8 @@ def _decode_attention(q, k_cache, v_cache, kv_seg, q_seg, length, scale,
 # ---------------------------------------------------------------------------
 
 def decoder_block(h, lp, *, cfg: LlamaConfig, cos, sin, segment_ids,
-                  scale, attn_impl=None, context_attention=None):
+                  scale, attn_impl=None, context_attention=None,
+                  mlp_chunk: Optional[int] = None):
     """One decoder layer on the training/prefill path (no KV cache).
 
     Shared by ``forward``'s layer scan and the pipeline-parallel stage
@@ -338,6 +339,29 @@ def decoder_block(h, lp, *, cfg: LlamaConfig, cos, sin, segment_ids,
     h = residual + _mm(attn.reshape(b, s, hq * dh), lp["o_proj"])
     residual = h
     x = rms_norm(h, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+    if mlp_chunk and mlp_chunk > 1 and s % mlp_chunk == 0:
+        # sequence-CHUNKED MLP (exact: the MLP is position-independent).
+        # The checkpointed body makes the scan save only each chunk's
+        # input; a chunk's backward recomputes its gate/up locally, so
+        # the layer-backward working set shrinks from four full
+        # [b, s, intermediate] buffers (4 x 448 MB at flagship widths,
+        # b2 s8192) to chunk-width ones — the knob that fits the
+        # measured optimizer-in-backward full step on one 16 GB chip.
+        # Cost: gate/up/down weights re-stream per chunk (~1 ms/layer/
+        # chunk at 819 GB/s), ~1% of a flagship step.
+        @functools.partial(
+            jax.checkpoint,
+            policy=jax.checkpoint_policies.nothing_saveable)
+        def _mlp(x2):
+            g2 = jax.nn.silu(_mm(x2, lp["gate_proj"])) * _mm(
+                x2, lp["up_proj"])
+            return _mm(g2, lp["down_proj"])
+
+        xs = jnp.swapaxes(
+            x.reshape(b, mlp_chunk, s // mlp_chunk, x.shape[-1]), 0, 1)
+        out = jax.lax.map(_mlp, xs)
+        return residual + jnp.swapaxes(out, 0, 1).reshape(
+            b, s, x.shape[-1])
     gated = jax.nn.silu(_mm(x, lp["gate_proj"])) * _mm(x, lp["up_proj"])
     return residual + _mm(gated, lp["down_proj"])
 
@@ -356,6 +380,8 @@ def forward(
     return_hidden: bool = False,
     context_attention=None,
     cache_attention: Optional[bool] = None,
+    layer_update_hook=None,
+    mlp_chunk: Optional[int] = None,
 ):
     """Run the decoder.
 
@@ -430,7 +456,8 @@ def forward(
                 h, scanned, cfg=cfg, cos=cos, sin=sin,
                 segment_ids=segment_ids, scale=scale,
                 attn_impl=attn_impl,
-                context_attention=context_attention)
+                context_attention=context_attention,
+                mlp_chunk=mlp_chunk)
             return h, None
         residual = h
         x = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)
@@ -510,7 +537,16 @@ def forward(
         # layer's grad as it arrives, which is what lets a full
         # fwd+bwd+adamw program fit one 16 GB chip at flagship depth.
         lays = list(params["layers"])
-        if use_remat == "pairs" and len(lays) % 2 == 0:
+        if layer_update_hook is not None:
+            # optimizer-in-backward at LAYER granularity: layer dicts
+            # hold (p, moments..., hyper) bundles; the hook wraps each
+            # layer in a custom_vjp that recomputes the forward, updates
+            # the layer's params inside its own backward, and gates the
+            # activation cotangent on the updated params (train/
+            # trainer.py make_layer_adamw8_hook).  Remat is implied.
+            for lp in lays:
+                h = layer_update_hook(layer_fn_raw, h, lp)
+        elif use_remat == "pairs" and len(lays) % 2 == 0:
             # checkpoint PAIRS of layers: halves the saved layer-input
             # activations (128 MB/layer at flagship b2 s8192) for ~1.5x
             # in-pair recompute — the knob that buys the last GB for

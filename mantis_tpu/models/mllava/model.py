@@ -191,6 +191,8 @@ def forward(
     vision_dp_axis: str = "context",
     loss_chunk_size: Optional[int] = None,
     cache_attention: Optional[bool] = None,
+    layer_update_hook=None,
+    mlp_chunk: Optional[int] = None,
 ) -> Tuple[Optional[jax.Array], Optional[jax.Array], Optional[KVCache]]:
     """Full forward.  Returns (logits, loss or None, new_cache or None).
 
@@ -227,7 +229,8 @@ def forward(
             inputs_embeds=embeds, positions=positions,
             segment_ids=segment_ids, kv_cache=kv_cache,
             attn_impl=attn_impl, use_remat=use_remat,
-            context_attention=context_attention, return_hidden=True)
+            context_attention=context_attention, return_hidden=True,
+            layer_update_hook=layer_update_hook, mlp_chunk=mlp_chunk)
         lm = params["language_model"]
         w = (lm["lm_head"] if "lm_head" in lm
              else lm["embed_tokens"].T)
@@ -250,7 +253,8 @@ def forward(
         inputs_embeds=embeds, positions=positions, segment_ids=segment_ids,
         kv_cache=kv_cache, attn_impl=attn_impl, use_remat=use_remat,
         context_attention=context_attention,
-        cache_attention=cache_attention)
+        cache_attention=cache_attention,
+        layer_update_hook=layer_update_hook, mlp_chunk=mlp_chunk)
 
     loss = None
     if labels is not None:

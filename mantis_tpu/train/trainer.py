@@ -120,6 +120,11 @@ class TrainConfig:
     # (models/llama.py unstack_layers) so per-layer grads free as they
     # are consumed.
     optimizer_moments_int8: bool = False
+    # sequence-chunk each decoder layer's MLP into N pieces (exact; see
+    # models/llama.py decoder_block).  Shrinks the per-layer backward
+    # working set ~N-fold for ~1%/step of extra weight re-streaming —
+    # used by the single-chip measured full-depth step.
+    mlp_chunk: Optional[int] = None
     lora: Optional[LoraConfig] = None
 
 
@@ -449,6 +454,105 @@ def make_adamw_in_backward8(b1: float, b2: float, eps: float, wd: float,
     return attach8
 
 
+def make_layer_adamw8_hook(b1: float, b2: float, eps: float, wd: float,
+                           compute_dtype, host_moments: bool = False):
+    """Per-LAYER optimizer-in-backward (adamw8bit): returns
+    ``hook(layer_fn_raw, h, bundle) -> h`` consumed by the decoder's
+    unrolled layer loop (models/llama.py, unstacked layers).
+
+    Each decoder layer's whole computation is wrapped in ONE custom_vjp
+    whose backward (a) recomputes the layer forward (remat-"nothing"
+    semantics for free), (b) computes this layer's weight grads via
+    jax.vjp, (c) updates the layer's params + int8 moments immediately
+    with the fused Pallas kernel (ops/adam8bit.py), and (d) releases
+    the ACTIVATION cotangent only after the updates complete
+    (optimization_barrier-tied to the updated params).  (d) is the
+    memory guarantee the leaf-level token chain
+    (make_adamw_in_backward8) cannot give: the token serializes the
+    UPDATES but leaves XLA free to run every layer's weight-grad
+    matmuls ahead of them — measured ~20 co-resident 112 MB grad
+    buffers at flagship depth 8 (+2.2 GB, OOM).  Gating the activation
+    cotangent means the backward of layer i-1 literally cannot start
+    until layer i's grads are consumed and freed, so at most ONE
+    layer's weight grads are ever live.  The serialization costs only
+    the update kernel's HBM time (~35 ms total at 2.8 B params) on a
+    multi-second MXU-bound backward.
+
+    ``bundle`` is a layer param dict whose values are 8-tuples
+    (p, mq, ms, vq, vs, lr, bc1, bc2) — hyperparams ride in each tuple
+    because custom_vjp cannot close over tracers it must not
+    differentiate.  The cotangent of each tuple carries the updated
+    (p', mq', ms', vq', vs') out of the backward, exactly like
+    make_adamw_in_backward8.
+    """
+    from mantis_tpu.ops import adam8bit as Q8
+
+    def hook(layer_fn_raw, h, bundle):
+        def run(hh, pdict):
+            pc = {k: (v.astype(compute_dtype)
+                      if jnp.issubdtype(v.dtype, jnp.floating) else v)
+                  for k, v in pdict.items()}
+            return layer_fn_raw(hh, pc)[0]
+
+        @jax.custom_vjp
+        def step(hh, bundle):
+            return run(hh, {k: t[0] for k, t in bundle.items()})
+
+        def fwd(hh, bundle):
+            out = run(hh, {k: t[0] for k, t in bundle.items()})
+            # residuals: ONLY the layer input + params — every
+            # intermediate frees after the forward (remat "nothing")
+            return out, (hh, bundle)
+
+        def bwd(res, g):
+            hh, bundle = res
+            # gate the RECOMPUTE on the incoming cotangent: the
+            # re-forward only depends on (hh, params), so without this
+            # tie XLA starts every layer's recompute concurrently and
+            # all 8 layers' forward intermediates co-reside while the
+            # cotangent chain drains (measured 8 co-resident 256 MB
+            # flash temps, +3 GB).  g for layer i exists only after
+            # layer i+1's backward fully completed, so tying hh to g
+            # serializes recompute_i -> grads_i -> update_i ->
+            # release_g_{i-1}: peak = ONE layer's working set.
+            hh, g = jax.lax.optimization_barrier((hh, g))
+            pdict = {k: t[0] for k, t in bundle.items()}
+            _, vjp = jax.vjp(run, hh, pdict)
+            g_h, g_p = vjp(g)
+            any_t = next(iter(bundle.values()))
+            lr, bc1, bc2 = any_t[5], any_t[6], any_t[7]
+            new_bundle = {}
+            anchors = []
+            for k, t in bundle.items():
+                p, mq, ms, vq, vs = t[:5]
+                if host_moments:
+                    from mantis_tpu.parallel import offload as O
+
+                    mq, ms, vq, vs = O.to_device((mq, ms, vq, vs))
+                p1, mq1, ms1, vq1, vs1 = Q8.fused_adamw_update(
+                    p, g_p[k], mq, ms, vq, vs, lr, bc1, bc2,
+                    b1=b1, b2=b2, eps=eps, wd=wd, power_m=3, power_v=4)
+                anchors.append(p1)
+                if host_moments:
+                    from mantis_tpu.parallel import offload as O
+
+                    mq1, ms1, vq1, vs1 = O.to_host(
+                        (mq1, ms1, vq1, vs1))
+                new_bundle[k] = (p1, mq1, ms1, vq1, vs1,
+                                 jnp.zeros_like(lr),
+                                 jnp.zeros_like(bc1),
+                                 jnp.zeros_like(bc2))
+            # hold the activation cotangent hostage until every update
+            # in this layer has consumed its grad
+            tied = jax.lax.optimization_barrier(tuple([g_h] + anchors))
+            return tied[0], new_bundle
+
+        step.defvjp(fwd, bwd)
+        return step(h, bundle)
+
+    return hook
+
+
 # ---------------------------------------------------------------------------
 # Train step
 # ---------------------------------------------------------------------------
@@ -487,7 +591,7 @@ def make_train_step(
             lambda x: x.astype(compute_dtype)
             if jnp.issubdtype(x.dtype, jnp.floating) else x, p)
 
-    def loss_from_params(params, batch):
+    def loss_from_params(params, batch, layer_update_hook=None):
         if compute_loss is not None:
             kw = {}
             if context_attention is not None:
@@ -507,6 +611,10 @@ def make_train_step(
             kwargs.update(vision_dp_mesh=vision_dp_mesh)
         if train_cfg.loss_chunk_size:
             kwargs.update(loss_chunk_size=train_cfg.loss_chunk_size)
+        if train_cfg.mlp_chunk:
+            kwargs.update(mlp_chunk=train_cfg.mlp_chunk)
+        if layer_update_hook is not None:
+            kwargs.update(layer_update_hook=layer_update_hook)
         _, loss, _ = model_forward(
             params, model_cfg,
             input_ids=batch["input_ids"],
@@ -563,6 +671,10 @@ def make_train_step(
         train_cfg.adam_b1, train_cfg.adam_b2, train_cfg.adam_eps,
         train_cfg.weight_decay, host_moments=moments_int8_host)
         if moments_int8 else None)
+    layer_hook = (make_layer_adamw8_hook(
+        train_cfg.adam_b1, train_cfg.adam_b2, train_cfg.adam_eps,
+        train_cfg.weight_decay, compute_dtype,
+        host_moments=moments_int8_host) if moments_int8 else None)
     is_triple = lambda x: isinstance(x, tuple)  # noqa: E731
 
     def train_step_in_backward(state: TrainState, batch: Dict, frozen
@@ -585,6 +697,8 @@ def make_train_step(
         bc1 = 1.0 - train_cfg.adam_b1 ** count_inc.astype(jnp.float32)
         bc2 = 1.0 - train_cfg.adam_b2 ** count_inc.astype(jnp.float32)
         if moments_int8:
+            import re as _re
+
             # flat-list plumbing: mu/nu leaves are (packed, scale)
             # pairs, so tree.map over (params, mu, nu) cannot zip them
             with_path = jax.tree_util.tree_flatten_with_path(
@@ -596,15 +710,31 @@ def make_train_step(
                 st.nu, is_leaf=is_triple)[0]
             args = [(p, m[0], m[1], v[0], v[1]) for p, m, v
                     in zip(leaves_p, leaves_m, leaves_v)]
-            order = _token_thread_order(
-                [jax.tree_util.keystr(kp) for kp, _ in with_path])
+            paths = [jax.tree_util.keystr(kp) for kp, _ in with_path]
+            # UNSTACKED decoder layers (list-typed params['layers'],
+            # models/llama.py unstack_layers) take the per-LAYER
+            # update-in-backward path: the whole layer wraps in one
+            # custom_vjp whose backward updates the layer's params the
+            # moment its grads exist and gates the activation cotangent
+            # on the updated params — at most ONE layer's weight grads
+            # are ever live (make_layer_adamw8_hook).  Everything else
+            # (embeds, lm_head, norm, projector) keeps the leaf-level
+            # token chain.
+            layer_pat = _re.compile(r"\['layers'\]\[\d+\]")
+            layer_idx = ({i for i, pp in enumerate(paths)
+                          if layer_pat.search(pp)}
+                         if compute_loss is None and layer_hook
+                         else set())
+            order = [i for i in _token_thread_order(paths)
+                     if i not in layer_idx]
+            is_tup = lambda x: isinstance(x, tuple)  # noqa: E731
 
             def loss8(args, batch, frozen):
-                # thread one scheduling token through the leaves in
-                # REVERSE grad-arrival order: each attach8 backward
-                # waits on its token cotangent, so updates run in
-                # arrival order (lm_head/norm, layers deep->shallow,
-                # embed, projector) and each grad frees as soon as its
+                # thread one scheduling token through the non-layer
+                # leaves in REVERSE grad-arrival order: each attach8
+                # backward waits on its token cotangent, so updates run
+                # in arrival order (lm_head/norm first, embed,
+                # projector last) and each grad frees as soon as its
                 # update consumes it.  Threading in tree-flatten order
                 # instead stalls the whole chain on the projector
                 # (last flattened, last grad to arrive) and keeps the
@@ -615,9 +745,30 @@ def make_train_step(
                     p, mq, ms, vq, vs = args[i]
                     tr[i], tok = attach8(p, mq, ms, vq, vs,
                                          lr, bc1, bc2, tok)
+                for i in layer_idx:
+                    # layer leaves stay BUNDLED (p, moments, hyper);
+                    # the layer hook consumes them inside the decoder
+                    # loop and their updated values come back as the
+                    # bundle's cotangent
+                    tr[i] = args[i] + (lr, bc1, bc2)
                 trainable = jax.tree_util.tree_unflatten(tdef_p, tr)
-                params = cast(combine_params(trainable, frozen))
-                return loss_from_params(params, batch)
+                # bundle tuples are opaque: combine/cast must not
+                # descend into them (cast would corrupt the bitcast-
+                # packed int8 containers)
+                params = jax.tree.map(
+                    lambda a, b: b if a is None else a,
+                    trainable, frozen,
+                    is_leaf=lambda x: x is None or is_tup(x))
+                params = jax.tree.map(
+                    lambda x: x if is_tup(x) else (
+                        x.astype(compute_dtype)
+                        if jnp.issubdtype(x.dtype, jnp.floating)
+                        else x),
+                    params, is_leaf=is_tup)
+                return loss_from_params(
+                    params, batch,
+                    layer_update_hook=layer_hook if layer_idx
+                    else None)
 
             loss, g = jax.value_and_grad(loss8)(args, batch, frozen)
             new_params = jax.tree_util.tree_unflatten(

@@ -253,7 +253,7 @@ def run_adam_slabs():
 
 
 def run_full_step(depth, remat="nothing", n_calls=2, offload=False,
-                  in_backward=False, moments_int8=False):
+                  in_backward=False, moments_int8=False, mlp_chunk=None):
     """Directly-measured REAL train step (fwd+bwd+clip+adamw in ONE
     jitted program).  ``offload=True`` keeps the Adam moments in pinned
     host memory (parallel/offload.py — the zero3_offload equivalent),
@@ -285,7 +285,8 @@ def run_full_step(depth, remat="nothing", n_calls=2, offload=False,
                          # same-step global clip (trainer refuses it)
                          grad_clip=0.0 if in_backward else 1.0,
                          optimizer_in_backward=in_backward,
-                         optimizer_moments_int8=moments_int8)
+                         optimizer_moments_int8=moments_int8,
+                         mlp_chunk=mlp_chunk)
     trainable, frozen = T.partition_params(
         params, lambda p: T.default_trainable_pred(p, freeze_vision=True))
     opt, _ = T.make_optimizer(tcfg)
@@ -316,6 +317,7 @@ def main():
                     default=["fb8", "adam", "full4"])
     ap.add_argument("--remat", default="nothing")
     ap.add_argument("--chunk", type=int, default=1024)
+    ap.add_argument("--mlp_chunk", type=int, default=None)
     ap.add_argument("--b", type=int, default=2)
     args = ap.parse_args()
     global CHUNK, B
@@ -358,7 +360,8 @@ def main():
         # 1 byte/param) over unstacked layers — fwd+bwd+update in ONE
         # program, no host transfers, no grad tree
         results["full8_int8"] = run_full_step(
-            8, args.remat, in_backward=True, moments_int8=True)
+            8, args.remat, in_backward=True, moments_int8=True,
+            mlp_chunk=args.mlp_chunk)
     if "full16_int8" in args.sections:
         results["full16_int8"] = run_full_step(
             16, args.remat, in_backward=True, moments_int8=True)

@@ -50,14 +50,17 @@ def test_fused_kernel_matches_xla_composition(n):
     # quantized-integer level with a <=1-code tolerance rather than
     # bitwise (on real TPU the payloads come out bit-identical)
     def codes(packed, scale):
-        q = Q8._unpack_int8_blocks(packed, Q8.BLOCK)
-        return np.asarray(q), np.asarray(scale)
+        if packed.dtype != jnp.float32:
+            packed = jax.lax.bitcast_convert_type(packed, jnp.float32)
+        c = np.asarray(jax.lax.bitcast_convert_type(packed,
+                                                    jnp.uint32))
+        q = np.stack([((c >> (8 * k)) & 0xFF).astype(np.int32)
+                      for k in range(4)], axis=-1)
+        return q - 256 * (q > 127), np.asarray(scale)
 
     for (pk, sc), (pkr, scr) in (((mq1, ms1), (mq1r, ms1r)),
                                  ((vq1, vs1), (vq1r, vs1r))):
-        qa, sa = codes(jax.lax.bitcast_convert_type(
-            pk.reshape(-1), jnp.float32) if pk.dtype != jnp.float32
-            else pk, sc)
+        qa, sa = codes(pk, sc)
         qb, sb = codes(pkr, scr)
         np.testing.assert_allclose(sa, sb, rtol=1e-6)
         assert np.abs(qa - qb).max() <= 1
