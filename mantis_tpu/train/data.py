@@ -901,7 +901,8 @@ class Collator:
                  seq_buckets: Sequence[int] = (512, 1024, 2048, 4096, 8192),
                  image_buckets: Sequence[int] = (0, 1, 2, 4, 8, 16, 32),
                  image_size: int = 336, pad_to_max: bool = False,
-                 context_parallel_size: int = 1):
+                 context_parallel_size: int = 1,
+                 pad_image_tokens: bool = True):
         self.pad_token_id = pad_token_id
         self.image_token_id = image_token_id
         self.num_image_tokens = num_image_tokens
@@ -910,6 +911,16 @@ class Collator:
         self.image_size = image_size
         self.pad_to_max = pad_to_max
         self.cp = context_parallel_size
+        # pad_image_tokens=False: pad images are appended to
+        # pixel_values (static shapes for the vision tower) but get NO
+        # placeholder tokens in the sequence.  Correct for
+        # feature-GATHER models (mllava merge_image_features: the i-th
+        # image token takes flat feature row i, so unreferenced
+        # trailing pad features are never read) — and required when
+        # packed rows leave no sequence headroom for placeholder
+        # blocks.  Keep True for archs that consume ALL image features
+        # positionally (x-attn kv, strict masked-scatter merges).
+        self.pad_image_tokens = pad_image_tokens
         if self.cp > 1:
             for b in self.seq_buckets:
                 assert b % (2 * self.cp) == 0, (
@@ -929,7 +940,8 @@ class Collator:
         pad_imgs = max(img_bucket - n_imgs, 0)
 
         # pad images become extra image tokens appended to the LAST row
-        extra_tokens = pad_imgs * self.num_image_tokens
+        extra_tokens = (pad_imgs * self.num_image_tokens
+                        if self.pad_image_tokens else 0)
         max_len = max(
             len(e["input_ids"]) + (extra_tokens if i == b - 1 else 0)
             for i, e in enumerate(examples))
@@ -973,7 +985,7 @@ class Collator:
             pos = e.get("positions")
             positions[i, :n] = pos[:n] if pos is not None \
                 else np.arange(n)
-            if i == b - 1 and pad_imgs > 0:
+            if i == b - 1 and pad_imgs > 0 and self.pad_image_tokens:
                 m = min(extra_tokens, tgt - n)
                 if m < extra_tokens:
                     raise ValueError(

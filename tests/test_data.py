@@ -278,6 +278,29 @@ def test_collator_buckets_and_pad_images(chat_fixture):
     assert (batch["labels"][pad_tok_mask] == D.IGNORE_INDEX).all()
 
 
+def test_collator_pad_image_tokens_off(chat_fixture):
+    """pad_image_tokens=False (feature-GATHER models / packed rows with
+    no headroom): pad images still ride in pixel_values for static
+    vision shapes, but NO placeholder tokens are appended — the i-th
+    image token gathers flat feature row i, so trailing pad features
+    are simply never read (models/mllava/model.merge_image_features)."""
+    proc = make_processor()
+    conv = conv_templates["mllava_v1"].copy()
+    ds = D.ChatDataset(chat_fixture, proc, conv, max_seq_len=128)
+    coll = D.Collator(
+        pad_token_id=0, image_token_id=proc.image_token_index,
+        num_image_tokens=4, seq_buckets=(64, 128), image_buckets=(0, 4),
+        image_size=28, pad_image_tokens=False)
+    batch = coll([ds[0], ds[1]])
+    img_id = proc.image_token_index
+    assert batch["pixel_values"].shape[0] == 4      # padded for shapes
+    n_img_tok = int((batch["input_ids"] == img_id).sum())
+    assert n_img_tok == 3 * 4                       # only REAL images
+    # every image token is in a live segment (no inert pad blocks)
+    assert (batch["segment_ids"][batch["input_ids"] == img_id] != 0
+            ).all()
+
+
 def test_dataset_collection_sqrt_balancing():
     class Fake:
         def __init__(self, n):
