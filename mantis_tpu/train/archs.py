@@ -145,6 +145,8 @@ def _mllava_debug_config(tokenizer):
 def _mllava_loss(params, cfg, batch, tcfg, **kw):
     from mantis_tpu.models.mllava import model as M
 
+    if tcfg.loss_chunk_size:
+        kw.setdefault("loss_chunk_size", tcfg.loss_chunk_size)
     _, loss, _ = M.forward(
         params, cfg, input_ids=batch["input_ids"],
         pixel_values=batch.get("pixel_values"),
@@ -153,6 +155,12 @@ def _mllava_loss(params, cfg, batch, tcfg, **kw):
         use_remat=tcfg.use_remat,
         image_feature_idx=batch.get("image_feature_idx"), **kw)
     return loss
+
+
+# mllava.forward accepts layer_update_hook/mlp_chunk and **kw forwards
+# them: the per-layer optimizer-in-backward path (trainer.py
+# make_layer_adamw8_hook) is reachable from the multi-arch CLI
+_mllava_loss.supports_layer_hook = True
 
 
 def _mllava_processor(tokenizer, cfg):

@@ -106,6 +106,36 @@ def parse_args(argv=None, default_arch=None):
                         "streamed over PCIe at the update (the "
                         "reference's zero3_offload.json; frees "
                         "8 bytes/param of HBM)")
+    p.add_argument("--optimizer_in_backward", action="store_true",
+                   help="apply the AdamW update inside the backward "
+                        "pass as each gradient is produced (no grad "
+                        "tree is ever materialized; requires "
+                        "--grad_clip 0, no grad accumulation, no LoRA)")
+    p.add_argument("--adamw8bit", action="store_true",
+                   help="blockwise-int8 Adam moments (1 byte/param, "
+                        "the bitsandbytes-AdamW8bit equivalent, "
+                        "ops/adam8bit.py); implies "
+                        "--optimizer_in_backward.  With "
+                        "--unstacked_layers this is the configuration "
+                        "that fits a full fwd+bwd+update program at "
+                        "flagship depth on one 16 GB chip "
+                        "(docs/PERF.md, MFU 0.46 measured)")
+    p.add_argument("--unstacked_layers", action="store_true",
+                   help="run decoder layers as an unrolled loop over "
+                        "per-layer param trees so each layer's grad "
+                        "frees as its in-backward update consumes it "
+                        "(models/llama.py unstack_layers).  Single-"
+                        "chip / pure-data-parallel only: the FSDP/TP "
+                        "sharding rules address the stacked layout")
+    p.add_argument("--mlp_chunk", type=int, default=0,
+                   help="sequence-chunk each decoder layer's MLP into "
+                        "N exact pieces (shrinks the per-layer "
+                        "backward working set ~N-fold; "
+                        "models/llama.py decoder_block)")
+    p.add_argument("--loss_chunk_size", type=int, default=0,
+                   help="chunked cross-entropy (liger equivalent, "
+                        "ops/chunked_ce.py): never materializes the "
+                        "full [B,S,V] logits")
     # mesh
     p.add_argument("--mesh_data", type=int, default=-1)
     p.add_argument("--mesh_fsdp", type=int, default=1)
@@ -348,6 +378,7 @@ def main(argv=None, default_arch=None):
         lora_cfg = LoraConfig(r=args.lora_r, alpha=args.lora_alpha,
                               use_dora=args.use_dora,
                               exclude_prefixes=spec.lora_exclude)
+    in_backward = args.optimizer_in_backward or args.adamw8bit
     tcfg = trainer_lib.TrainConfig(
         learning_rate=args.learning_rate, lr_schedule=args.lr_schedule,
         warmup_ratio=args.warmup_ratio, max_steps=max_steps,
@@ -356,7 +387,26 @@ def main(argv=None, default_arch=None):
         compute_dtype=args.compute_dtype,
         use_remat=False if args.no_remat else args.remat_policy,
         optimizer_offload=args.optimizer_offload,
+        optimizer_in_backward=in_backward,
+        optimizer_moments_int8=args.adamw8bit,
+        mlp_chunk=args.mlp_chunk or None,
+        loss_chunk_size=args.loss_chunk_size or None,
         lora=lora_cfg)
+    if args.unstacked_layers:
+        if args.mesh_fsdp > 1 or args.mesh_tensor > 1:
+            raise SystemExit(
+                "--unstacked_layers: the FSDP/TP sharding rules "
+                "address the stacked layer layout; use it on single-"
+                "chip or pure data-parallel meshes")
+        if not isinstance(params.get("language_model"), dict) or \
+                "layers" not in params.get("language_model", {}):
+            raise SystemExit(
+                "--unstacked_layers: this arch has no "
+                "language_model.layers subtree to unstack")
+        from mantis_tpu.models import llama as _llama
+
+        params = dict(params, language_model=_llama.unstack_layers(
+            params["language_model"]))
 
     compute_loss = spec.compute_loss
     if args.problem_type != "generation":
@@ -412,7 +462,7 @@ def main(argv=None, default_arch=None):
 
     state = trainer_lib.create_train_state(
         trainable, opt, optimizer_offload=args.optimizer_offload,
-        mesh=mesh)
+        mesh=mesh, moments_int8=args.adamw8bit)
     mgr = CheckpointManager(args.output_dir, args.save_total_limit)
     if args.resume:
         restored, start_step = mgr.restore_latest(state)

@@ -599,6 +599,13 @@ def make_train_step(
                           labels_preshifted=labels_preshifted)
             if vision_dp_mesh is not None:
                 kw.update(vision_dp_mesh=vision_dp_mesh)
+            if layer_update_hook is not None:
+                # only adapters that forward **kw into a hook-aware
+                # model forward opt in (archs.py supports_layer_hook)
+                kw.update(layer_update_hook=layer_update_hook)
+            if train_cfg.mlp_chunk and getattr(
+                    compute_loss, "supports_layer_hook", False):
+                kw.update(mlp_chunk=train_cfg.mlp_chunk)
             return compute_loss(params, model_cfg, batch, train_cfg,
                                 **kw)
         kwargs = {}
@@ -721,10 +728,11 @@ def make_train_step(
             # (embeds, lm_head, norm, projector) keeps the leaf-level
             # token chain.
             layer_pat = _re.compile(r"\['layers'\]\[\d+\]")
+            hookable = (compute_loss is None or getattr(
+                compute_loss, "supports_layer_hook", False))
             layer_idx = ({i for i, pp in enumerate(paths)
                           if layer_pat.search(pp)}
-                         if compute_loss is None and layer_hook
-                         else set())
+                         if hookable and layer_hook else set())
             order = [i for i in _token_thread_order(paths)
                      if i not in layer_idx]
             is_tup = lambda x: isinstance(x, tuple)  # noqa: E731

@@ -337,3 +337,34 @@ def test_xattn_pretrain_trains_the_cross_attn_branch(tmp_path):
     assert all(l == l and abs(l) < 1e9 for l in losses), losses
     assert losses[-1] != losses[0], (
         "cross-attn pretrain changed nothing", losses)
+
+
+def test_adamw8bit_in_backward_cli_smoke(tmp_path):
+    """--adamw8bit --unstacked_layers --mlp_chunk through the generic
+    CLI (the single-chip measured-MFU training mode, docs/PERF.md):
+    per-layer custom_vjp in-backward updates + int8 moments + chunked
+    MLP + chunked CE, loss decreases on example data."""
+    out = str(tmp_path / "mllava_8bit")
+    metrics = _run("mllava", out,
+                   extra=("--adamw8bit", "--unstacked_layers",
+                          "--grad_clip", "0", "--mlp_chunk", "2",
+                          "--loss_chunk_size", "256",
+                          "--mesh_data", "1"))
+    losses = [m["loss"] for m in metrics]
+    assert len(losses) == 8
+    assert losses[-1] < losses[0], losses
+
+
+def test_adamw8bit_guards(tmp_path):
+    """Loud refusals: unstacked layers reject sharded meshes, and
+    in-backward rejects same-step grad clipping."""
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="unstacked_layers"):
+        _run("mllava", str(tmp_path / "x"),
+             extra=("--adamw8bit", "--unstacked_layers",
+                    "--grad_clip", "0", "--mesh_data", "1",
+                    "--mesh_fsdp", "2"))
+    with _pytest.raises(ValueError, match="grad_clip"):
+        _run("mllava", str(tmp_path / "y"),
+             extra=("--adamw8bit", "--mesh_data", "1"))
