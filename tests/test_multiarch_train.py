@@ -368,3 +368,18 @@ def test_adamw8bit_guards(tmp_path):
     with _pytest.raises(ValueError, match="grad_clip"):
         _run("mllava", str(tmp_path / "y"),
              extra=("--adamw8bit", "--mesh_data", "1"))
+
+
+def test_adamw8bit_data_parallel_smoke(tmp_path):
+    """adamw8bit-in-backward under a 2-way DATA mesh: grads arrive
+    psum-reduced and replicated, the fused update kernel runs
+    identically on every device, and the unstacked per-layer hook
+    composes with pjit batch sharding (the mode's documented
+    multi-device envelope: pure data parallel)."""
+    out = str(tmp_path / "mllava_8bit_dp")
+    metrics = _run("mllava", out,
+                   extra=("--adamw8bit", "--unstacked_layers",
+                          "--grad_clip", "0", "--mlp_chunk", "2",
+                          "--mesh_data", "2"))
+    losses = [m["loss"] for m in metrics]
+    assert losses[-1] < losses[0], losses
