@@ -565,3 +565,32 @@ def test_load_data_from_config_all_formats(chat_fixture, tmp_path):
 
     with _pt.raises(KeyError):
         D.load_data_from_config(str(bad_path), proc, conv, {})
+
+
+def test_config_matrix_schema():
+    """Every YAML in configs/ parses and uses only loader-known keys
+    and formats (mirrors the reference's 26-file data_configs matrix;
+    ref train/data_configs/)."""
+    import glob
+
+    import yaml
+
+    known_entry_keys = {
+        "name", "path", "format", "split", "use_split", "max_size",
+        "sample_ratio", "shuffle", "image_dir", "max_num_images",
+        "num_frames", "fps", "max_num_frames", "video_dir",
+        "use_video_encoder", "num_video_tokens",
+        "use_label_special_tokens", "offline_sha", "type", "revision",
+    }
+    files = glob.glob("configs/*.yaml")
+    assert len(files) >= 26, files
+    for f in files:
+        cfg = yaml.safe_load(open(f))
+        entries = cfg.get("data", [])
+        assert entries, f
+        for e in entries:
+            fmt = e.get("format", "chat")
+            assert fmt in D.FORMAT_CLASSES, (f, fmt)
+            unknown = set(e) - known_entry_keys
+            assert not unknown, (f, unknown)
+            assert "path" in e, (f, e)
