@@ -241,7 +241,13 @@ def bench_train_mfu():
     # FLOPs of the actual config (see scripts/bench_mfu_honest.py)
     t, v = cfg.text_config, cfg.vision_config
     d, li, V = t.hidden_size, t.intermediate_size, t.vocab_size
-    lm_layer = (2 * d * 4096 + 2 * d * 1024 + 6 * d * li) // 2
+    # canonical per-layer matmul params (218.1M at flagship widths) —
+    # pinned vs the real param tree in tests/test_trainer.py::
+    # test_mfu_flops_formula (a round-4 review found the earlier inline
+    # form halved the attention projections, under-reporting MFU ~8%)
+    from mantis_tpu.utils.profiling import llama_layer_matmul_params
+    lm_layer = llama_layer_matmul_params(
+        d, t.num_attention_heads, t.num_key_value_heads, li)
     n_tok, n_img = b * s, b * imgs_per_row
     lm = 6 * (depth * lm_layer + d * V) * n_tok
     vit_layer = 4 * v.hidden_size ** 2 + 2 * v.hidden_size * \

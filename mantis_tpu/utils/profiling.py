@@ -62,3 +62,21 @@ class StepTimer:
             "step_time_s": dt,
             "mfu": self.flops / dt / self.peak,
         }
+
+def llama_layer_matmul_params(hidden_size: int, num_attention_heads: int,
+                              num_key_value_heads: int,
+                              intermediate_size: int) -> int:
+    """Matmul parameters of ONE llama decoder layer — the per-layer
+    factor of the standard 6*params*tokens training-FLOPs estimate.
+
+    q+o projections (2*d*Hq·dh) + k+v (2*d*Hkv·dh) + the 3-matrix
+    SwiGLU MLP (gate/up/down = 3*d*ffn).  Pinned against the real
+    init_params tree in tests/test_trainer.py::test_mfu_flops_formula:
+    a round-4 review found bench.py's earlier inline form halved the
+    attention projections, under-reporting the measured MFU by ~8%.
+    """
+    d = hidden_size
+    dh = d // num_attention_heads
+    return (2 * d * (num_attention_heads * dh)
+            + 2 * d * (num_key_value_heads * dh)
+            + 3 * d * intermediate_size)

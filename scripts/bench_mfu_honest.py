@@ -111,10 +111,11 @@ def model_flops_per_step(cfg):
     v = cfg.vision_config
     d, li, V = t.hidden_size, t.intermediate_size, t.vocab_size
     dh = d // t.num_attention_heads
-    lm_layer_params = (
-        2 * d * (t.num_attention_heads * dh)
-        + 2 * d * (t.num_key_value_heads * dh)
-        + 6 * d * li) // 2
+    # canonical q+o + k+v + 3-matrix MLP accounting, pinned against the
+    # real param tree (tests/test_trainer.py::test_mfu_flops_formula)
+    from mantis_tpu.utils.profiling import llama_layer_matmul_params
+    lm_layer_params = llama_layer_matmul_params(
+        d, t.num_attention_heads, t.num_key_value_heads, li)
     n_tok = B * S
     # trainable LM: fwd+bwd = 6 FLOPs/param/token; head 6*d*V
     lm = 6 * (t.num_hidden_layers * lm_layer_params + d * V) * n_tok

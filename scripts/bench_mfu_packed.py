@@ -206,9 +206,11 @@ def main():
     t, v = cfg.text_config, cfg.vision_config
     d, li, V = t.hidden_size, t.intermediate_size, t.vocab_size
     dh = d // t.num_attention_heads
-    lm_layer = (2 * d * (t.num_attention_heads * dh)
-                + 2 * d * (t.num_key_value_heads * dh)
-                + 6 * d * li) // 2
+    # canonical per-layer accounting (pinned in tests/test_trainer.py::
+    # test_mfu_flops_formula; an earlier form halved the attn projs)
+    from mantis_tpu.utils.profiling import llama_layer_matmul_params
+    lm_layer = llama_layer_matmul_params(
+        d, t.num_attention_heads, t.num_key_value_heads, li)
     per_tok = 6 * (args.depth * lm_layer + d * V)
     vit_layer = 4 * v.hidden_size ** 2 + 2 * v.hidden_size * \
         v.intermediate_size

@@ -743,3 +743,25 @@ def test_unstack_layers_forward_equivalence():
     ps = llama.stack_layers(pu)
     jax.tree.map(lambda x, y: np.testing.assert_array_equal(
         np.asarray(x), np.asarray(y)), p, ps)
+
+
+def test_mfu_flops_formula():
+    """Pin the canonical per-layer matmul-param accounting (the factor
+    in bench.py's 6*params*tokens MFU estimate) against the REAL
+    init_params tree — a round-4 review found the earlier inline form
+    halved the attention projections, under-reporting MFU ~8%."""
+    import jax
+
+    from mantis_tpu.models import llama
+    from mantis_tpu.models.configs import LlamaConfig
+    from mantis_tpu.utils.profiling import llama_layer_matmul_params
+
+    for hq, hkv, d, li in ((32, 8, 4096, 14336), (4, 2, 64, 128)):
+        cfg = LlamaConfig(
+            vocab_size=512, hidden_size=d, intermediate_size=li,
+            num_hidden_layers=1, num_attention_heads=hq,
+            num_key_value_heads=hkv)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        true = sum(int(v[0].size) for v in params["layers"].values()
+                   if v.ndim == 3)
+        assert llama_layer_matmul_params(d, hq, hkv, li) == true
