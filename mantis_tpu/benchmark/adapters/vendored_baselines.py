@@ -128,12 +128,15 @@ class QwenVL:
         messages = expand_video_messages(
             messages, getattr(self, "video_num_frames", 8))
         images, text = _split(messages)
+        # one {'image': path} entry PER image, then the '\n'-joined
+        # text — the reference does NOT merge inside the wrapper
+        # (qwenVL_eval.py:48-67; the eval driver merges beforehand
+        # because support_multi_image=False)
         entries = []
-        if images:
-            merged = merge_images(images)
+        for im in images:
             f = tempfile.NamedTemporaryFile(suffix=".jpg", delete=False)
             f.close()
-            merged.save(f.name)
+            im.save(f.name)
             self._tmp_files.append(f.name)
             entries.append({"image": f.name})
         entries.append({"text": text})
@@ -229,14 +232,42 @@ class Emu2:
             clean_up_tokenization_spaces=False)[0].strip()
 
 
+# llava-package constants the VILA wrapper substitutes with
+# (external llava/constants.py; values are stable public API)
+_IMAGE_PLACEHOLDER = "<image-placeholder>"
+_DEFAULT_IMAGE_TOKEN = "<image>"
+_DEFAULT_IM_START_TOKEN = "<im_start>"
+_DEFAULT_IM_END_TOKEN = "<im_end>"
+
+
+def _vila_conv_mode(model_name: str) -> str:
+    # reference vila_eval.py:55-65
+    name = model_name.lower()
+    if "llama-2" in name:
+        return "llava_llama_2"
+    if "llama-3" in name:
+        return "llama_3"
+    if "v1" in name:
+        return "llava_v1"
+    if "mpt" in name:
+        return "mpt"
+    return "llava_v0"
+
+
 class VILA:
     """reference: mllm_tools/vila_eval.py — requires the external VILA
     fork of the ``llava`` package (the reference documents a dedicated
-    conda env, vila_eval.py:1-17).  Multi-image: one ``<image>`` token
-    per image in a llava conversation template, images stacked through
-    ``process_images``.  The llava-side machinery is injectable as
-    ``backend`` (an object with tokenize/process/generate hooks) so the
-    prompt protocol is testable without the fork."""
+    conda env, vila_eval.py:1-17).  The wrapper-side prompt protocol is
+    replicated byte-for-byte here (vila_eval.py:88-115): one
+    ``<image-placeholder> `` per image concatenated with the raw text,
+    re.sub'd to ``<image>`` (or ``<im_start><image><im_end>`` when the
+    checkpoint sets mm_use_im_start_end), auto-prepended when no tag is
+    present, then rendered through the conv template picked from the
+    model name (vila_eval.py:55-66) with an empty assistant turn.  The
+    llava-side model machinery is injectable as ``backend`` (an object
+    with ``generate(prompt, images) -> str`` and optionally
+    ``mm_use_im_start_end``); the final reply is stripped at the
+    template's stop string exactly like vila_eval.py:120-145."""
 
     support_multi_image = True
 
@@ -253,18 +284,51 @@ class VILA:
                 "there and inject it as backend= (an object with "
                 "generate(prompt, images) -> str).")
         self.backend = backend
+        self.model_name = model_path.rstrip("/").split("/")[-1]
+        self.conv_mode = _vila_conv_mode(self.model_name)
+
+    def build_prompt(self, messages: List[dict]):
+        """vila_eval.py:90-115 verbatim logic -> (prompt, stop_str)."""
+        import re
+
+        from mantis_tpu.models.conversation import (
+            SeparatorStyle, conv_templates)
+
+        images, text_prompt = [], ""
+        for m in messages:
+            if m["type"] == "image":
+                images.append(_as_pil(m["content"]))
+                text_prompt += f"{_IMAGE_PLACEHOLDER} "
+            else:
+                text_prompt += m["content"]
+        use_se = bool(getattr(self.backend, "mm_use_im_start_end",
+                              False))
+        image_token_se = (_DEFAULT_IM_START_TOKEN
+                          + _DEFAULT_IMAGE_TOKEN
+                          + _DEFAULT_IM_END_TOKEN)
+        if _IMAGE_PLACEHOLDER in text_prompt:
+            text_prompt = re.sub(
+                _IMAGE_PLACEHOLDER,
+                image_token_se if use_se else _DEFAULT_IMAGE_TOKEN,
+                text_prompt)
+        elif _DEFAULT_IMAGE_TOKEN not in text_prompt:
+            tag = image_token_se if use_se else _DEFAULT_IMAGE_TOKEN
+            text_prompt = (tag + "\n") * len(images) + text_prompt
+        conv = conv_templates[self.conv_mode].copy()
+        conv.append_message(conv.roles[0], text_prompt)
+        conv.append_message(conv.roles[1], None)
+        stop = (conv.sep if conv.sep_style != SeparatorStyle.TWO
+                else conv.sep2)
+        return conv.get_prompt(), images, stop
 
     def __call__(self, messages: List[dict]) -> str:
         messages = expand_video_messages(
             messages, getattr(self, "video_num_frames", 8))
-        images, prompt = [], ""
-        for m in messages:
-            if m["type"] == "image":
-                images.append(_as_pil(m["content"]))
-                prompt += "<image> "
-            else:
-                prompt += m["content"]
-        return self.backend.generate(prompt, images).strip()
+        prompt, images, stop_str = self.build_prompt(messages)
+        out = self.backend.generate(prompt, images).strip()
+        if stop_str and out.endswith(stop_str):
+            out = out[: -len(stop_str)]
+        return out.strip()
 
 
 def _otter_prompt(question: str) -> str:

@@ -87,10 +87,15 @@ def test_cogvlm_protocol():
 def test_qwenvl_protocol(tmp_path):
     class FakeQwenTok:
         def from_list_format(self, entries):
-            # single merged image spooled to a temp file, then text
-            assert entries[0].keys() == {"image"}
-            assert entries[0]["image"].endswith(".jpg")
-            assert entries[1] == {
+            # one {'image': path} entry PER image (the reference does
+            # not merge in-wrapper, qwenVL_eval.py:48-67), then the
+            # '\n'-joined text
+            assert [set(e) for e in entries] == [
+                {"image"}, {"image"}, {"text"}]
+            assert all(e["image"].endswith(".jpg")
+                       for e in entries[:2])
+            assert entries[0]["image"] != entries[1]["image"]
+            assert entries[2] == {
                 "text": "What differs between the images?"}
             return "Picture 1: <img>...</img>\nWhat differs?"
 
@@ -150,16 +155,69 @@ def test_emu2_protocol():
 
 
 def test_vila_protocol():
+    """Byte-exact golden of the reference's prompt construction
+    (vila_eval.py:90-115): placeholder-per-image + raw text, re.sub to
+    <image>, conv template by model name with empty assistant turn.
+    The llama_3 template's pirate system prompt is a genuine reference
+    quirk (reference models/conversation.py:476)."""
     class FakeBackend:
         def generate(self, prompt, images):
-            assert prompt == ("<image> <image> "
-                              "What differs between the images?")
+            assert prompt == (
+                "<|start_header_id|>system<|end_header_id|>\n\n"
+                "You are a pirate chatbot who always responds in "
+                "pirate speak!<|eot_id|>"
+                "<|start_header_id|>user<|end_header_id|>\n\n"
+                "<image> <image> What differs between the images?"
+                "<|eot_id|>"
+                "<|start_header_id|>assistant<|end_header_id|>\n\n")
             assert len(images) == 2
-            return " a boat "
+            return " a boat <|eot_id|>"
 
+    # default model path is Llama-3-VILA -> llama_3 conv mode; reply
+    # trimmed at the template stop string (vila_eval.py:120,141-143)
     assert VILA(backend=FakeBackend())(MESSAGES) == "a boat"
     with pytest.raises(ImportError):
         VILA()
+
+
+def test_vila_protocol_v1_im_start_end():
+    """The mm_use_im_start_end branch + llava_v1 conv-mode selection
+    (vila_eval.py:59,97-102): placeholders become
+    <im_start><image><im_end> and the v1 template renders."""
+    class FakeBackend:
+        mm_use_im_start_end = True
+
+        def generate(self, prompt, images):
+            assert prompt == (
+                "A chat between a curious human and an artificial "
+                "intelligence assistant. The assistant gives helpful, "
+                "detailed, and polite answers to the human's "
+                "questions. USER: <im_start><image><im_end> "
+                "<im_start><image><im_end> "
+                "What differs between the images? ASSISTANT:")
+            return " a boat </s>"
+
+    v = VILA(model_path="liuhaotian/llava-v1.5-7b",
+             backend=FakeBackend())
+    assert v.conv_mode == "llava_v1"
+    assert v(MESSAGES) == "a boat"
+
+
+def test_vila_no_image_tag_auto_prepend():
+    """vila_eval.py:103-110: when the message list carries no images
+    but also no <image> tag, nothing is prepended (len(images)==0);
+    a text containing a literal <image> tag is left untouched."""
+    captured = {}
+
+    class FakeBackend:
+        def generate(self, prompt, images):
+            captured["prompt"] = prompt
+            return "ok"
+
+    v = VILA(backend=FakeBackend())
+    v([{"type": "text", "content": "already has <image> tag"}])
+    assert "user<|end_header_id|>\n\nalready has <image> tag<|eot_id|>" \
+        in captured["prompt"]
 
 
 class FakeImageProcessor:
