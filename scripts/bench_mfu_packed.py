@@ -80,6 +80,88 @@ def make_dataset_json(n_conv: int, seed: int, img_dir: str) -> str:
     return path
 
 
+# Structural profiles of the 17 Mantis-Instruct subsets, used by
+# --mixture mantis_instruct.  This image has zero egress (the real
+# 721K mixture cannot be downloaded), so lengths are MODELED, not
+# sampled — but per subset, from its documented structure: images and
+# turns per conversation from each converter's output schema
+# (data_prep/prepare_*.py; e.g. nlvr2 is always 2 images/1 turn,
+# imagecode 10 images/1 short query, coinstruct long multi-turn), and
+# mixture weights from the approximate public dataset-card sizes (in
+# thousands; TIGER-Lab/Mantis-Instruct, 721K total).  The bench reads
+# the subset LIST from configs/mantis_instruct.yaml and refuses to run
+# if a listed subset has no profile, so config and model cannot drift.
+#   name: (weight_k, (img_lo, img_hi), (turns_lo, turns_hi),
+#          (human_words_lo, hi), (gpt_words_lo, hi))
+MIXTURE_PROFILES = {
+    "nlvr2":                (86, (2, 2), (1, 1), (18, 35), (1, 12)),
+    "dreamsim":             (16, (3, 3), (1, 1), (15, 25), (3, 8)),
+    "contrastive_caption":  (36, (2, 4), (1, 2), (10, 20), (30, 80)),
+    "birds-to-words":       (3, (2, 2), (1, 1), (10, 18), (25, 60)),
+    "visual_story_telling": (7, (5, 5), (2, 5), (5, 15), (10, 25)),
+    "spot-the-diff":        (11, (2, 2), (1, 1), (8, 15), (10, 40)),
+    "lrv_multi":            (8, (2, 3), (2, 6), (8, 20), (10, 30)),
+    "nextqa":               (4, (8, 8), (1, 2), (10, 20), (1, 8)),
+    "star":                 (3, (8, 8), (1, 2), (10, 20), (1, 8)),
+    "llava_665k_multi":     (313, (1, 3), (2, 6), (8, 25), (15, 80)),
+    "coinstruct":           (151, (1, 4), (2, 8), (15, 40), (20, 90)),
+    "dvqa":                 (20, (1, 1), (1, 3), (8, 15), (1, 5)),
+    "chartqa":              (28, (1, 1), (1, 2), (10, 20), (1, 8)),
+    "docvqa":               (39, (1, 1), (1, 2), (10, 18), (1, 6)),
+    "multi_vqa":            (5, (2, 4), (2, 5), (10, 25), (10, 40)),
+    "iconqa":               (34, (1, 2), (1, 1), (10, 20), (1, 5)),
+    "imagecode":            (17, (10, 10), (1, 1), (12, 30), (1, 3)),
+}
+
+
+def make_mixture_json(n_conv: int, seed: int, img_dir: str,
+                      config_path: str = "configs/mantis_instruct.yaml"
+                      ) -> str:
+    """Synthetic mixture shaped like the FLAGSHIP config's 17 subsets
+    (VERDICT r4 item 6: the packing bench must consume the actual
+    config's length characteristics, not one global lognormal)."""
+    import yaml
+
+    with open(config_path) as f:
+        entries = yaml.safe_load(f)["data"]
+    names = [e["name"] for e in entries]
+    missing = [n for n in names if n not in MIXTURE_PROFILES]
+    assert not missing, f"no mixture profile for subsets: {missing}"
+
+    rng = np.random.RandomState(seed)
+    words = ("the quick brown fox jumps over lazy dog while red square "
+             "green circle blue triangle appear in picture frame one two "
+             "three four compare describe difference detail").split()
+    weights = np.array([MIXTURE_PROFILES[n][0] for n in names], float)
+    weights /= weights.sum()
+    data = []
+    for i in range(n_conv):
+        name = names[int(rng.choice(len(names), p=weights))]
+        _, (i_lo, i_hi), (t_lo, t_hi), (h_lo, h_hi), (g_lo, g_hi) = \
+            MIXTURE_PROFILES[name]
+        cap = next((e.get("max_num_images") for e in entries
+                    if e["name"] == name), None)
+        n_img = min(int(rng.randint(i_lo, i_hi + 1)), cap or 99)
+        n_turns = int(rng.randint(t_lo, t_hi + 1))
+        convs = []
+        for t in range(n_turns):
+            human = " ".join(
+                rng.choice(words, int(rng.randint(h_lo, h_hi + 1))))
+            if t == 0:
+                human = " ".join(["<image>"] * n_img) + " " + human
+            convs.append({"from": "human", "value": human})
+            convs.append({"from": "gpt", "value": " ".join(
+                rng.choice(words, int(rng.randint(g_lo, g_hi + 1))))})
+        data.append({"id": f"mi-{name}-{i}",
+                     "images": [f"{img_dir}/img{i % 2}.png"] * n_img,
+                     "conversations": convs})
+    path = os.path.join(tempfile.mkdtemp(prefix="mfu_mixture_"),
+                        "train.json")
+    with open(path, "w") as f:
+        json.dump(data, f)
+    return path
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--depth", type=int, default=8)
@@ -87,6 +169,11 @@ def main():
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--remat", default="nothing")
     ap.add_argument("--chunk", type=int, default=1024)
+    ap.add_argument("--mixture", default="mantis_instruct",
+                    choices=("mantis_instruct", "lognormal"),
+                    help="length distribution: the flagship config's "
+                         "17-subset structural mixture (default) or "
+                         "the round-3 global lognormal")
     args = ap.parse_args()
 
     from mantis_tpu.models.configs import (
@@ -102,7 +189,9 @@ def main():
         build_tokenizer_from_json_data)
 
     img_dir = os.path.abspath("examples/data/chat/images")
-    path = make_dataset_json(args.n, 0, img_dir)
+    path = (make_mixture_json(args.n, 0, img_dir)
+            if args.mixture == "mantis_instruct"
+            else make_dataset_json(args.n, 0, img_dir))
     tok = build_tokenizer_from_json_data([path])
 
     cfg = LlavaConfig(
@@ -122,12 +211,16 @@ def main():
             ImageProcessorConfig.for_tower("siglip", 384)), P)
     conv = conv_templates["llama_3"]
     ds = ChatDataset(path, proc, conv, max_seq_len=S)
-    # <=8 images per pack (capping lower fragments the plan: a 4-cap
-    # measured fill 0.86 vs 0.95); the batch's vision bucket is
-    # 2*IMG_BUCKET, and pad images cost only forward FLOPs (~2% of
-    # the step at these widths)
+    # <=8 images per pack on the lognormal mix (capping lower
+    # fragments the plan: a 4-cap measured fill 0.86 vs 0.95).  The
+    # mantis_instruct mixture is image-token-dominated (~1.9
+    # images/conv x 729 tokens vs ~150 text tokens), so the image cap
+    # binds earlier: measured fill 0.823 at cap 8 -> 0.942 at cap 10,
+    # saturating above.  Pad images cost only forward FLOPs (~2% of
+    # the step at these widths).
+    img_cap = 10 if args.mixture == "mantis_instruct" else IMG_BUCKET
     packed = PackingDataset(ds, max_self_attn_len=S,
-                            max_images_per_pack=IMG_BUCKET)
+                            max_images_per_pack=img_cap)
     fill_planned = packed.planned_fill_rate()
     # vision bucket: smallest even count covering the sampled batches
     # (a fixed 16-image bucket OOMs next to the depth-8 train state;

@@ -84,6 +84,8 @@ def build_params(key):
 
 def layer_slice(layers, i):
     def f(x):
+        if isinstance(x, QuantTensor):
+            return QuantTensor(q=x.q[i], scale=x.scale[i], bits=x.bits)
         return x[i]
     return jax.tree.map(f, layers,
                         is_leaf=lambda x: isinstance(x, QuantTensor))
