@@ -337,8 +337,11 @@ def bench_decode():
         pos = jnp.broadcast_to(jnp.arange(s), (b, s))
         # int8 KV (per-token-head scales): decode 57 -> 65 tok/s and
         # doubles batch capacity (docs/PERF.md); parity-tested in
-        # tests/test_int8_kv_cache.py
-        cache = KVCache.create(cfg, b, s + max_new, dtype=jnp.int8)
+        # tests/test_int8_kv_cache.py.  Depth rounded up to %128 so
+        # decode runs the fused Pallas cache pass
+        # (ops/decode_attention.py supports()); pad slots are seg=0.
+        max_len = -(-(s + max_new) // 128) * 128
+        cache = KVCache.create(cfg, b, max_len, dtype=jnp.int8)
         logits, cache = llama.forward(
             params, cfg, input_ids=ids, positions=pos, segment_ids=seg,
             kv_cache=cache)

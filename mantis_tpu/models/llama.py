@@ -485,10 +485,27 @@ def forward(
                 new_kv += (k_scale_l, v_scale_l)
 
         if decode_mode:
-            attn = _decode_attention(
-                q, k_cache_l, v_cache_l, kv_seg_full, segment_ids,
-                offset + s, scale, window=cfg.sliding_window,
-                k_scale=k_scale_l, v_scale=v_scale_l)
+            # single-token decode on TPU takes the fused Pallas pass
+            # over the cache (ops/decode_attention.py: ~3.4x the XLA
+            # einsum's effective bandwidth at ctx 6k); multi-token
+            # chunks, sliding windows, explicit attn_impl="xla" and
+            # off-%128 cache depths stay on the einsum path
+            from mantis_tpu.ops import decode_attention as da
+
+            lengths = offset + s
+            if (s == 1 and cfg.sliding_window is None
+                    and attn_impl != "xla"
+                    and da.supports(k_cache_l.shape[1])):
+                attn = da.decode_attention(
+                    q[:, 0], k_cache_l, v_cache_l, kv_seg_full,
+                    segment_ids[:, 0],
+                    jnp.broadcast_to(lengths, (b,)),
+                    k_scale_l, v_scale_l, scale=scale)[:, None]
+            else:
+                attn = _decode_attention(
+                    q, k_cache_l, v_cache_l, kv_seg_full, segment_ids,
+                    lengths, scale, window=cfg.sliding_window,
+                    k_scale=k_scale_l, v_scale=v_scale_l)
         elif context_attention is not None:
             # ring attention over the context mesh axis (sequence is
             # zigzag-ordered by the data layer)
