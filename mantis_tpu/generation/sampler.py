@@ -81,7 +81,8 @@ def _generate_jit(
     seg = (jnp.arange(s)[None, :] < true_lens[:, None]).astype(jnp.int32)
     positions = jnp.arange(s)[None, :] * seg  # pads get position 0
 
-    cache = KVCache.create(text_cfg, b, s + max_new, dtype=cache_dtype)
+    cache = KVCache.create(text_cfg, b, s + max_new, dtype=cache_dtype,
+                           pad_to=128)
     logits, _, cache = model_forward(
         params, model_cfg, input_ids=input_ids, pixel_values=pixel_values,
         positions=positions, segment_ids=seg, kv_cache=cache, **extra)
@@ -186,7 +187,8 @@ def _prefill_jit(params, input_ids, pixel_values, true_lens, rng, *,
     b, s = input_ids.shape
     seg = (jnp.arange(s)[None, :] < true_lens[:, None]).astype(jnp.int32)
     positions = jnp.arange(s)[None, :] * seg
-    cache = KVCache.create(text_cfg, b, s + max_new, dtype=cache_dtype)
+    cache = KVCache.create(text_cfg, b, s + max_new, dtype=cache_dtype,
+                           pad_to=128)
     logits, _, cache = model_forward(
         params, model_cfg, input_ids=input_ids, pixel_values=pixel_values,
         positions=positions, segment_ids=seg, kv_cache=cache)

@@ -76,7 +76,8 @@ def _prefill_jit(params, ids, pixel_values, true_len, *, model_forward,
     b, s = ids.shape
     seg = (jnp.arange(s)[None, :] < true_len).astype(jnp.int32)
     positions = jnp.arange(s)[None, :] * seg
-    cache = KVCache.create(text_cfg, b, s + max_new, dtype=cache_dtype)
+    cache = KVCache.create(text_cfg, b, s + max_new, dtype=cache_dtype,
+                           pad_to=128)
     logits, _, cache = model_forward(
         params, model_cfg, input_ids=ids, pixel_values=pixel_values,
         positions=positions, segment_ids=seg, kv_cache=cache)

@@ -59,7 +59,11 @@ class KVCache:
 
     @classmethod
     def create(cls, cfg: LlamaConfig, batch: int, max_len: int,
-               dtype=jnp.bfloat16) -> "KVCache":
+               dtype=jnp.bfloat16, pad_to: int = 1) -> "KVCache":
+        # pad_to=128 rounds the depth up so single-token decode stays
+        # on the fused Pallas cache pass (ops/decode_attention.py
+        # supports()); the pad slots are seg=0 and never attended
+        max_len = -(-max_len // pad_to) * pad_to
         shape = (cfg.num_hidden_layers, batch, max_len,
                  cfg.num_key_value_heads, cfg.head_dim_)
         # distinct scale buffers: aliasing one array into both fields
