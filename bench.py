@@ -479,7 +479,23 @@ def bench_spec_decode():
     worst, _, _, out = bench_speculative_fused(params, prompts["random"], 5)
     best, _, _, _ = bench_speculative_fused(
         params, prompts["random"], 5, oracle=out)
-    return worst, best, plain
+
+    # REALISTIC point between the brackets (VERDICT r4 item 4): the
+    # acceptance run-lengths of production prompt-lookup drafting,
+    # MEASURED on real text (a code-edit replay over this repo's own
+    # source, scripts/bench_spec_realistic.py), are imposed on the
+    # same full-fidelity fused loop by corrupting the oracle stream at
+    # the measured rejection points — real verify/KV costs, real
+    # acceptance statistics.
+    from scripts.bench_spec_realistic import (
+        code_edit_workload, corrupted_oracle, measure_acceptance)
+
+    runs = measure_acceptance(*code_edit_workload())
+    orc = corrupted_oracle(out, runs, SPEC_CFG.vocab_size)
+    real, stats, _, _ = bench_speculative_fused(
+        params, prompts["random"], 5, oracle=orc)
+    acc = stats["accepted"] / max(stats["verify_calls"], 1)
+    return worst, best, plain, real, acc
 
 
 def _bounded(fn, seconds=300):
@@ -542,13 +558,20 @@ def main():
             srv_res[1], 1)
     spec_res = _bounded(bench_spec_decode, 480)
     if spec_res:
-        # all three at the SAME 1024-token context (apples-to-apples)
+        # all at the SAME 1024-token context (apples-to-apples)
         extras["spec_decode_fused_worst_tok_per_sec_ctx1024"] = round(
             spec_res[0], 1)
         extras["spec_decode_fused_oracle_tok_per_sec_ctx1024"] = round(
             spec_res[1], 1)
         extras["decode_plain_fused_tok_per_sec_ctx1024"] = round(
             spec_res[2], 1)
+        # between the brackets: measured real-text (code-edit replay)
+        # acceptance imposed on the same fused loop — see
+        # scripts/bench_spec_realistic.py for the workload
+        extras["spec_decode_realistic_tok_per_sec_ctx1024"] = round(
+            spec_res[3], 1)
+        extras["spec_decode_realistic_accepted_per_verify"] = round(
+            spec_res[4], 2)
     print(json.dumps({
         "metric": "siglip_so400m_encode_images_per_sec_per_chip",
         "value": round(imgs_per_sec, 2),

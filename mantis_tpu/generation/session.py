@@ -189,7 +189,7 @@ class ChatSession:
         if self.cache is None:
             self.cache = KVCache.create(
                 model.cfg.text_config, 1, self.max_ctx,
-                dtype=model.cache_dtype)
+                dtype=model.cache_dtype, pad_to=128)
             p = 0
         elif p < len(self.tokens):
             # template rewrote history: rewind the cache to the
