@@ -159,34 +159,31 @@ def main():
               f"tokens/verify {tokens/len(runs):.2f}")
 
     # --- TPU: full-depth int8 LM, ctx as the round-4 brackets ---
-    from scripts.bench_speculative import build_params, CFG
+    from scripts.bench_speculative import (
+        CFG, build_int8_params, lm_forward)
     from mantis_tpu.generation.sampler import GenerationConfig
     from mantis_tpu.generation.speculative import (
         speculative_generate_fused)
-    from mantis_tpu.models import llama
 
-    params = jax.block_until_ready(
-        build_params(jax.random.PRNGKey(0)))
+    params = build_int8_params(CFG)
     rng = np.random.RandomState(0)
     ids = rng.randint(2, 120000, size=(1, args.ctx))
     gen = GenerationConfig(do_sample=False,
                            max_new_tokens=args.max_new,
                            eos_token_ids=(), pad_token_id=0)
 
-    def fwd(p, cfg, **kw):
-        kw.pop("pixel_values", None)
-        return (*llama.forward(p, cfg, **kw),)
-
     def run(oracle, label):
-        # warm + greedy chain
         t0 = time.perf_counter()
         out, stats = speculative_generate_fused(
-            params, CFG, fwd, ids, gen_cfg=gen, n_draft=N_DRAFT,
-            ngram=NGRAM, oracle=oracle, cache_dtype=jnp.int8)
+            params, CFG, lm_forward, ids, gen_cfg=gen,
+            n_draft=N_DRAFT, ngram=NGRAM, oracle=oracle,
+            cache_dtype=jnp.int8)
         dt = time.perf_counter() - t0
         return out, stats, dt
 
-    greedy, _, _ = run([0] * (args.max_new + N_DRAFT), "warm")
+    # warm compiles AND captures the model's greedy chain (token-
+    # identity: drafting never changes greedy output)
+    greedy, _, _ = run(None, "warm")
 
     for name, runs in all_runs.items():
         orc = corrupted_oracle(greedy, runs, CFG.vocab_size)
