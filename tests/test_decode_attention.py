@@ -130,3 +130,63 @@ def test_length_zero_row_is_finite():
         interpret=True))
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got[1], 0.0, atol=1e-6)
+
+
+def test_llama_forward_dispatch_equivalence():
+    """The llama decode path must produce the same logits whether the
+    cache depth routes it to the fused kernel (%128) or the XLA einsum
+    (off-%128) — f32 CPU, single token, same written content."""
+    from mantis_tpu.models import llama
+    from mantis_tpu.models.configs import LlamaConfig
+    from mantis_tpu.models.llama import KVCache
+
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, rope_theta=10000.0)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(0, 128, size=(1, 17)))
+
+    def run(depth):
+        cache = KVCache.create(cfg, 1, depth, dtype=jnp.float32)
+        logits, cache = llama.forward(
+            params, cfg, input_ids=ids, kv_cache=cache)
+        tok = jnp.argmax(logits[:, -1], -1)[:, None]
+        step, cache = llama.forward(
+            params, cfg, input_ids=tok, kv_cache=cache)
+        return np.asarray(step[:, -1])
+
+    kernel_logits = run(128)    # %128 -> fused kernel (interpret)
+    xla_logits = run(100)       # off-%128 -> XLA einsum path
+    np.testing.assert_allclose(kernel_logits, xla_logits,
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_llama_forward_dispatch_equivalence_int8():
+    """Same dispatch check with an int8 cache: the kernel's W8A8 path
+    must stay within serving tolerance of the XLA int8 path."""
+    from mantis_tpu.models import llama
+    from mantis_tpu.models.configs import LlamaConfig
+    from mantis_tpu.models.llama import KVCache
+
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, rope_theta=10000.0)
+    params = llama.init_params(cfg, jax.random.PRNGKey(1))
+    rng = np.random.RandomState(1)
+    ids = jnp.asarray(rng.randint(0, 128, size=(1, 33)))
+
+    def run(depth):
+        cache = KVCache.create(cfg, 1, depth, dtype=jnp.int8)
+        logits, cache = llama.forward(
+            params, cfg, input_ids=ids, kv_cache=cache)
+        tok = jnp.argmax(logits[:, -1], -1)[:, None]
+        step, cache = llama.forward(
+            params, cfg, input_ids=tok, kv_cache=cache)
+        return np.asarray(step[:, -1], np.float32)
+
+    a, b = run(128), run(100)
+    cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.999, cos
