@@ -132,7 +132,13 @@ def make_mixture_json(n_conv: int, seed: int, img_dir: str,
     words = ("the quick brown fox jumps over lazy dog while red square "
              "green circle blue triangle appear in picture frame one two "
              "three four compare describe difference detail").split()
-    weights = np.array([MIXTURE_PROFILES[n][0] for n in names], float)
+    # weights = card size capped by the config's own max_size knob
+    # (the trained mixture samples at most max_size per subset)
+    weights = np.array(
+        [min(MIXTURE_PROFILES[n][0] * 1000.0,
+             next((e.get("max_size", np.inf) for e in entries
+                   if e["name"] == n)))
+         for n in names], float)
     weights /= weights.sum()
     data = []
     for i in range(n_conv):
