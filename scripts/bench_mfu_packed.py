@@ -221,9 +221,9 @@ def main():
     # fragments the plan: a 4-cap measured fill 0.86 vs 0.95).  The
     # mantis_instruct mixture is image-token-dominated (~1.9
     # images/conv x 729 tokens vs ~150 text tokens), so the image cap
-    # binds earlier: measured fill 0.823 at cap 8 -> 0.942 at cap 10,
-    # saturating above.  Pad images cost only forward FLOPs (~2% of
-    # the step at these widths).
+    # binds earlier: measured planned fill 0.819 at cap 8 -> 0.936 at
+    # cap 10, saturating above.  Pad images cost only forward FLOPs
+    # (~2% of the step at these widths).
     img_cap = 10 if args.mixture == "mantis_instruct" else IMG_BUCKET
     packed = PackingDataset(ds, max_self_attn_len=S,
                             max_images_per_pack=img_cap)
