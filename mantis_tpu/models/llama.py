@@ -17,6 +17,7 @@ mantis/models/mllava/modeling_llava.py:258-260).  Design choices:
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Optional, Tuple
 
 import jax
@@ -43,7 +44,9 @@ class KVCache:
 
     ``create(dtype=jnp.int8)`` gives a quantized cache: k/v are int8
     with per-(token, head) symmetric scales (amax/127) in
-    k_scale/v_scale [L, B, M, Hk].  The scales factor OUT of both
+    k_scale/v_scale [L, B, Hk, M] — head-major so both the XLA decode
+    einsum and the fused Pallas kernel consume scale rows without a
+    per-step [M, Hk] transpose.  The scales factor OUT of both
     attention dots (k's onto the logits, v's onto the probs), so the
     int8->bf16 operand convert fuses into the einsum exactly like
     weight-only quant_matmul — KV HBM reads halve and serving context
@@ -69,13 +72,15 @@ class KVCache:
         # distinct scale buffers: aliasing one array into both fields
         # breaks donation ("donate the same buffer twice")
         quant = dtype == jnp.int8
+        sshape = (cfg.num_hidden_layers, batch,
+                  cfg.num_key_value_heads, max_len)
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
             seg=jnp.zeros((batch, max_len), jnp.int32),
             length=jnp.zeros((), jnp.int32),
-            k_scale=jnp.ones(shape[:-1], jnp.float32) if quant else None,
-            v_scale=jnp.ones(shape[:-1], jnp.float32) if quant else None,
+            k_scale=jnp.ones(sshape, jnp.float32) if quant else None,
+            v_scale=jnp.ones(sshape, jnp.float32) if quant else None,
         )
 
 
@@ -91,6 +96,7 @@ def _quantize_kv(x):
 def write_kv(cache_l, scale_l, x, offset):
     """Write new k or v rows [B, S, Hk, Dh] into one layer's cache
     (quantizing when the cache is int8); returns (cache_l, scale_l).
+    Scales land head-major ([B, Hk, M], see KVCache docstring).
 
     offset: scalar (all rows share one write position) or [B] — each
     batch row writes at its own position (continuous-batching decode,
@@ -102,20 +108,56 @@ def write_kv(cache_l, scale_l, x, offset):
             return jax.lax.dynamic_update_slice(
                 c, xi, (o,) + (0,) * (c.ndim - 1))
         row_dus = jax.vmap(upd)
+
+        def upd_scale(c, si, o):   # c [Hk, M], si [Hk, S], o scalar
+            return jax.lax.dynamic_update_slice(c, si, (0, o))
+        row_dus_scale = jax.vmap(upd_scale)
     if cache_l.dtype == jnp.int8:
         q, s = _quantize_kv(x)
+        s_hm = s.transpose(0, 2, 1)        # [B, Hk, S] head-major
         if per_row:
             return row_dus(cache_l, q, offset), \
-                row_dus(scale_l, s, offset)
+                row_dus_scale(scale_l, s_hm, offset)
         cache_l = jax.lax.dynamic_update_slice(
             cache_l, q, (0, offset, 0, 0))
         scale_l = jax.lax.dynamic_update_slice(
-            scale_l, s, (0, offset, 0))
+            scale_l, s_hm, (0, 0, offset))
         return cache_l, scale_l
     if per_row:
         return row_dus(cache_l, x.astype(cache_l.dtype), offset), scale_l
     return jax.lax.dynamic_update_slice(
         cache_l, x.astype(cache_l.dtype), (0, offset, 0, 0)), scale_l
+
+
+def _write_kv_layer(full, x, i, offset):
+    """Write new rows [B, S, Hk, Dh] into layer ``i`` of the FULL
+    stacked cache [L, B, M, Hk, Dh].
+
+    The cache rides the layer scan as a CARRY (see forward): only the
+    new tokens are written, in place — the xs->ys formulation copied
+    the ENTIRE cache through fresh scan outputs every step (~0.4 GB
+    per decoded token at flagship ctx 6k)."""
+    x = x.astype(full.dtype)
+    if getattr(offset, "ndim", 0) == 1:
+        for bi in range(x.shape[0]):    # b is a small static batch
+            full = jax.lax.dynamic_update_slice(
+                full, x[bi:bi + 1][None], (i, bi, offset[bi], 0, 0))
+        return full
+    return jax.lax.dynamic_update_slice(
+        full, x[None], (i, 0, offset, 0, 0))
+
+
+def _write_scale_layer(full, s_hm, i, offset):
+    """Scale twin of :func:`_write_kv_layer`: s_hm [B, Hk, S] into the
+    head-major [L, B, Hk, M] scale buffer at layer ``i``."""
+    s_hm = s_hm.astype(full.dtype)
+    if getattr(offset, "ndim", 0) == 1:
+        for bi in range(s_hm.shape[0]):
+            full = jax.lax.dynamic_update_slice(
+                full, s_hm[bi:bi + 1][None], (i, bi, 0, offset[bi]))
+        return full
+    return jax.lax.dynamic_update_slice(
+        full, s_hm[None], (i, 0, 0, offset))
 
 
 # ---------------------------------------------------------------------------
@@ -253,9 +295,10 @@ def _decode_attention(q, k_cache, v_cache, kv_seg, q_seg, length, scale,
     q_seg: [B, Sq]; length: scalar or [B] — valid cache prefix per row
     (q positions are already written at [length - Sq, length)); the [B]
     form is the continuous-batching decode path (serving/engine.py).
-    k_scale/v_scale [B, M, Hk]: per-(token, head) scales of an int8
-    cache; k's multiply the logits, v's fold into the probs — the
-    int8->compute-dtype convert stays a fusable dot operand.
+    k_scale/v_scale [B, Hk, M] (head-major): per-(token, head) scales
+    of an int8 cache; k's multiply the logits, v's fold into the probs
+    — the int8->compute-dtype convert stays a fusable dot operand and
+    the scale rows broadcast without a per-step transpose.
     """
     b, sq, hq, dh = q.shape
     _, m, hk, _ = k_cache.shape
@@ -266,7 +309,7 @@ def _decode_attention(q, k_cache, v_cache, kv_seg, q_seg, length, scale,
         "bqhgd,bmhd->bhgqm", qg, k_in,
         preferred_element_type=jnp.float32) * scale
     if k_scale is not None:
-        logits = logits * k_scale.transpose(0, 2, 1)[:, :, None, None, :]
+        logits = logits * k_scale[:, :, None, None, :]
     pos = jnp.arange(m)
     if getattr(length, "ndim", 0) == 1:
         q_pos = length[:, None] - sq + jnp.arange(sq)[None, :]  # [B, Sq]
@@ -291,8 +334,7 @@ def _decode_attention(q, k_cache, v_cache, kv_seg, q_seg, length, scale,
     logits = jnp.where(mask[:, None, None, :, :], logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
     if v_scale is not None:
-        probs = (probs * v_scale.transpose(0, 2, 1)[:, :, None, None, :]
-                 ).astype(q.dtype)
+        probs = (probs * v_scale[:, :, None, None, :]).astype(q.dtype)
         v_in = v_cache.astype(q.dtype)
     else:
         probs = probs.astype(v_cache.dtype)
@@ -449,12 +491,16 @@ def forward(
     quant_cache = kv_cache is not None and kv_cache.k.dtype == jnp.int8
 
     def layer_fn(carry, scanned):
-        h = carry
+        h = carry if kv_cache is None else None
         k_scale_l = v_scale_l = None
-        if quant_cache:
-            lp, k_cache_l, v_cache_l, k_scale_l, v_scale_l = scanned
-        elif kv_cache is not None:
-            lp, k_cache_l, v_cache_l = scanned
+        if kv_cache is not None:
+            # cache path: the FULL stacked cache rides the carry and
+            # only new tokens are written in place — scanning cache
+            # layers as xs and emitting updated layers as ys copied
+            # the whole cache (0.4 GB/token at flagship ctx 6k)
+            # through fresh ys buffers every forward
+            h, li, ck, cv, cks, cvs = carry
+            lp = scanned
         else:
             h = decoder_block(
                 h, scanned, cfg=cfg, cos=cos, sin=sin,
@@ -478,27 +524,46 @@ def forward(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        new_kv = None
-        if kv_cache is not None:
-            k_cache_l, k_scale_l = write_kv(k_cache_l, k_scale_l, k,
-                                            offset)
-            v_cache_l, v_scale_l = write_kv(v_cache_l, v_scale_l, v,
-                                            offset)
-            new_kv = (k_cache_l, v_cache_l)
-            if quant_cache:
-                new_kv += (k_scale_l, v_scale_l)
+        if quant_cache:
+            kq, ks_tok = _quantize_kv(k)
+            vq, vs_tok = _quantize_kv(v)
+            ck = _write_kv_layer(ck, kq, li, offset)
+            cv = _write_kv_layer(cv, vq, li, offset)
+            cks = _write_scale_layer(cks, ks_tok.transpose(0, 2, 1),
+                                     li, offset)
+            cvs = _write_scale_layer(cvs, vs_tok.transpose(0, 2, 1),
+                                     li, offset)
+        else:
+            ck = _write_kv_layer(ck, k, li, offset)
+            cv = _write_kv_layer(cv, v, li, offset)
 
         if decode_mode:
-            # single-token decode on TPU takes the fused Pallas pass
-            # over the cache (ops/decode_attention.py: ~3.4x the XLA
-            # einsum's effective bandwidth at ctx 6k); multi-token
-            # chunks, sliding windows, explicit attn_impl="xla" and
-            # off-%128 cache depths stay on the einsum path
+            # slice this layer's cache out of the carry; XLA fuses the
+            # dynamic-slice into the attention reads
+            k_cache_l = jax.lax.dynamic_index_in_dim(
+                ck, li, 0, keepdims=False)
+            v_cache_l = jax.lax.dynamic_index_in_dim(
+                cv, li, 0, keepdims=False)
+            if quant_cache:
+                k_scale_l = jax.lax.dynamic_index_in_dim(
+                    cks, li, 0, keepdims=False)
+                v_scale_l = jax.lax.dynamic_index_in_dim(
+                    cvs, li, 0, keepdims=False)
+            # The fused Pallas decode kernel (ops/decode_attention.py)
+            # is a MEASURED NEGATIVE on v5e and ships opt-in only
+            # (MANTIS_DECODE_KERNEL=1): end-to-end with the carry-
+            # resident cache it reaches 71.9 tok/s vs the XLA einsum's
+            # 76.7 at flagship ctx 6k, and 346 vs 357 agg in 8-stream
+            # serving — the per-layer pallas-call boundary costs more
+            # than its flat-layout int8 MXU dots save (docs/PERF.md
+            # decode-roofline section; kept wired for the record like
+            # the int4 and W8A8-prefill findings).
             from mantis_tpu.ops import decode_attention as da
 
             lengths = offset + s
             if (s == 1 and cfg.sliding_window is None
                     and attn_impl != "xla"
+                    and _os.environ.get("MANTIS_DECODE_KERNEL") == "1"
                     and da.supports(k_cache_l.shape[1])):
                 attn = da.decode_attention(
                     q[:, 0], k_cache_l, v_cache_l, kv_seg_full,
@@ -533,20 +598,22 @@ def forward(
         gated = jax.nn.silu(_mm(x, lp["gate_proj"])) * _mm(
             x, lp["up_proj"])
         h = residual + _mm(gated, lp["down_proj"])
-        return h, new_kv
+        if kv_cache is not None:
+            return (h, li + 1, ck, cv, cks, cvs), None
+        return h, None
 
     layer_fn_raw = layer_fn
-    layer_fn = remat(layer_fn, use_remat)
+    if kv_cache is None:
+        layer_fn = remat(layer_fn, use_remat)
 
     if kv_cache is not None:
-        xs = (params["layers"], kv_cache.k, kv_cache.v)
-        if quant_cache:
-            xs += (kv_cache.k_scale, kv_cache.v_scale)
-        h, kvs = jax.lax.scan(layer_fn, h, xs)
+        init = (h, jnp.zeros((), jnp.int32), kv_cache.k, kv_cache.v,
+                kv_cache.k_scale, kv_cache.v_scale)
+        (h, _, ck, cv, cks, cvs), _ = jax.lax.scan(
+            layer_fn, init, params["layers"])
         new_cache = KVCache(
-            k=kvs[0], v=kvs[1], seg=kv_seg_full, length=offset + s,
-            k_scale=kvs[2] if quant_cache else None,
-            v_scale=kvs[3] if quant_cache else None)
+            k=ck, v=cv, seg=kv_seg_full, length=offset + s,
+            k_scale=cks, v_scale=cvs)
     elif isinstance(params["layers"], (list, tuple)):
         # UNROLLED layer loop over per-layer param trees (see
         # unstack_layers).  Functionally identical to the scan, but in

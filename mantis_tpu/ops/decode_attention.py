@@ -89,7 +89,12 @@ def _kernel(len_ref, qseg_ref,             # scalar prefetch [B]
             q_ref, qsc_ref, k_ref, v_ref, kseg_ref, ks_ref, vs_ref,
             o_ref,
             m_scr, l_scr, acc_scr,
-            *, scale, hk, d, block_m, num_blocks, quant):
+            *, scale, hk, d, block_m, num_blocks, quant,
+            scales_strided=False):
+
+    def _scale_col(ref, h):
+        # [block_m] scale vector for head h under either layout
+        return ref[0, :, h] if scales_strided else ref[0, h, :]
     b = pl.program_id(0)
     ki = pl.program_id(1)
     rows = hk * _GPAD
@@ -110,7 +115,7 @@ def _kernel(len_ref, qseg_ref,             # scalar prefetch [B]
         eff_ki = jnp.minimum(ki, (length - 1) // block_m)
         col = eff_ki * block_m + jax.lax.broadcasted_iota(
             jnp.int32, (1, block_m), 1)
-        kseg = kseg_ref[0:1, :]                       # [1, block_m]
+        kseg = kseg_ref[0]                            # [1, block_m]
         valid = (col < length) & (kseg == qseg_ref[b])
 
         kb = k_ref[0]                                 # [block_m, hk*d]
@@ -124,7 +129,7 @@ def _kernel(len_ref, qseg_ref,             # scalar prefetch [B]
                     qh, kh, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32).astype(
                     jnp.float32)
-                s = s * ks_ref[0, h, :][None, :]      # k scales
+                s = s * _scale_col(ks_ref, h)[None, :]  # k scales
             else:
                 s = jax.lax.dot_general(
                     qh, kh.astype(qh.dtype), (((1,), (1,)), ((), ())),
@@ -133,7 +138,7 @@ def _kernel(len_ref, qseg_ref,             # scalar prefetch [B]
         s_all = jnp.concatenate(parts, axis=0)        # [rows, block_m]
         if quant:
             # per-row dequant of the int32 dot: q row scale x softmax
-            s_all = s_all * qsc_ref[0][:, None]
+            s_all = s_all * qsc_ref[0, 0][:, None]
         else:
             s_all = s_all * scale
         s_all = jnp.where(valid, s_all, -jnp.inf)
@@ -152,7 +157,14 @@ def _kernel(len_ref, qseg_ref,             # scalar prefetch [B]
             # row-quantize the probs so the PV contraction is an int8
             # MXU dot too: relayouting the 128 KB of probs costs far
             # less than converting the 1 MB v block (finding 2)
-            p = p * jnp.repeat(vs_ref[0], _GPAD, axis=0)
+            if scales_strided:
+                vs_all = jnp.concatenate(
+                    [jnp.broadcast_to(_scale_col(vs_ref, h)[None, :],
+                                      (_GPAD, block_m))
+                     for h in range(hk)], axis=0)
+            else:
+                vs_all = jnp.repeat(vs_ref[0], _GPAD, axis=0)
+            p = p * vs_all
             pmax = jnp.maximum(jnp.max(p, axis=-1, keepdims=True),
                                1e-20)
             p_i8 = jnp.round(p * (127.0 / pmax)).astype(jnp.int8)
@@ -193,7 +205,7 @@ def decode_attention(
     kv_seg: jax.Array,            # [B, M] int32
     q_seg: jax.Array,             # [B] int32
     lengths: jax.Array,           # [B] int32 valid prefix per row
-    k_scale: Optional[jax.Array] = None,   # [B, M, HK] f32 (int8 kv)
+    k_scale: Optional[jax.Array] = None,   # [B, HK, M] f32 (int8 kv)
     v_scale: Optional[jax.Array] = None,
     *,
     scale: float,
@@ -252,30 +264,35 @@ def decode_attention(
         return (b_, clamp(ki, len_ref[b_]), 0)
 
     def seg_map(b_, ki, len_ref, qseg_ref):
-        return (b_, clamp(ki, len_ref[b_]))
+        return (b_, 0, clamp(ki, len_ref[b_]))
 
     def scale_map(b_, ki, len_ref, qseg_ref):
         return (b_, 0, clamp(ki, len_ref[b_]))
 
     q_spec = pl.BlockSpec((1, rows, d), lambda b_, ki, *_: (b_, 0, 0))
-    qsc_spec = pl.BlockSpec((1, rows), lambda b_, ki, *_: (b_, 0))
+    qsc_spec = pl.BlockSpec((1, 1, rows),
+                            lambda b_, ki, *_: (b_, 0, 0))
     kv_spec = pl.BlockSpec((1, block_m, hk * d), kv_map)
-    seg_spec = pl.BlockSpec((1, block_m), seg_map)
+    seg_spec = pl.BlockSpec((1, 1, block_m), seg_map)
     o_spec = q_spec
 
     if quant:
-        # scales transposed to [B, HK, M] OUTSIDE the kernel (~200 KB,
-        # one cheap XLA copy) so their DMA streams lane-major
-        # (1, hk, block_m) blocks instead of 32-byte strided rows
+        # scales are stored head-major [B, HK, M] in the cache
+        # (models/llama.py KVCache) so their DMA streams lane-major
+        # (1, hk, block_m) blocks with no transpose anywhere
+        scales_strided = False
         sc_spec = pl.BlockSpec((1, hk, block_m), scale_map)
         in_specs = [q_spec, qsc_spec, kv_spec, kv_spec, seg_spec,
                     sc_spec, sc_spec]
-        args = (q_in, qsc, kf, vf, kv_seg.astype(jnp.int32),
-                k_scale.astype(jnp.float32).transpose(0, 2, 1),
-                v_scale.astype(jnp.float32).transpose(0, 2, 1))
+        args = (q_in, qsc[:, None, :], kf, vf,
+                kv_seg.astype(jnp.int32)[:, None, :],
+                k_scale.astype(jnp.float32),
+                v_scale.astype(jnp.float32))
     else:
+        scales_strided = False
         in_specs = [q_spec, qsc_spec, kv_spec, kv_spec, seg_spec]
-        args = (q_in, qsc, kf, vf, kv_seg.astype(jnp.int32))
+        args = (q_in, qsc[:, None, :], kf, vf,
+                kv_seg.astype(jnp.int32)[:, None, :])
 
     def kernel(len_ref, qseg_ref, q_ref, qsc_ref, k_ref, v_ref,
                kseg_ref, *rest):
@@ -287,7 +304,8 @@ def decode_attention(
         _kernel(len_ref, qseg_ref, q_ref, qsc_ref, k_ref, v_ref,
                 kseg_ref, ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr,
                 scale=scale, hk=hk, d=d, block_m=block_m,
-                num_blocks=nm, quant=quant)
+                num_blocks=nm, quant=quant,
+                scales_strided=scales_strided)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -235,9 +235,9 @@ def _prefill_suffix_jit(params, prefix: KVCache, suffix_ids,
         # stale stored positions beyond the match stay masked
         seg=(jnp.arange(tbucket)[None, :] < match_len).astype(jnp.int32),
         length=jnp.asarray(match_len, jnp.int32),
-        k_scale=(cache.k_scale.at[:, :, :m].set(prefix.k_scale[:, :, :m])
+        k_scale=(cache.k_scale.at[..., :m].set(prefix.k_scale[..., :m])
                  if cache.k_scale is not None else None),
-        v_scale=(cache.v_scale.at[:, :, :m].set(prefix.v_scale[:, :, :m])
+        v_scale=(cache.v_scale.at[..., :m].set(prefix.v_scale[..., :m])
                  if cache.v_scale is not None else None))
     seg_q = (jnp.arange(sbucket)[None, :] < n_suffix).astype(jnp.int32)
     positions = (match_len + jnp.arange(sbucket)[None, :]) * seg_q

@@ -48,8 +48,8 @@ def test_int8_cache_w8a8_close_to_xla():
     rng, q, lengths, kv_seg, q_seg = _inputs()
     k = jnp.asarray(rng.randint(-127, 128, (B, M, HK, DH)), jnp.int8)
     v = jnp.asarray(rng.randint(-127, 128, (B, M, HK, DH)), jnp.int8)
-    ks = jnp.asarray(rng.rand(B, M, HK) * 0.02 + 1e-3, jnp.float32)
-    vs = jnp.asarray(rng.rand(B, M, HK) * 0.02 + 1e-3, jnp.float32)
+    ks = jnp.asarray(rng.rand(B, HK, M) * 0.02 + 1e-3, jnp.float32)
+    vs = jnp.asarray(rng.rand(B, HK, M) * 0.02 + 1e-3, jnp.float32)
     ref = np.asarray(_decode_attention(
         q, k, v, kv_seg, q_seg, lengths, SCALE, k_scale=ks,
         v_scale=vs)[:, 0])

@@ -46,8 +46,10 @@ def test_decode_attention_int8_cache_parity():
                                   dh ** -0.5)
     kq8, ks = _quantize_kv(k)
     vq8, vs = _quantize_kv(v)
-    out = llama._decode_attention(q, kq8, vq8, seg, qseg, length,
-                                  dh ** -0.5, k_scale=ks, v_scale=vs)
+    # scales are stored head-major [B, Hk, M] (KVCache docstring)
+    out = llama._decode_attention(
+        q, kq8, vq8, seg, qseg, length, dh ** -0.5,
+        k_scale=ks.transpose(0, 2, 1), v_scale=vs.transpose(0, 2, 1))
     a, b_ = np.asarray(out).ravel(), np.asarray(ref).ravel()
     cos = float(np.dot(a, b_) / (np.linalg.norm(a) * np.linalg.norm(b_)))
     assert cos > 0.999
