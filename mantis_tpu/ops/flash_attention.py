@@ -211,6 +211,51 @@ def _fwd_kernel(
             lse_ref[0, 0, :, :] = lse
 
 
+def _fwd_kernel_single_h2(
+    q_ref, k_ref, v_ref, o_ref,
+    *, scale, block_q, block_k, kv_len=None,
+):
+    """TWO heads per grid step, phases interleaved: both QK dots are
+    emitted before either softmax, so Mosaic schedules head i+1's MXU
+    work under head i's VPU softmax (the units are independent).
+    Measured at ViT encode shapes [64, 768, 16, 72]: 3.82 ms/layer vs
+    4.07 sequential — the VPU softmax is the single-block kernel's
+    bottleneck (docs/PERF.md encode section; block_h=4 measured worse,
+    3.93, VMEM pressure).  Inference-only (no lse), non-causal,
+    segment-free (kv_len masking only), GQA group 1."""
+    mask = None
+    if kv_len is not None:
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        mask = col < kv_len
+
+    def dot_qk(h):
+        s = jax.lax.dot_general(
+            q_ref[0, h, :, :], k_ref[0, h, :, :],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        return s if mask is None else jnp.where(
+            mask, s, DEFAULT_MASK_VALUE)
+
+    def soft(s):
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        return p, jnp.where(l == 0.0, 1.0, l)
+
+    ss = [dot_qk(h) for h in range(2)]          # both dots first
+    pls = [soft(s) for s in ss]                 # then both softmaxes
+    for h in range(2):
+        p, l = pls[h]
+        v = v_ref[0, h, :, :]
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, h, :, :] = (pv * (1.0 / l)).astype(o_ref.dtype)
+
+
 def _fwd_kernel_single(
     q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref,
     *, scale, causal, has_segments, block_q, block_k, kv_len=None,
@@ -455,6 +500,36 @@ def _fwd_call(q, k, v, qseg, kseg, *, scale, causal, has_segments,
         (1, 1, block_q, _LANES), lambda b_, h, qi, ki: (b_, h, qi, 0))
 
     single = nq == 1 and nk == 1
+    # head-pair interleaved fast path (see _fwd_kernel_single_h2):
+    # inference-only, non-causal, segment-free, MHA (group 1)
+    if (single and not causal and not has_segments and group == 1
+            and not save_residuals and window is None
+            and hq % 2 == 0):
+        h2_spec = pl.BlockSpec(
+            (1, 2, block_q, d), lambda b_, h: (b_, h, 0, 0))
+        hk2_spec = pl.BlockSpec(
+            (1, 2, block_k, d), lambda b_, h: (b_, h, 0, 0))
+        (out,) = pl.pallas_call(
+            functools.partial(
+                _fwd_kernel_single_h2, scale=scale, block_q=block_q,
+                block_k=block_k, kv_len=kv_len),
+            grid=(b, hq // 2),
+            in_specs=[h2_spec, hk2_spec, hk2_spec],
+            out_specs=[h2_spec],
+            out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+            cost_estimate=pl.CostEstimate(
+                flops=int(4 * b * hq * sq * sk * d),
+                bytes_accessed=int(
+                    (q.size + k.size + v.size + q.size)
+                    * q.dtype.itemsize),
+                transcendentals=int(b * hq * sq * sk),
+            ),
+            interpret=interpret,
+        )(q, k, v)
+        return out, None
+
     seg_args, seg_specs = (), ()
     if has_segments:
         qsegb, ksegb = _broadcast_segs(qseg, kseg, block_q, block_k)

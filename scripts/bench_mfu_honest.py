@@ -320,10 +320,12 @@ def main():
     ap.add_argument("--chunk", type=int, default=1024)
     ap.add_argument("--mlp_chunk", type=int, default=None)
     ap.add_argument("--b", type=int, default=2)
+    ap.add_argument("--s", type=int, default=8192)
     args = ap.parse_args()
-    global CHUNK, B
+    global CHUNK, B, S
     CHUNK = args.chunk
     B = args.b
+    S = args.s
 
     results = {}
     if "fb8" in args.sections:
@@ -363,9 +365,18 @@ def main():
         results["full8_int8"] = run_full_step(
             8, args.remat, in_backward=True, moments_int8=True,
             mlp_chunk=args.mlp_chunk)
+    if "full4_int8" in args.sections:
+        results["full4_int8"] = run_full_step(
+            4, args.remat, in_backward=True, moments_int8=True,
+            mlp_chunk=args.mlp_chunk)
+    if "full2_int8" in args.sections:
+        results["full2_int8"] = run_full_step(
+            2, args.remat, in_backward=True, moments_int8=True,
+            mlp_chunk=args.mlp_chunk)
     if "full16_int8" in args.sections:
         results["full16_int8"] = run_full_step(
-            16, args.remat, in_backward=True, moments_int8=True)
+            16, args.remat, in_backward=True, moments_int8=True,
+            mlp_chunk=args.mlp_chunk)
     if "full8_int8_host" in args.sections:
         # adamw8bit x zero3_offload: packed int8 moments in PINNED HOST
         # memory, streamed per leaf through the fused update kernel as
@@ -377,7 +388,7 @@ def main():
     if "full16_int8_host" in args.sections:
         results["full16_int8_host"] = run_full_step(
             16, args.remat, in_backward=True, moments_int8=True,
-            offload=True)
+            offload=True, mlp_chunk=args.mlp_chunk)
 
     if "fb8" in results and "adam_pp" in results:
         n_train = trainable_param_count(8)
