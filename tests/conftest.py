@@ -24,24 +24,25 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # ---------------------------------------------------------------------------
-# Fast/slow profile (VERDICT r2 #9): the full 270+-test net takes ~22 min
-# on this 1-core box, so `pytest -m "not slow"` keeps a <5-min default
-# regression profile.  Rather than hand-maintaining markers, tests are
-# auto-marked from the recorded per-test wall times in
-# tests/durations.json (regenerate with
-# `pytest tests/ --durations=0 | <extract> > tests/durations.json`);
-# anything above SLOW_THRESHOLD_S is marked slow (5 s keeps the
-# default profile near the 5-minute budget at the round-3 test count).  Unrecorded (new)
-# tests default to fast until the next regeneration.  Explicit
-# @pytest.mark.slow still works for tests that are known-slow from
-# birth (multi-process drives, engine concurrency).
+# Fast/slow profile (VERDICT r2 #9, re-recorded r5): the full 400-test
+# net takes ~58 min of call time on this 1-core box, so
+# `pytest -m "not slow"` keeps a <5-min default regression profile.
+# Rather than hand-maintaining markers, tests are auto-marked from the
+# recorded per-test wall times in tests/durations.json (regenerate
+# with `python scripts/record_test_durations.py` — per-FILE pytest
+# subprocesses; the whole suite in one process segfaults on this box);
+# anything above SLOW_THRESHOLD_S is marked slow (4 s -> 243 fast
+# tests, ~4.5 min wall measured here).  Unrecorded (new) tests default
+# to fast until the next regeneration.  Explicit @pytest.mark.slow
+# still works for tests that are known-slow from birth (multi-process
+# drives, engine concurrency).
 # ---------------------------------------------------------------------------
 
 import json  # noqa: E402
 
 import pytest  # noqa: E402
 
-SLOW_THRESHOLD_S = 5.0
+SLOW_THRESHOLD_S = 4.0
 
 _dur_path = os.path.join(os.path.dirname(__file__), "durations.json")
 try:
