@@ -368,18 +368,20 @@ def decoder_forward(
     quant_cache = kv_cache is not None and kv_cache.k.dtype == jnp.int8
 
     def layer_fn(carry, scanned):
-        h = carry
         ks_l = vs_l = None
         if kv_cache is not None:
+            # carry-resident cache (models/llama.py round-5 pattern):
+            # new tokens written in place, no per-layer ys copies
+            h, li, ck_full, cv_full, cks_full, cvs_full = carry
             if xattn is not None:
-                lp, xp, kc, vc, *sc = scanned
+                lp, xp = scanned
             else:
-                lp, kc, vc, *sc = scanned
-            if quant_cache:
-                ks_l, vs_l = sc
+                lp = scanned
         elif xattn is not None:
+            h = carry
             lp, xp = scanned
         else:
+            h = carry
             lp = scanned
         residual = h
         x = rms_norm(h, lp["input_layernorm"], tcfg.rms_norm_eps)
@@ -389,14 +391,29 @@ def decoder_forward(
         v = _mm(x, lp["v_proj"]).reshape(b, s, hk, dh)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        new_kv = None
         if kv_cache is not None:
-            kc, ks_l = llama.write_kv(kc, ks_l, k, offset)
-            vc, vs_l = llama.write_kv(vc, vs_l, v, offset)
-            new_kv = (kc, vc)
             if quant_cache:
-                new_kv += (ks_l, vs_l)
+                kq, ks_t = llama._quantize_kv(k)
+                vq, vs_t = llama._quantize_kv(v)
+                ck_full = llama._write_kv_layer(ck_full, kq, li, offset)
+                cv_full = llama._write_kv_layer(cv_full, vq, li, offset)
+                cks_full = llama._write_scale_layer(
+                    cks_full, ks_t.transpose(0, 2, 1), li, offset)
+                cvs_full = llama._write_scale_layer(
+                    cvs_full, vs_t.transpose(0, 2, 1), li, offset)
+            else:
+                ck_full = llama._write_kv_layer(ck_full, k, li, offset)
+                cv_full = llama._write_kv_layer(cv_full, v, li, offset)
         if decode_mode:
+            kc = jax.lax.dynamic_index_in_dim(ck_full, li, 0,
+                                              keepdims=False)
+            vc = jax.lax.dynamic_index_in_dim(cv_full, li, 0,
+                                              keepdims=False)
+            if quant_cache:
+                ks_l = jax.lax.dynamic_index_in_dim(
+                    cks_full, li, 0, keepdims=False)
+                vs_l = jax.lax.dynamic_index_in_dim(
+                    cvs_full, li, 0, keepdims=False)
             attn = llama._decode_attention(
                 q, kc, vc, kv_seg_full, segment_ids, offset + s, scale,
                 k_scale=ks_l, v_scale=vs_l)
@@ -459,25 +476,26 @@ def decoder_forward(
         gated = jax.nn.silu(_mm(x, lp["gate_proj"])) \
             * _mm(x, lp["up_proj"])
         h = residual + _mm(gated, lp["down_proj"])
-        return h, new_kv
-
-    layer_fn = remat(layer_fn, use_remat)
+        if kv_cache is not None:
+            return (h, li + 1, ck_full, cv_full, cks_full,
+                    cvs_full), None
+        return h, None
 
     scan_args = [lm["layers"]]
     if xattn is not None:
         scan_args.append(xattn)
-    if kv_cache is not None:
-        scan_args.extend([kv_cache.k, kv_cache.v])
-        if quant_cache:
-            scan_args.extend([kv_cache.k_scale, kv_cache.v_scale])
-    h, kvs = jax.lax.scan(layer_fn, h, tuple(scan_args)
-                          if len(scan_args) > 1 else scan_args[0])
+    xs = tuple(scan_args) if len(scan_args) > 1 else scan_args[0]
     new_cache = None
     if kv_cache is not None:
-        new_cache = KVCache(k=kvs[0], v=kvs[1], seg=kv_seg_full,
+        init = (h, jnp.zeros((), jnp.int32), kv_cache.k, kv_cache.v,
+                kv_cache.k_scale, kv_cache.v_scale)
+        (h, _, ck, cv, cks, cvs), _ = jax.lax.scan(layer_fn, init, xs)
+        new_cache = KVCache(k=ck, v=cv, seg=kv_seg_full,
                             length=offset + s,
-                            k_scale=kvs[2] if quant_cache else None,
-                            v_scale=kvs[3] if quant_cache else None)
+                            k_scale=cks, v_scale=cvs)
+    else:
+        layer_fn = remat(layer_fn, use_remat)
+        h, _ = jax.lax.scan(layer_fn, h, xs)
     h = rms_norm(h, lm["norm"], tcfg.rms_norm_eps)
     logits = llama._mm(h, lm["lm_head"] if "lm_head" in lm
                        else lm["embed_tokens"].T)

@@ -188,14 +188,14 @@ def forward(
     quant_cache = kv_cache is not None and kv_cache.k.dtype == jnp.int8
 
     def layer_fn(carry, scanned):
-        h = carry
         ks_l = vs_l = None
-        if quant_cache:
-            lp, kc, vc, ks_l, vs_l = scanned
-        elif kv_cache is not None:
-            lp, kc, vc = scanned
+        lp = scanned
+        if kv_cache is not None:
+            # carry-resident cache (models/llama.py round-5 pattern):
+            # new tokens written in place, no per-layer ys copies
+            h, li, ck, cv, cks, cvs = carry
         else:
-            lp = scanned
+            h = carry
         residual = h
         x = layer_norm(h, lp["ln1_scale"], lp["ln1_bias"],
                        cfg.layer_norm_eps)
@@ -211,15 +211,30 @@ def forward(
         q = _partial_rope(q, cos, sin, rn)
         k = _partial_rope(k, cos, sin, rn)
 
-        new_kv = None
         if kv_cache is not None:
-            kc, ks_l = llama_mod.write_kv(kc, ks_l, k, offset)
-            vc, vs_l = llama_mod.write_kv(vc, vs_l, v, offset)
-            new_kv = (kc, vc)
             if quant_cache:
-                new_kv += (ks_l, vs_l)
+                kq, ks_t = llama_mod._quantize_kv(k)
+                vq, vs_t = llama_mod._quantize_kv(v)
+                ck = llama_mod._write_kv_layer(ck, kq, li, offset)
+                cv = llama_mod._write_kv_layer(cv, vq, li, offset)
+                cks = llama_mod._write_scale_layer(
+                    cks, ks_t.transpose(0, 2, 1), li, offset)
+                cvs = llama_mod._write_scale_layer(
+                    cvs, vs_t.transpose(0, 2, 1), li, offset)
+            else:
+                ck = llama_mod._write_kv_layer(ck, k, li, offset)
+                cv = llama_mod._write_kv_layer(cv, v, li, offset)
 
         if decode_mode:
+            kc = jax.lax.dynamic_index_in_dim(ck, li, 0,
+                                              keepdims=False)
+            vc = jax.lax.dynamic_index_in_dim(cv, li, 0,
+                                              keepdims=False)
+            if quant_cache:
+                ks_l = jax.lax.dynamic_index_in_dim(
+                    cks, li, 0, keepdims=False)
+                vs_l = jax.lax.dynamic_index_in_dim(
+                    cvs, li, 0, keepdims=False)
             attn = llama_mod._decode_attention(
                 q, kc, vc, kv_seg_full, segment_ids, offset + s, scale,
                 k_scale=ks_l, v_scale=vs_l)
@@ -240,20 +255,20 @@ def forward(
                        cfg.layer_norm_eps)
         x = relu2(_mm(x, lp["h_to_4h"]) + lp["h_to_4h_b"])
         h = residual + (_mm(x, lp["4h_to_h"]) + lp["4h_to_h_b"])
-        return h, new_kv
-
-    layer_fn = remat(layer_fn, use_remat)
+        if kv_cache is not None:
+            return (h, li + 1, ck, cv, cks, cvs), None
+        return h, None
 
     if kv_cache is not None:
-        xs = (params["layers"], kv_cache.k, kv_cache.v)
-        if quant_cache:
-            xs += (kv_cache.k_scale, kv_cache.v_scale)
-        h, kvs = jax.lax.scan(layer_fn, h, xs)
-        new_cache = KVCache(k=kvs[0], v=kvs[1], seg=kv_seg_full,
+        init = (h, jnp.zeros((), jnp.int32), kv_cache.k, kv_cache.v,
+                kv_cache.k_scale, kv_cache.v_scale)
+        (h, _, ck, cv, cks, cvs), _ = jax.lax.scan(
+            layer_fn, init, params["layers"])
+        new_cache = KVCache(k=ck, v=cv, seg=kv_seg_full,
                             length=offset + s,
-                            k_scale=kvs[2] if quant_cache else None,
-                            v_scale=kvs[3] if quant_cache else None)
+                            k_scale=cks, v_scale=cvs)
     else:
+        layer_fn = remat(layer_fn, use_remat)
         h, _ = jax.lax.scan(layer_fn, h, params["layers"])
         new_cache = None
 
