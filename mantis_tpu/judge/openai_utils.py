@@ -57,10 +57,85 @@ def encode_image(image) -> str:
     return f"data:image/png;base64,{b64}"
 
 
+def requires_chatml(model: str) -> bool:
+    """Chat-only models need ChatML message lists (reference
+    _requires_chatml, :395-399)."""
+    m = model.lower()
+    return "turbo" in m or "gpt-4" in m or "chatgpt" in m
+
+
+def string_to_dict(to_convert: str) -> Dict[str, str]:
+    """' name=user university=stanford' -> {'name': ..., ...}
+    (reference _string_to_dict, :546-552)."""
+    return {kv.split("=", 1)[0]: kv.split("=", 1)[1]
+            for kv in to_convert.split(" ") if kv}
+
+
+def prompt_to_chatml(prompt: str, start_token: str = "<|im_start|>",
+                     end_token: str = "<|im_end|>") -> List[Dict]:
+    """Parse a ChatML-formatted STRING into message dicts (reference
+    _prompt_to_chatml, :401-455 — incl. the ``system name=...`` role
+    annotations; literal-eval of quoted content uses
+    ``ast.literal_eval`` rather than the reference's bare ``eval``)."""
+    import ast
+
+    prompt = prompt.strip()
+    assert prompt.startswith(start_token), "not a ChatML prompt"
+    assert prompt.endswith(end_token), "not a ChatML prompt"
+    messages = []
+    for p in prompt.split(start_token)[1:]:
+        role, rest = p.split("\n", 1)
+        role = role.strip()
+        raw = rest.split(end_token, 1)[0].strip()
+        try:
+            content = ast.literal_eval(raw)
+        except (SyntaxError, ValueError):
+            content = raw
+        extra: Dict[str, str] = {}
+        if role.startswith("system") and role != "system":
+            extra = string_to_dict(role.split("system", 1)[-1])
+            role = "system"
+        messages.append(dict(content=content, role=role, **extra))
+    return messages
+
+
+def chatml_to_prompt(messages: List[Dict],
+                     start_token: str = "<|im_start|>",
+                     end_token: str = "<|im_end|>") -> str:
+    """Flatten message dicts to the ChatML STRING legacy completions
+    models consume (reference _chatml_to_prompt, :489-544; image parts
+    inline as data URLs via encode_image)."""
+    prompt = ""
+    for m in messages:
+        role = m["role"]
+        if m.get("name") is not None:
+            role += f" name={m['name']}"
+        content = m["content"]
+        if isinstance(content, list):
+            parts = []
+            for c in content:
+                if c["type"] == "text":
+                    parts.append(c["text"])
+                elif c["type"] in ("image", "image_url"):
+                    url = c.get("image_url", c.get("image"))
+                    if isinstance(url, dict):
+                        url = url["url"]
+                    if not isinstance(url, str):
+                        url = encode_image(url)
+                    parts.append(url)
+                else:
+                    raise ValueError(f"unknown content type {c['type']}")
+            content = "\n".join(parts)
+        prompt += f"{start_token}{role}\n{content}\n{end_token}\n"
+    return prompt
+
+
 def to_chatml(prompt) -> List[Dict]:
-    """str | [{role, content}] | interleaved [{'type': 'image'/'text'}]
-    -> OpenAI chat messages."""
+    """str | ChatML string | [{role, content}] | interleaved
+    [{'type': 'image'/'text'}] -> OpenAI chat messages."""
     if isinstance(prompt, str):
+        if prompt.strip().startswith("<|im_start|>"):
+            return prompt_to_chatml(prompt)
         return [{"role": "user", "content": prompt}]
     if isinstance(prompt, list) and prompt and "type" in prompt[0]:
         content = []
@@ -121,6 +196,47 @@ def _default_completion_fn(messages, model_name, **kw):
     }
 
 
+class _ProcessWorker:
+    """Picklable per-prompt worker for pool_type="process": rebuilds
+    the disk cache in the child and runs the same payload/retry path
+    as the thread pool."""
+
+    def __init__(self, fn, model_name, cache_dir, decoding_kwargs,
+                 max_retries, retry_base_delay):
+        self.fn = fn
+        self.model_name = model_name
+        self.cache_dir = cache_dir
+        self.decoding_kwargs = decoding_kwargs
+        self.max_retries = max_retries
+        self.retry_base_delay = retry_base_delay
+
+    def __call__(self, prompt):
+        cache = DiskCache(self.cache_dir)
+        uid = prompt_uid(prompt, self.model_name,
+                         **self.decoding_kwargs)
+        hit = cache.get(uid)
+        if hit is not None:
+            return hit
+        if requires_chatml(self.model_name):
+            payload = to_chatml(prompt)
+        else:
+            payload = (prompt if isinstance(prompt, str)
+                       else chatml_to_prompt(to_chatml(prompt)))
+        delay = self.retry_base_delay
+        for attempt in range(self.max_retries):
+            try:
+                out = self.fn(payload, self.model_name,
+                              **self.decoding_kwargs)
+                break
+            except Exception:
+                if attempt == self.max_retries - 1:
+                    raise
+                time.sleep(delay)
+                delay *= 2
+        cache.put(uid, out)
+        return out
+
+
 def openai_completions(
     prompts: List,
     model_name: str,
@@ -129,6 +245,7 @@ def openai_completions(
     max_retries: int = 5,
     retry_base_delay: float = 1.0,
     completion_fn: Optional[Callable] = None,
+    pool_type: str = "thread",
     **decoding_kwargs,
 ) -> Dict:
     """Batch completions with caching + retry.
@@ -144,11 +261,18 @@ def openai_completions(
         hit = cache.get(uid)
         if hit is not None:
             return hit
-        messages = to_chatml(prompt)
+        if requires_chatml(model_name):
+            payload = to_chatml(prompt)
+        else:
+            # legacy completions model: flatten chat messages to a
+            # ChatML prompt STRING (reference openai_completions
+            # :128-134 routing via _chatml_to_prompt)
+            payload = (prompt if isinstance(prompt, str)
+                       else chatml_to_prompt(to_chatml(prompt)))
         delay = retry_base_delay
         for attempt in range(max_retries):
             try:
-                out = fn(messages, model_name, **decoding_kwargs)
+                out = fn(payload, model_name, **decoding_kwargs)
                 break
             except Exception:
                 if attempt == max_retries - 1:
@@ -158,8 +282,21 @@ def openai_completions(
         cache.put(uid, out)
         return out
 
-    with ThreadPoolExecutor(max_workers=num_procs) as pool:
-        results = list(pool.map(one, prompts))
+    if pool_type == "process":
+        # the reference parallelizes with multiprocessing.Pool
+        # (:214-254); requires a PICKLABLE completion_fn and pays
+        # fork+import per worker — the thread pool is the default
+        # because the work is network-bound
+        import multiprocessing as mp
+
+        with mp.get_context("spawn").Pool(num_procs) as pool:
+            results = pool.map(
+                _ProcessWorker(fn, model_name, cache_dir,
+                               decoding_kwargs, max_retries,
+                               retry_base_delay), prompts)
+    else:
+        with ThreadPoolExecutor(max_workers=num_procs) as pool:
+            results = list(pool.map(one, prompts))
 
     prices = []
     pin, pout = MODEL_PRICES.get(model_name, (0.0, 0.0))

@@ -85,3 +85,82 @@ def test_f1_and_parse():
     kw = parse_keywords("BEHAVIORS: run, jump\nOBJECTS: cat")
     assert kw["behaviors"] == {"run", "jump"}
     assert kw["objects"] == {"cat"}
+
+
+def test_prompt_to_chatml_reference_semantics():
+    """Reference _prompt_to_chatml (:401-455): roles split on first
+    newline, 'system name=x' annotations become message kwargs."""
+    from mantis_tpu.judge.openai_utils import prompt_to_chatml
+
+    prompt = ("<|im_start|>system\nYou are a helpful assistant.\n"
+              "<|im_end|>\n<|im_start|>system name=example_user\n"
+              "Knock knock.\n<|im_end|>\n<|im_start|>user\n"
+              "Orange.\n<|im_end|>")
+    got = prompt_to_chatml(prompt)
+    assert got == [
+        {"content": "You are a helpful assistant.", "role": "system"},
+        {"content": "Knock knock.", "role": "system",
+         "name": "example_user"},
+        {"content": "Orange.", "role": "user"},
+    ]
+
+
+def test_chatml_roundtrip_and_requires():
+    from mantis_tpu.judge.openai_utils import (chatml_to_prompt,
+                                               prompt_to_chatml,
+                                               requires_chatml)
+
+    msgs = [{"content": "hi there", "role": "user"}]
+    flat = chatml_to_prompt(msgs)
+    assert flat == "<|im_start|>user\nhi there\n<|im_end|>\n"
+    assert prompt_to_chatml(flat) == msgs
+    assert requires_chatml("gpt-4o") and requires_chatml(
+        "gpt-3.5-turbo")
+    assert not requires_chatml("text-davinci-003")
+
+
+def test_legacy_completions_model_gets_flat_prompt(tmp_path):
+    """A non-chat model receives a ChatML STRING (reference
+    openai_completions :128-134), a chat model receives messages."""
+    from mantis_tpu.judge.openai_utils import openai_completions
+
+    seen = {}
+
+    def fake(payload, model_name, **kw):
+        seen[model_name] = payload
+        return {"text": "ok", "prompt_tokens": 1,
+                "completion_tokens": 1}
+
+    msgs = [{"role": "user", "content": "1+1="}]
+    openai_completions([msgs], "text-davinci-003",
+                       cache_dir=str(tmp_path / "a"),
+                       completion_fn=fake)
+    assert seen["text-davinci-003"] == \
+        "<|im_start|>user\n1+1=\n<|im_end|>\n"
+    openai_completions([msgs], "gpt-4o",
+                       cache_dir=str(tmp_path / "b"),
+                       completion_fn=fake)
+    assert seen["gpt-4o"] == msgs
+
+
+def _picklable_fake(payload, model_name, **kw):
+    return {"text": f"echo:{payload}", "prompt_tokens": 2,
+            "completion_tokens": 3}
+
+
+def test_process_pool_parity(tmp_path):
+    """pool_type='process' (the reference's multiprocessing.Pool,
+    :214-254) returns the same results and prices as the thread pool
+    and shares the disk cache."""
+    from mantis_tpu.judge.openai_utils import openai_completions
+
+    prompts = ["a", "b", "c"]
+    thread = openai_completions(
+        prompts, "gpt-3.5-turbo", cache_dir=str(tmp_path),
+        completion_fn=_picklable_fake, num_procs=2)
+    proc = openai_completions(
+        prompts, "gpt-3.5-turbo", cache_dir=str(tmp_path),
+        completion_fn=_picklable_fake, num_procs=2,
+        pool_type="process")
+    assert proc["completions"] == thread["completions"]
+    assert proc["total_price"] == thread["total_price"]
