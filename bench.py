@@ -324,6 +324,12 @@ def bench_decode():
         }
 
     params = jax.block_until_ready(build_params(jax.random.PRNGKey(0)))
+    # UNROLLED layers for the decode loop: static cache slices + XLA
+    # can overlap layer i+1's weight prefetch under layer i's compute
+    # (a scan body is a while-loop iteration HBM prefetch cannot
+    # cross).  Measured 79.4 vs 77.5 tok/s stacked (3-run A/B);
+    # prefill pays ~+17 ms TTFT for the larger program.
+    params = llama.unstack_layers(params)
     rng = np.random.RandomState(0)
 
     # 8-image-scale prefill: 8 x 729 image tokens + text ~= 6016

@@ -206,13 +206,21 @@ def unstack_layers(params):
     unrolled python loop (see the scan-vs-loop note there); everything
     else — init, checkpoints, sharding rules, HF load/export — stays in
     the stacked layout."""
+    from mantis_tpu.ops.quant import QuantTensor
+
+    def _slice(v, i):
+        if isinstance(v, QuantTensor):   # int8/int4 serving trees
+            return QuantTensor(q=v.q[i], scale=v.scale[i], bits=v.bits)
+        return v[i]
+
     lay = params["layers"]
     if isinstance(lay, (list, tuple)):
         return params
-    L = next(iter(lay.values())).shape[0]
+    L = next(iter(jax.tree.leaves(
+        lay, is_leaf=lambda x: isinstance(x, QuantTensor)))).shape[0]
     out = dict(params)
     out["layers"] = [
-        {k: v[i] for k, v in lay.items()} for i in range(L)]
+        {k: _slice(v, i) for k, v in lay.items()} for i in range(L)]
     return out
 
 
@@ -607,10 +615,21 @@ def forward(
         layer_fn = remat(layer_fn, use_remat)
 
     if kv_cache is not None:
-        init = (h, jnp.zeros((), jnp.int32), kv_cache.k, kv_cache.v,
-                kv_cache.k_scale, kv_cache.v_scale)
-        (h, _, ck, cv, cks, cvs), _ = jax.lax.scan(
-            layer_fn, init, params["layers"])
+        carry = (h, jnp.zeros((), jnp.int32), kv_cache.k, kv_cache.v,
+                 kv_cache.k_scale, kv_cache.v_scale)
+        if isinstance(params["layers"], (list, tuple)):
+            # UNROLLED cache path: static layer indices let every
+            # cache read/write be a static slice, and XLA can overlap
+            # layer i+1's weight prefetch under layer i's compute —
+            # a scan body is a while-loop iteration that HBM prefetch
+            # cannot cross
+            for li_static, lp in enumerate(params["layers"]):
+                carry = (carry[0], li_static) + carry[2:]
+                carry, _ = layer_fn(carry, lp)
+            (h, _, ck, cv, cks, cvs) = carry
+        else:
+            (h, _, ck, cv, cks, cvs), _ = jax.lax.scan(
+                layer_fn, carry, params["layers"])
         new_cache = KVCache(
             k=ck, v=cv, seg=kv_seg_full, length=offset + s,
             k_scale=cks, v_scale=cvs)
