@@ -538,7 +538,10 @@ def main():
         return
     imgs_per_sec, imgs_per_sec_int8 = bench_encode()
     mfu_res = _bounded(bench_train_mfu, 480)
-    dec_res = _bounded(bench_decode, 480)
+    # 900 s: the unrolled-layer decode/prefill programs compile
+    # slower cold than the old stacked scan (the persistent compile
+    # cache usually absorbs this)
+    dec_res = _bounded(bench_decode, 900)
     extras = {
         "encode_img_s_int8_w8a8": round(imgs_per_sec_int8, 2),
     }
