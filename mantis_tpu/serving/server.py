@@ -479,6 +479,15 @@ def main():
                         "prefill pieces, interleaving decode chunks so "
                         "co-resident streams stall at most one piece "
                         "per admission (0 = whole-prompt prefill)")
+    p.add_argument("--unstacked_layers", action="store_true",
+                   help="unroll the LM's layer loop in every jitted "
+                        "program (static KV-cache slices; XLA can "
+                        "prefetch layer i+1's weights under layer i's "
+                        "compute, which a scanned layer loop cannot): "
+                        "measured +2%% decode / +5%% 8-stream serving "
+                        "aggregate at flagship depth, for minutes of "
+                        "extra cold-compile time across the engine's "
+                        "program set (docs/PERF.md)")
     p.add_argument("--prefix_cache", type=int, default=2,
                    help="keep the last N prompts' KV on device and "
                         "prefill only the suffix for new prompts "
@@ -516,6 +525,19 @@ def main():
     else:
         adapter = factory()
     args.kv_cache = args.kv_cache or "bfloat16"
+    if args.unstacked_layers:
+        from mantis_tpu.models import llama as _llama
+
+        lm_holder = (adapter if hasattr(adapter, "params")
+                     else getattr(adapter, "model", None))
+        if lm_holder is None or "language_model" not in getattr(
+                lm_holder, "params", {}):
+            raise SystemExit(
+                "--unstacked_layers: adapter has no language_model "
+                "param tree to unroll")
+        lm_holder.params = dict(lm_holder.params)
+        lm_holder.params["language_model"] = _llama.unstack_layers(
+            lm_holder.params["language_model"])
     if hasattr(adapter, "max_new_tokens"):
         adapter.max_new_tokens = args.max_new_tokens
     # MantisTPUAdapter holds the dtype on its inner MantisLlava model
