@@ -1407,3 +1407,44 @@ def test_sse_midstream_error_stays_in_protocol():
                p["choices"][0]["delta"].get("content") == "partial "
                for p in parsed)
     srv.shutdown()
+
+
+def test_engine_with_unstacked_lm_identity():
+    """The --unstacked_layers serving mode (server.py): the engine's
+    programs run over an unrolled per-layer param list (static cache
+    slices) and must emit exactly the stacked model's replies."""
+    from mantis_tpu.models import llama
+    from mantis_tpu.serving.engine import EngineAdapter
+
+    model = _tiny_mantis()
+    prompts = [
+        ("what is in this <image> ?", [0]),
+        ("tell me more about it", None),
+    ]
+
+    def msgs(text, seeds):
+        out = []
+        for part in text.split("<image>"):
+            out.append({"type": "text", "content": part})
+            if seeds:
+                out.append({"type": "image",
+                            "content": _img(seeds.pop(0))})
+        return [m for m in out if m.get("content") != ""]
+
+    eng = EngineAdapter(model, max_new_tokens=6, max_slots=2,
+                        slot_ctx=128, chunk_tokens=3,
+                        prefill_buckets=(32, 64))
+    expected = [eng(msgs(t, list(s) if s else None))
+                for t, s in prompts]
+    eng.engine.shutdown()
+
+    model.params = dict(model.params)
+    model.params["language_model"] = llama.unstack_layers(
+        model.params["language_model"])
+    eng_u = EngineAdapter(model, max_new_tokens=6, max_slots=2,
+                          slot_ctx=128, chunk_tokens=3,
+                          prefill_buckets=(32, 64))
+    got = [eng_u(msgs(t, list(s) if s else None))
+           for t, s in prompts]
+    assert got == expected
+    eng_u.engine.shutdown()
