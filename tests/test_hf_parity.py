@@ -243,3 +243,44 @@ def test_mllava_cross_image_variant():
     logits, _, _ = M.forward(params, cfg, input_ids=jnp.asarray(ids),
                              pixel_values=pix)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+@pytest.mark.slow
+def test_fullwidth_decode_token_identity_vs_hf_generate():
+    """Full flagship WIDTH (4096/14336, GQA 32/8, 128k vocab) at depth
+    2: 8 greedy tokens through the carry-resident KV cache must equal
+    HF ``generate`` exactly (round-5 regression net for the cache
+    rewrite; reference decode loop is HF generate,
+    modeling_llava.py:480-519)."""
+    from mantis_tpu.models.llama import KVCache
+
+    torch.manual_seed(0)
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=128258, hidden_size=4096, intermediate_size=14336,
+        num_hidden_layers=2, num_attention_heads=32,
+        num_key_value_heads=8, rope_theta=500000.0,
+        tie_word_embeddings=False, attn_implementation="eager")
+    hf = transformers.LlamaForCausalLM(hf_cfg).eval()
+    cfg = LlamaConfig.from_hf_config(hf_cfg)
+    params = llama_params_from_hf(
+        TensorSource.from_state_dict(hf.state_dict()), cfg)
+
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, 128000, size=(1, 37))
+    with torch.no_grad():
+        out = hf.generate(torch.tensor(ids), max_new_tokens=8,
+                          do_sample=False)
+    ref_toks = out[0, 37:].tolist()
+
+    cache = KVCache.create(cfg, 1, 128, dtype=jnp.float32)
+    logits, cache = llama.forward(
+        params, cfg, input_ids=jnp.asarray(ids), kv_cache=cache)
+    tok = int(jnp.argmax(logits[0, -1]))
+    ours = [tok]
+    for _ in range(7):
+        step, cache = llama.forward(
+            params, cfg, input_ids=jnp.asarray([[tok]]),
+            kv_cache=cache)
+        tok = int(jnp.argmax(step[0, -1]))
+        ours.append(tok)
+    assert ours == ref_toks
