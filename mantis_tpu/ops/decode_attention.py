@@ -89,12 +89,7 @@ def _kernel(len_ref, qseg_ref,             # scalar prefetch [B]
             q_ref, qsc_ref, k_ref, v_ref, kseg_ref, ks_ref, vs_ref,
             o_ref,
             m_scr, l_scr, acc_scr,
-            *, scale, hk, d, block_m, num_blocks, quant,
-            scales_strided=False):
-
-    def _scale_col(ref, h):
-        # [block_m] scale vector for head h under either layout
-        return ref[0, :, h] if scales_strided else ref[0, h, :]
+            *, scale, hk, d, block_m, num_blocks, quant):
     b = pl.program_id(0)
     ki = pl.program_id(1)
     rows = hk * _GPAD
@@ -129,7 +124,7 @@ def _kernel(len_ref, qseg_ref,             # scalar prefetch [B]
                     qh, kh, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32).astype(
                     jnp.float32)
-                s = s * _scale_col(ks_ref, h)[None, :]  # k scales
+                s = s * ks_ref[0, h, :][None, :]      # k scales
             else:
                 s = jax.lax.dot_general(
                     qh, kh.astype(qh.dtype), (((1,), (1,)), ((), ())),
@@ -157,14 +152,7 @@ def _kernel(len_ref, qseg_ref,             # scalar prefetch [B]
             # row-quantize the probs so the PV contraction is an int8
             # MXU dot too: relayouting the 128 KB of probs costs far
             # less than converting the 1 MB v block (finding 2)
-            if scales_strided:
-                vs_all = jnp.concatenate(
-                    [jnp.broadcast_to(_scale_col(vs_ref, h)[None, :],
-                                      (_GPAD, block_m))
-                     for h in range(hk)], axis=0)
-            else:
-                vs_all = jnp.repeat(vs_ref[0], _GPAD, axis=0)
-            p = p * vs_all
+            p = p * jnp.repeat(vs_ref[0], _GPAD, axis=0)
             pmax = jnp.maximum(jnp.max(p, axis=-1, keepdims=True),
                                1e-20)
             p_i8 = jnp.round(p * (127.0 / pmax)).astype(jnp.int8)
@@ -279,8 +267,9 @@ def decode_attention(
     if quant:
         # scales are stored head-major [B, HK, M] in the cache
         # (models/llama.py KVCache) so their DMA streams lane-major
-        # (1, hk, block_m) blocks with no transpose anywhere
-        scales_strided = False
+        # (1, hk, block_m) blocks with no transpose anywhere (a
+        # strided (1, block_m, hk) spec variant fails Mosaic lowering
+        # on the sublane broadcast — tested)
         sc_spec = pl.BlockSpec((1, hk, block_m), scale_map)
         in_specs = [q_spec, qsc_spec, kv_spec, kv_spec, seg_spec,
                     sc_spec, sc_spec]
@@ -289,7 +278,6 @@ def decode_attention(
                 k_scale.astype(jnp.float32),
                 v_scale.astype(jnp.float32))
     else:
-        scales_strided = False
         in_specs = [q_spec, qsc_spec, kv_spec, kv_spec, seg_spec]
         args = (q_in, qsc[:, None, :], kf, vf,
                 kv_seg.astype(jnp.int32)[:, None, :])
@@ -304,8 +292,7 @@ def decode_attention(
         _kernel(len_ref, qseg_ref, q_ref, qsc_ref, k_ref, v_ref,
                 kseg_ref, ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr,
                 scale=scale, hk=hk, d=d, block_m=block_m,
-                num_blocks=nm, quant=quant,
-                scales_strided=scales_strided)
+                num_blocks=nm, quant=quant)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
