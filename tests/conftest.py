@@ -31,8 +31,8 @@ jax.config.update("jax_platforms", "cpu")
 # recorded per-test wall times in tests/durations.json (regenerate
 # with `python scripts/record_test_durations.py` — per-FILE pytest
 # subprocesses; the whole suite in one process segfaults on this box);
-# anything above SLOW_THRESHOLD_S is marked slow (4 s -> 243 fast
-# tests, ~4.5 min wall measured here).  Unrecorded (new) tests default
+# anything above SLOW_THRESHOLD_S is marked slow (3 s -> ~220 fast
+# tests, ~4 min wall measured here).  Unrecorded (new) tests default
 # to fast until the next regeneration.  Explicit @pytest.mark.slow
 # still works for tests that are known-slow from birth (multi-process
 # drives, engine concurrency).
@@ -42,7 +42,7 @@ import json  # noqa: E402
 
 import pytest  # noqa: E402
 
-SLOW_THRESHOLD_S = 4.0
+SLOW_THRESHOLD_S = 3.0
 
 _dur_path = os.path.join(os.path.dirname(__file__), "durations.json")
 try:
